@@ -1,0 +1,312 @@
+"""The framework surface: a Faust/Callysto-shaped app on Structured
+Streaming.
+
+Parity map (reference → here), per SURVEY.md §2:
+- `app.agent(name, topic, closure)` (reference `callysto/src/app.rs:284-300`,
+  `types/agent.rs:27-91`) → :meth:`App.agent`: a streaming query whose
+  closure receives each micro-batch as a DataFrame (``foreachBatch``).
+- `app.flow(name, source, closure)` (`app.rs:340-359`, `types/flows.rs:82-219`)
+  → :meth:`App.flow`: a declarative DataFrame transform + sink.
+- `app.table(name)` (`app.rs:573-590`, `types/table.rs`) → :meth:`App.table`
+  (see callysto_spark.streaming.state): keyed state on
+  ``applyInPandasWithState``; durability via checkpoint instead of a
+  changelog topic (recovery = automatic, reference `runtime/recovery.rs`).
+- `app.task` / `app.timer` (`app.rs:243-271`) → driver threads.
+- `app.run()` (`app.rs:644-880`) → start all queries + await.
+- app-wide shared state (`app.rs:103-107`: instance-local, not
+  distributed) → :class:`Context.state`, a driver-local dict.
+
+The exactly-once enum the reference leaves ``todo!()``
+(`types/table.rs:149-159`) is inherited from Spark: checkpoint +
+idempotent sink gives end-to-end exactly-once per query.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from callysto_spark.session import get_spark
+from callysto_spark.sources import SourceSpec
+
+
+def _identifier(name: str) -> str:
+    """Sanitize a name into a valid SQL view/query identifier."""
+    import re
+
+    return re.sub(r"[^A-Za-z0-9_]", "_", name)
+
+
+@dataclass
+class Context:
+    """Per-closure context: app-wide driver-local state + batch metadata.
+
+    ``commit()`` is a no-op by design: offset tracking is the
+    checkpoint's job (reference exposes manual commit,
+    `types/context.rs:70-94`; Spark's checkpoint subsumes it — documented
+    delta, not a gap).
+    """
+
+    app: "App"
+    agent_name: str
+    batch_id: int = -1
+
+    @property
+    def state(self) -> dict[str, Any]:
+        return self.app.state
+
+    def commit(self, *_args, **_kw) -> None:  # parity shim
+        return None
+
+
+@dataclass
+class _Agent:
+    name: str
+    source: SourceSpec
+    fn: Callable[[DataFrame, Context], Any]
+    options: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class _Flow:
+    name: str
+    source: SourceSpec
+    transform: Callable[[DataFrame], DataFrame]
+    sink: Callable[[DataFrame], Any] | None = None
+    collect_to: str | None = None  # memory sink query name
+
+
+class App:
+    """A Callysto-shaped streaming application on PySpark."""
+
+    def __init__(
+        self,
+        name: str,
+        spark: SparkSession | None = None,
+        checkpoint_root: str | None = None,
+    ) -> None:
+        self.name = name
+        self.spark = spark or get_spark(app_name=name)
+        self.checkpoint_root = checkpoint_root or f"/tmp/callysto_spark/{name}/checkpoints"
+        self.state: dict[str, Any] = {}
+        self._agents: dict[str, _Agent] = {}
+        self._flows: dict[str, _Flow] = {}
+        self._tables: dict[str, Any] = {}
+        self._tasks: list[Callable[[Context], Any]] = []
+        self._timers: list[tuple[float, Callable[[Context], Any]]] = []
+        self._services: list[Callable[[Context, threading.Event], Any]] = []
+        self._queries: list[Any] = []
+        self._threads: list[threading.Thread] = []
+        self._stop_event = threading.Event()
+
+    # ------------------------------------------------------------- sources
+    def topic(self, name: str, **kafka_options: str) -> SourceSpec:
+        """Kafka topic source descriptor (reference `kafka/ctopic.rs`)."""
+        return SourceSpec.kafka(name, **kafka_options)
+
+    def source(self, spec_or_df: SourceSpec | DataFrame) -> SourceSpec:
+        """Lift any source (descriptor or ready DataFrame — batch or
+        streaming) into the app, as the reference lifts any
+        ``futures::Stream`` (`types/flows.rs:17-79`)."""
+        if isinstance(spec_or_df, SourceSpec):
+            return spec_or_df
+        return SourceSpec.dataframe(spec_or_df)
+
+    # ------------------------------------------------------------ register
+    def agent(self, name: str, source: SourceSpec | DataFrame, **options: Any):
+        """Register a stream processor; closure gets (micro-batch DataFrame,
+        Context) — the DataFrame replaces the reference's per-message
+        ``CStream`` pull loop."""
+
+        def deco(fn: Callable[[DataFrame, Context], Any]):
+            self._agents[name] = _Agent(name, self.source(source), fn, options)
+            return fn
+
+        return deco
+
+    def flow(
+        self,
+        name: str,
+        source: SourceSpec | DataFrame,
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+        sink: Callable[[DataFrame], Any] | None = None,
+        collect_to: str | None = None,
+    ):
+        """Register a declarative transform over a source. ``collect_to``
+        routes results to an in-memory sink (query name = view name)."""
+
+        def deco(fn: Callable[[DataFrame], DataFrame]):
+            self._flows[name] = _Flow(name, self.source(source), fn, sink, collect_to)
+            return fn
+
+        if transform is not None:
+            return deco(transform)
+        return deco
+
+    def table(self, name: str, key_schema: str, value_schema: str):
+        """Changelog-backed distributed KV table → Spark keyed state.
+
+        Returns a :class:`callysto_spark.streaming.state.CTable` builder;
+        attach it to a table_agent. Recovery is the checkpoint's job.
+        """
+        from callysto_spark.streaming.state import CTable
+
+        tbl = CTable(name=name, key_schema=key_schema, value_schema=value_schema)
+        self._tables[name] = tbl
+        return tbl
+
+    def table_agent(self, name: str, source: SourceSpec | DataFrame, table, **options: Any):
+        """Register a stateful processor (reference `types/table_agent.rs`):
+        closure runs per key-group with get/set/del on the table's state."""
+
+        def deco(fn):
+            from callysto_spark.streaming.state import bind_table_agent
+
+            self._agents[name] = _Agent(
+                name, self.source(source), bind_table_agent(table, fn), dict(options, stateful=True, table=table)
+            )
+            return fn
+
+        return deco
+
+    def task(self, fn: Callable[[Context], Any]):
+        """One-shot startup task (reference `types/task.rs:21-86`)."""
+        self._tasks.append(fn)
+        return fn
+
+    def timer(self, interval: float):
+        """Fixed-interval repeating task (reference `types/timer.rs:23-80`)."""
+
+        def deco(fn: Callable[[Context], Any]):
+            self._timers.append((interval, fn))
+            return fn
+
+        return deco
+
+    def service(self, fn: Callable[[Context, threading.Event], Any]):
+        """Long-running service w/ stop signal (reference `types/service.rs`)."""
+        self._services.append(fn)
+        return fn
+
+    # ----------------------------------------------------------------- run
+    def _start_agent(self, agent: _Agent) -> None:
+        ctx = Context(self, agent.name)
+        df = agent.source.load(self.spark)
+        if agent.options.get("stateful"):
+            df = agent.fn(df)  # bound stateful transform builds the plan
+            writer = df.writeStream.outputMode(agent.options.get("output_mode", "update"))
+            sink = agent.options.get("sink")
+            if sink is not None:
+                # durable sink → checkpoint recovery works across restarts
+                writer = writer.foreachBatch(lambda b, i, s=sink: s(b))
+            else:
+                # memory sink: test convenience only (no checkpoint recovery)
+                writer = writer.format("memory").queryName(_identifier(f"{self.name}_{agent.name}"))
+            q = (
+                writer.option("checkpointLocation", f"{self.checkpoint_root}/{agent.name}")
+                .trigger(**agent.options.get("trigger", {"availableNow": True}))
+                .start()
+            )
+            self._queries.append(q)
+            return
+        if df.isStreaming:
+
+            def process(batch_df: DataFrame, batch_id: int) -> None:
+                ctx.batch_id = batch_id
+                agent.fn(batch_df, ctx)
+
+            q = (
+                df.writeStream.foreachBatch(process)
+                .option("checkpointLocation", f"{self.checkpoint_root}/{agent.name}")
+                .trigger(**agent.options.get("trigger", {"availableNow": True}))
+                .start()
+            )
+            self._queries.append(q)
+        else:
+            # Finite source (reference flow example with stream::iter):
+            # run the closure once over the whole batch.
+            agent.fn(df, ctx)
+
+    def _start_flow(self, flow: _Flow) -> None:
+        df = flow.transform(flow.source.load(self.spark))
+        if not df.isStreaming:
+            if flow.sink:
+                flow.sink(df)
+            elif flow.collect_to:
+                df.createOrReplaceTempView(flow.collect_to)
+            return
+        if flow.collect_to:
+            q = (
+                df.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(flow.collect_to)
+                .option("checkpointLocation", f"{self.checkpoint_root}/{flow.name}")
+                .trigger(availableNow=True)
+                .start()
+            )
+        else:
+            q = (
+                df.writeStream.foreachBatch(lambda b, i: flow.sink(b) if flow.sink else None)
+                .option("checkpointLocation", f"{self.checkpoint_root}/{flow.name}")
+                .trigger(availableNow=True)
+                .start()
+            )
+        self._queries.append(q)
+
+    def run(self, await_termination: bool = True, timeout: float | None = None) -> None:
+        """Start everything (reference start order, `app.rs:644-880`):
+        services first, then agents/flows, then tasks, then timers."""
+        ctx = Context(self, "__app__")
+        for svc in self._services:
+            t = threading.Thread(target=svc, args=(ctx, self._stop_event), daemon=True)
+            t.start()
+            self._threads.append(t)
+        for agent in self._agents.values():
+            self._start_agent(agent)
+        for flow in self._flows.values():
+            self._start_flow(flow)
+        for task in self._tasks:
+            task(ctx)
+        for interval, fn in self._timers:
+
+            def loop(interval=interval, fn=fn):
+                while not self._stop_event.wait(interval):
+                    fn(ctx)
+
+            t = threading.Thread(target=loop, daemon=True)
+            t.start()
+            self._threads.append(t)
+        if await_termination:
+            deadline = time.time() + timeout if timeout else None
+            for q in self._queries:
+                remaining = (deadline - time.time()) if deadline else None
+                q.awaitTermination(remaining)
+
+    def stop(self) -> None:
+        self._stop_event.set()
+        for q in self._queries:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        self._queries.clear()
+
+    # ------------------------------------------------------------- queries
+    @property
+    def queries(self) -> list[Any]:
+        return list(self._queries)
+
+    def progress(self) -> list[dict]:
+        """Per-query progress (reference consumer statistics,
+        `kafka/contexts.rs:31-56` → `StreamingQueryProgress`)."""
+        out = []
+        for q in self._queries:
+            p = q.lastProgress
+            if p:
+                out.append(p)
+        return out

@@ -1,0 +1,72 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+Implemented as the scalable union-sort pattern rather than
+``pd.merge_asof`` per group: tag both sides, union, then one window
+``last(..., ignorenulls=True)`` ordered by time within each key. This is
+a SINGLE shuffle on the join key and never materializes the (left ×
+right-history) blow-up an inequality join would produce; it survives
+100× scale-up as long as the key space does (skewed keys: AQE/salting).
+
+Reference analog: callysto users do per-key lookups of "latest state"
+inside agent closures against `CTable` (reference
+`callysto/src/types/table.rs:81-91`); this is the declarative batch
+equivalent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right_ts <= left_ts`` (``<`` when ``strict``) for the same key.
+
+    Ties on the right side at equal ``right_ts`` resolve by the LAST row
+    in ``right_cols`` order-of-union — callers needing total determinism
+    should pre-dedup the right side to one row per (key, ts).
+    """
+    right_cols = list(right_cols or [c for c in right.columns if c not in on and c != right_ts])
+
+    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rt = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))
+
+    l_aug = lt.select(
+        *on, "__ts", "__side",
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.struct(*[c for c in left.columns]).alias("__l"),
+    )
+    r_aug = rt.select(
+        *on, "__ts", "__side",
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(l_aug.schema["__l"].dataType).alias("__l"),
+    )
+    unioned = l_aug.unionByName(r_aug)
+
+    # Right rows sort before left rows at the same timestamp unless strict:
+    # order by (ts, side) makes last() at the left row see right rows with
+    # right_ts <= left_ts. For strict, flip so equal-ts right rows come after.
+    order = [F.col("__ts"), F.col("__side")] if not strict else [F.col("__ts"), (1 - F.col("__side"))]
+    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in right_cols
+        ],
+    )
+    out = filled.filter(F.col("__side") == 1).select(
+        F.col("__l.*"),
+        *[F.col(f"__f_{c}").alias(c) for c in right_cols],
+    )
+    return out

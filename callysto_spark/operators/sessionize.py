@@ -1,0 +1,31 @@
+"""Gap-based sessionization as a batch operator.
+
+Streaming uses the native ``session_window``; in batch we derive session
+ids with lag + a running sum of gap-breaks — one shuffle on the user
+key, window exec after, fully codegen'd (no UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign per-key session numbers (1-based) where a gap greater than
+    ``gap_seconds`` between consecutive events starts a new session.
+    ``ts`` ordering must be made total by event uniqueness per (key, ts);
+    equal timestamps fall in the same session either way.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts))
+    gap = F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )

@@ -1,0 +1,58 @@
+"""Query registry: the single source of truth for the engine's declared
+operator/query surface.
+
+Each entry pairs a Spark implementation ``fn(spark, sf_dir) -> DataFrame``
+with an equivalent DuckDB oracle SQL string (or ``None`` for ops that are
+not SQL-expressible — the driver then records a weaker rows-only check).
+``__spark_entry__.queries()`` / ``oracle_sql()``, the pytest oracle
+harness, and ``bench.py`` all iterate this registry, so the three can
+never drift apart.
+
+Determinism rules for oracle-matched queries (the driver hash-compares
+values):
+- every double derived from float accumulation is ``round()``-ed in BOTH
+  implementations (parallel summation order is not bit-stable);
+- doubles derived from integer division (ratios of counts) are left
+  unrounded — IEEE division of identical ints is bit-identical;
+- every top-k / limit has a total tie-break order;
+- aggregate/computed columns are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+    bench: bool = field(default=False)  # include in bench.py headline set
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = False):
+    """Decorator: add a query to the registry."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        from callysto_spark.functions.compat import rewrite_oracle_round
+
+        sql = rewrite_oracle_round(oracle) if oracle else oracle
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=sql, doc=doc or (fn.__doc__ or ""), bench=bench)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Query]:
+    """Import every query module (side effect: registration) and return REGISTRY."""
+    from callysto_spark.queries import tpch, events, llm_ops  # noqa: F401
+
+    return REGISTRY

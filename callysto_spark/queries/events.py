@@ -1,0 +1,228 @@
+"""Event-stream operator coverage on the `events` table: JSON scalar
+functions, tumbling/sliding windows (batch analog of the streaming
+window operator), gap sessionization, deterministic dedup, as-of join,
+ntile bucketing.
+
+These are the batch twins of the Structured Streaming operators in
+callysto_spark.streaming — same logical semantics, oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from callysto_spark.operators import asof_join, dedup_exact, sessionize
+from callysto_spark.functions import rnd
+from callysto_spark.queries import register
+from callysto_spark.tables import load
+
+
+@register(
+    "events_json_kv",
+    oracle="""
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       value
+FROM events
+""",
+)
+def events_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level JSON extraction (get_json_object → JVM Jackson kernel)."""
+    e = load(spark, sf_dir, "events")["events"]
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        "value",
+    )
+
+
+@register(
+    "events_type_stats",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       round(avg(value), 4) AS avg_value,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM events GROUP BY event_type
+""",
+)
+def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over JSON-derived and native columns."""
+    e = load(spark, sf_dir, "events")["events"]
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k"),
+        rnd(F.avg("value"), 4).alias("avg_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@register(
+    "events_hourly_tumbling",
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation — the batch analog of
+    ``groupBy(window(ts, '1 hour'))`` in streaming (same epoch-aligned
+    window starts)."""
+    e = load(spark, sf_dir, "events")["events"]
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), rnd(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "events_sliding_1h_30m",
+    oracle="""
+WITH hopped AS (
+  SELECT unnest([
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) + CASE WHEN extract(minute FROM ts) >= 30
+                                         THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) + CASE WHEN extract(minute FROM ts) >= 30
+                                         THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+             - INTERVAL 30 MINUTE
+         ]) AS ws,
+         value
+  FROM events
+)
+SELECT ws, count(*) AS n, round(sum(value), 2) AS total_value
+FROM hopped GROUP BY ws
+""",
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h window, 30 min hop): every event lands in
+    exactly two epoch-aligned windows."""
+    e = load(spark, sf_dir, "events")["events"]
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), rnd(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("ws"), "n", "total_value")
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(sum(value), 2) AS total_value
+FROM s GROUP BY 1, 2
+""",
+    bench=True,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (30 min) + per-session rollup. One shuffle on
+    user_id serves the window AND the session aggregation."""
+    e = load(spark, sf_dir, "events")["events"]
+    sess = sessionize(e, "user_id", "ts", gap_seconds=1800)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        rnd(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "events_dedup_latest",
+    oracle="""
+SELECT user_id, event_type, event_id, ts FROM (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup: latest event per (user, type) — unlike
+    dropDuplicates, the survivor is defined by a total order."""
+    e = load(spark, sf_dir, "events")["events"]
+    return dedup_exact(
+        e.select("user_id", "event_type", "event_id", "ts"),
+        ["user_id", "event_type"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    )
+
+
+@register(
+    "events_asof_purchase_click",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id, c.click_ts
+FROM p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND c.click_ts < p.ts
+""",
+    bench=True,
+)
+def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the user's latest strictly-earlier
+    click. Union-sort implementation — single shuffle on user_id, no
+    row-explosion (see operators/asof.py)."""
+    e = load(spark, sf_dir, "events")["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_id", "click_ts"],
+        strict=True,
+    ).select("event_id", "user_id", "ts", "value", "click_id", "click_ts")
+
+
+@register(
+    "user_spend_deciles",
+    oracle="""
+WITH spend AS (
+  SELECT user_id, round(sum(value), 2) AS spend, count(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT user_id, spend, n_purchases,
+       ntile(10) OVER (ORDER BY spend DESC, user_id) AS decile
+FROM spend
+""",
+)
+def user_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing over an aggregate (global window, single partition
+    at the final stage — fine: the input is one row per user)."""
+    e = load(spark, sf_dir, "events")["events"]
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(rnd(F.sum("value"), 2).alias("spend"), F.count(F.lit(1)).alias("n_purchases"))
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("user_id"))
+    return spend.withColumn("decile", F.ntile(10).over(w))

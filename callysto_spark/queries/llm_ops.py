@@ -1,0 +1,278 @@
+"""LLM-data-pipeline operators on `documents` and `embeddings`:
+deduplication (exact, fingerprint, n-gram Jaccard, MinHash-LSH,
+SimHash), text analysis (token stats, quality, language-ID scoring),
+and embedding similarity search (brute-force top-k + blocked pairs).
+
+Oracle-parity notes: shingle construction, ratios and hashes are chosen
+so DuckDB can reproduce them bit-for-bit (int/int division, sha256,
+identical regex splits). xxhash64-based ops (MinHash/SimHash/LSH) are
+engine-specific by nature → rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from callysto_spark.operators import (
+    cosine_pairs_blocked,
+    cosine_topk,
+    dedup_exact,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from callysto_spark.operators import text as TX
+from callysto_spark.functions import rnd
+from callysto_spark.queries import register
+from callysto_spark.tables import load
+
+_TOKENS_SQL = r"string_split_regex(trim(lower(text)), '\s+')"
+
+
+@register(
+    "doc_token_stats",
+    oracle=rf"""
+SELECT doc_id,
+       length({_TOKENS_SQL}) AS n_tokens,
+       length(text) AS n_chars,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS n_space,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         / greatest(length({_TOKENS_SQL}), 1) AS mean_token_len
+FROM documents
+""",
+    bench=True,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + character-class stats; one narrow codegen pass.
+    mean_token_len is int/int division — bit-deterministic, unrounded."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    cc = TX.char_classes(F.col("text"))
+    n_tokens = TX.token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        cc["n_alpha"].alias("n_alpha"),
+        cc["n_space"].alias("n_space"),
+        (cc["n_alpha"].cast("double") / F.greatest(n_tokens, F.lit(1))).alias("mean_token_len"),
+    )
+
+
+@register(
+    "doc_quality_score",
+    oracle=rf"""
+SELECT doc_id, lang,
+       (CASE WHEN length({_TOKENS_SQL}) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
+         * (1 - CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                  / greatest(length(text), 1)) AS quality
+FROM documents
+""",
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length band × punctuation density)."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    return d.select("doc_id", "lang", TX.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "doc_lang_scores",
+    oracle=r"""
+WITH t AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS padded FROM documents),
+sc AS (
+  SELECT doc_id, lang,
+         length(string_split_regex(padded, '\sthe\s')) - 1
+       + length(string_split_regex(padded, '\sand\s')) - 1
+       + length(string_split_regex(padded, '\sof\s')) - 1
+       + length(string_split_regex(padded, '\sis\s')) - 1 AS score_en,
+         length(string_split_regex(padded, '\sder\s')) - 1
+       + length(string_split_regex(padded, '\sund\s')) - 1
+       + length(string_split_regex(padded, '\sdie\s')) - 1
+       + length(string_split_regex(padded, '\sist\s')) - 1 AS score_de,
+         length(string_split_regex(padded, '\sle\s')) - 1
+       + length(string_split_regex(padded, '\set\s')) - 1
+       + length(string_split_regex(padded, '\sla\s')) - 1
+       + length(string_split_regex(padded, '\sest\s')) - 1 AS score_fr,
+         length(string_split_regex(padded, '\sel\s')) - 1
+       + length(string_split_regex(padded, '\slos\s')) - 1
+       + length(string_split_regex(padded, '\sde\s')) - 1
+       + length(string_split_regex(padded, '\ses\s')) - 1 AS score_es
+  FROM t
+)
+SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
+       CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+            WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+            WHEN score_fr >= score_es THEN 'fr'
+            ELSE 'es' END AS predicted
+FROM sc
+""",
+)
+def doc_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language-ID scoring (n-gram heuristic family).
+    Prediction = argmax with fixed tie order en>de>fr>es."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    scores = TX.lang_scores(F.col("text"))
+    en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
+    predicted = (
+        F.when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        en.alias("score_en"),
+        de.alias("score_de"),
+        fr.alias("score_fr"),
+        es.alias("score_es"),
+        predicted.alias("predicted"),
+    )
+
+
+@register(
+    "doc_fingerprint_groups",
+    oracle=r"""
+WITH fp AS (
+  SELECT doc_id,
+         sha256(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')),
+                               '\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS canonical_doc
+FROM fp GROUP BY fingerprint
+""",
+)
+def doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-fingerprint dedup groups (sha256 of canonicalized
+    text) — byte-identical across engines."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    return (
+        d.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc"))
+    )
+
+
+@register(
+    "doc_dedup_exact",
+    oracle="""
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+)
+def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on full text, survivor = lowest doc_id. At 100 TB the
+    group key would be sha256(text) to shrink shuffle width — see
+    doc_fingerprint_groups for that formulation."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    return dedup_exact(d, ["text"], [F.col("doc_id")]).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "doc_ngram_jaccard_pairs",
+    oracle=r"""
+WITH sh AS (
+  SELECT doc_id AS doc, unnest(list_distinct(
+           [array_to_string(toks[i:i+3], ' ')
+            for i in range(1, greatest(length(toks) - 3, 1) + 1)])) AS g
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       na.n_sh + nb.n_sh - inter AS union_sz,
+       CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) AS jaccard
+FROM pairs
+JOIN sizes na ON doc_a = na.doc
+JOIN sizes nb ON doc_b = nb.doc
+WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= 0.005
+""",
+    bench=True,
+)
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-4-gram Jaccard similar pairs (threshold 0.005 — the
+    synthetic corpus has no planted near-dups, so the tail of chance
+    overlaps is what's checkable). jaccard = int/int ⇒ unrounded."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=4, threshold=0.005)
+
+
+@register("doc_minhash_lsh_pairs", oracle=None)
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands × 4 rows) candidate pairs. xxhash64 is
+    engine-specific ⇒ rows-only check; cross-engine validation comes from
+    doc_ngram_jaccard_pairs (the exact counterpart)."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    sigs = minhash_signatures(d, "doc_id", "text", num_hashes=64, n=4)
+    return minhash_lsh_candidates(sigs, bands=16, rows_per_band=4).orderBy("doc_a", "doc_b")
+
+
+@register("doc_simhash", oracle=None)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (rows-only: engine-specific hash)."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    return simhash(d, "doc_id", "text")
+
+
+@register(
+    "emb_cosine_topk",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(
+           list_sum([CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)])
+           / (sqrt(list_sum([CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE) for i in range(1, 65)]))
+              * sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)]))),
+           6) AS cosine_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+    bench=True,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors 0-4: the exact ANN
+    baseline. Ranking is on round(sim, 6) with neighbor-id tie-break so
+    both engines order identically."""
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    out = cosine_topk(e, "vec_id", "embedding", query_ids=[0, 1, 2, 3, 4], k=10)
+    return out.withColumn("cosine_sim", rnd("cosine_sim", 6))
+
+
+@register(
+    "emb_label_near_pairs",
+    oracle="""
+SELECT label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
+       round(
+         list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)])
+         / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) for i in range(1, 65)]))
+            * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)]))),
+         6) AS cosine_sim
+FROM embeddings a JOIN embeddings b USING (label)
+WHERE a.vec_id < b.vec_id
+  AND list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)])
+      / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) for i in range(1, 65)]))
+         * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)]))) >= 0.8
+""",
+)
+def emb_label_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs within label blocks (the
+    IVF-style blocked scale path for embedding-cosine dedup)."""
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    out = cosine_pairs_blocked(e, "vec_id", "embedding", "label", threshold=0.8)
+    return out.withColumn("cosine_sim", rnd("cosine_sim", 6))

@@ -1,0 +1,85 @@
+"""Source descriptors: declarative specs resolved to DataFrames at start.
+
+Covers the reference's source surface (SURVEY.md §2.1): Kafka topics
+(S1), generic lifted streams (S2), plus the batch/file/rate sources our
+engine adds. Kafka needs the spark-sql-kafka jar on the classpath — the
+descriptor builds the plan either way; load fails fast with a clear
+message if the connector is absent (test images don't ship it).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class SourceSpec:
+    kind: str  # kafka | rate | parquet_stream | file | dataframe | batch_parquet
+    options: dict[str, Any] = field(default_factory=dict)
+    df: DataFrame | None = None
+    schema: str | None = None
+    streaming: bool = True
+
+    # ------------------------------------------------------- constructors
+    @staticmethod
+    def kafka(
+        topic: str,
+        bootstrap_servers: str = "localhost:9092",
+        starting_offsets: str = "earliest",
+        **options: str,
+    ) -> "SourceSpec":
+        """Kafka topic (reference `kafka/ctopic.rs:57-77`). Extra options
+        pass through as `kafka.*` — the passthrough surface mirroring the
+        reference's client-config map (`config.rs:16-161`)."""
+        opts = {
+            "subscribe": topic,
+            "kafka.bootstrap.servers": bootstrap_servers,
+            "startingOffsets": starting_offsets,
+        }
+        opts.update({(k if k.startswith("kafka.") else f"kafka.{k}"): v for k, v in options.items()})
+        return SourceSpec("kafka", opts)
+
+    @staticmethod
+    def rate(rows_per_second: int = 100) -> "SourceSpec":
+        return SourceSpec("rate", {"rowsPerSecond": str(rows_per_second)})
+
+    @staticmethod
+    def parquet_stream(path: str, schema: str) -> "SourceSpec":
+        """File-based stream (deterministic replay for tests)."""
+        return SourceSpec("parquet_stream", {"path": path}, schema=schema)
+
+    @staticmethod
+    def batch_parquet(path: str) -> "SourceSpec":
+        return SourceSpec("batch_parquet", {"path": path}, streaming=False)
+
+    @staticmethod
+    def dataframe(df: DataFrame) -> "SourceSpec":
+        return SourceSpec("dataframe", {}, df=df, streaming=df.isStreaming)
+
+    # -------------------------------------------------------------- load
+    def load(self, spark: SparkSession) -> DataFrame:
+        if self.kind == "dataframe":
+            assert self.df is not None
+            return self.df
+        if self.kind == "kafka":
+            try:
+                return spark.readStream.format("kafka").options(**self.options).load()
+            except Exception as exc:  # pragma: no cover - connector-dependent
+                raise RuntimeError(
+                    "Kafka source requires the spark-sql-kafka connector jar "
+                    "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)"
+                ) from exc
+        if self.kind == "rate":
+            return spark.readStream.format("rate").options(**self.options).load()
+        if self.kind == "parquet_stream":
+            return (
+                spark.readStream.schema(self.schema)
+                .option("maxFilesPerTrigger", self.options.get("maxFilesPerTrigger", 1))
+                .parquet(self.options["path"])
+            )
+        if self.kind == "batch_parquet":
+            return spark.read.parquet(self.options["path"])
+        raise ValueError(f"unknown source kind: {self.kind}")

@@ -1,0 +1,47 @@
+"""Loaders for the driver-generated parquet tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet per table under a sf dir.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables that stay broadcast-size at ANY scale factor (TPC-H
+# proportions: region=5, nation=25 rows forever; supplier grows slowly).
+BROADCAST_DIMS = {"region", "nation", "supplier"}
+
+
+# Columns written as parquet TIMESTAMP(NANOS), which Spark's vectorized
+# reader rejects: read ns-as-long, convert to µs timestamps (lossless for
+# this data; DuckDB performs the same ns→µs coercion on read).
+_NANOS_TS_COLS = {"events": ["ts"]}
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Read the named parquet tables, register temp views, return dict."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out: dict[str, DataFrame] = {}
+    for name in names or TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for col in _NANOS_TS_COLS.get(name, []):
+            if dict(df.dtypes).get(col) == "bigint":
+                # integer division: ns epoch values exceed double precision
+                df = df.withColumn(col, F.expr(f"timestamp_micros(CAST({col} DIV 1000 AS LONG))"))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
