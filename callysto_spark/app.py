@@ -23,6 +23,7 @@ idempotent sink gives end-to-end exactly-once per query.
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 from collections.abc import Callable
@@ -102,6 +103,9 @@ class App:
         self._services: list[Callable[[Context, threading.Event], Any]] = []
         self._queries: list[Any] = []
         self._threads: list[threading.Thread] = []
+        self._pages: dict[str, Callable[[], Any]] = {}
+        self._web: Any = None
+        self.web_port: int | None = None
         self._stop_event = threading.Event()
 
     # ------------------------------------------------------------- sources
@@ -170,6 +174,17 @@ class App:
             self._agents[name] = _Agent(
                 name, self.source(source), bind_table_agent(table, fn), dict(options, stateful=True, table=table)
             )
+            return fn
+
+        return deco
+
+    def page(self, slug: str):
+        """Register an ops HTTP page (reference `app.rs:416-430`); the
+        web server starts with :meth:`run` when any page is registered
+        (reference starts it iff routes exist, `app.rs:594-619`)."""
+
+        def deco(fn: Callable[[], Any]):
+            self._pages[slug] = fn
             return fn
 
         return deco
@@ -262,6 +277,14 @@ class App:
         """Start everything (reference start order, `app.rs:644-880`):
         services first, then agents/flows, then tasks, then timers."""
         ctx = Context(self, "__app__")
+        if self._pages and self._web is None:
+            from callysto_spark.runtime.web import OpsServer
+
+            self._web = OpsServer(self, port=int(os.environ.get("CALLYSTO_WEB_PORT", "0")))
+            for slug, fn in self._pages.items():
+                self._web.page(slug, fn)
+            self._web.start()
+            self.web_port = self._web.port
         for svc in self._services:
             t = threading.Thread(target=svc, args=(ctx, self._stop_event), daemon=True)
             t.start()
@@ -289,6 +312,9 @@ class App:
 
     def stop(self) -> None:
         self._stop_event.set()
+        if self._web is not None:
+            self._web.stop()
+            self._web = None
         for q in self._queries:
             try:
                 q.stop()

@@ -1,0 +1,126 @@
+"""App framework tests: agents, flows, stateful table agents, recovery
+(reference workloads: basic.rs counter, inmemory.rs odd/even — SURVEY §5
+F1/F2 fixtures)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from callysto_spark.app import App
+from callysto_spark.sources import SourceSpec
+from callysto_spark.tables import load
+
+
+@pytest.fixture()
+def app(spark, tmp_path):
+    a = App("test_app", spark=spark, checkpoint_root=str(tmp_path / "ckpt"))
+    yield a
+    a.stop()
+
+
+def test_agent_counts_messages(app, spark, sf_dir):
+    """Reference basic.rs: count messages into app state."""
+    events = load(spark, sf_dir, "events")["events"]
+
+    @app.agent("counter", events)
+    def counter(df, ctx):
+        ctx.state["n"] = ctx.state.get("n", 0) + df.count()
+        ctx.commit(None)  # parity no-op
+
+    app.run(await_termination=False)
+    assert app.state["n"] == events.count()
+
+
+def test_flow_transform_to_view(app, spark, sf_dir):
+    events = load(spark, sf_dir, "events")["events"]
+
+    @app.flow("purchases", events, collect_to="purchase_view")
+    def purchases(df):
+        return df.filter(F.col("event_type") == "purchase").select("event_id")
+
+    app.run(await_termination=False)
+    expect = events.filter(F.col("event_type") == "purchase").count()
+    assert spark.table("purchase_view").count() == expect
+
+
+def test_table_agent_parity_counts_and_recovery(spark, tmp_path, sf_dir):
+    """Reference inmemory.rs odd/even tables + runtime/recovery.rs:
+    restart must resume state from the checkpoint."""
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "a.parquet")
+    out_dir = str(tmp_path / "out")
+
+    def make_app():
+        a = App("test_state", spark=spark, checkpoint_root=str(tmp_path / "ckpt"))
+        src = SourceSpec.parquet_stream(
+            str(stream_dir),
+            schema="event_id long, ts long, user_id long, event_type string, value double, props string",
+        )
+        stream = src.load(spark).withColumn(
+            "parity", F.when(F.col("event_id") % 2 == 0, "even").otherwise("odd")
+        )
+        table = a.table("parity_counts", key_schema="parity string", value_schema="cnt long")
+        table.output_schema = "parity string, cnt long"
+
+        @a.table_agent(
+            "parity_agent",
+            stream,
+            table,
+            sink=lambda b: b.write.mode("append").parquet(out_dir),
+        )
+        def parity_agent(key, pdf, state):
+            prev = state.get()
+            cnt = (prev[0] if prev else 0) + len(pdf)
+            state.set(cnt)
+            return pd.DataFrame({"parity": [key[0]], "cnt": [cnt]})
+
+        return a
+
+    a1 = make_app()
+    a1.run(await_termination=True, timeout=120)
+    a1.stop()
+    first = {r["parity"]: r["cnt"] for r in spark.read.parquet(out_dir).collect()}
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert first == {"even": n // 2, "odd": n // 2}
+
+    # restart with more data: state must continue, not reset
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "b.parquet")
+    a2 = make_app()
+    a2.run(await_termination=True, timeout=120)
+    a2.stop()
+    rows = spark.read.parquet(out_dir).groupBy("parity").agg(F.max("cnt").alias("cnt")).collect()
+    assert {r["parity"]: r["cnt"] for r in rows} == {"even": n, "odd": n}
+
+
+def test_task_timer_service_lifecycle(app, spark):
+    import time
+
+    ticks = []
+
+    @app.task
+    def startup(ctx):
+        ctx.state["started"] = True
+
+    @app.timer(0.2)
+    def tick(ctx):
+        ticks.append(1)
+
+    @app.service
+    def svc(ctx, stop_event):
+        ctx.state["svc"] = "running"
+        stop_event.wait()
+        ctx.state["svc"] = "stopped"
+
+    app.run(await_termination=False)
+    time.sleep(1.0)
+    assert app.state["started"] is True
+    assert app.state["svc"] == "running"
+    assert len(ticks) >= 2
+    app.stop()
+    time.sleep(0.3)
+    assert app.state["svc"] == "stopped"

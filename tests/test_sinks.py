@@ -1,0 +1,59 @@
+"""Sink tests (S6-S9 parity). Elasticsearch is exercised against a local
+stub HTTP server capturing `_bulk` bodies — validates the sink protocol
+without an ES install."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from callysto_spark.sinks import ElasticsearchSink, MemorySink, ParquetSink
+
+
+def test_parquet_sink_partitioned(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], "id long, k string")
+    ParquetSink(str(tmp_path / "out"), partition_by=("k",)).write(df)
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(tuple(r) for r in back.select("id", "k").collect()) == [(1, "a"), (2, "b"), (3, "a")]
+    assert (tmp_path / "out" / "k=a").exists()
+
+
+def test_memory_sink(spark):
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    sink = MemorySink()
+    sink.write(df)
+    assert sorted(r["id"] for r in sink.rows) == [1, 2]
+
+
+def test_elasticsearch_sink_bulk_protocol(spark):
+    captured: list[bytes] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            captured.append(self.rfile.read(int(self.headers["Content-Length"])))
+            body = json.dumps({"errors": False, "items": []}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            return
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        df = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, body string").coalesce(1)
+        ElasticsearchSink(
+            index="docs", url=f"http://127.0.0.1:{server.server_port}", id_col="doc_id"
+        ).write(df)
+        lines = b"".join(captured).decode().strip().split("\n")
+        actions = [json.loads(line) for line in lines[0::2]]
+        docs = [json.loads(line) for line in lines[1::2]]
+        assert {a["index"]["_id"] for a in actions} == {"1", "2"}
+        assert all(a["index"]["_index"] == "docs" for a in actions)
+        assert sorted(d["body"] for d in docs) == ["x", "y"]
+    finally:
+        server.shutdown()
+        server.server_close()

@@ -1,0 +1,124 @@
+"""Streaming semantics (SURVEY §5 strategy 2): deterministic
+availableNow replay over staged files — event-time windows, watermarks +
+late data, dedup-within-watermark, session windows vs the batch
+sessionizer."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from callysto_spark.operators import sessionize
+from callysto_spark.streaming import windows as W
+
+BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _stage(spark, tmp_path, name, rows, schema="event_id long, user_id long, ts timestamp, value double"):
+    """Stage micro-batches as FLAT parquet files (FileStreamSource does
+    not recurse into the dirs df.write.parquet creates), with strictly
+    increasing mtimes so file order == batch order."""
+    import os
+    import shutil
+    import time
+
+    d = tmp_path / name
+    d.mkdir()
+    for i, batch in enumerate(rows):
+        scratch = tmp_path / f"__scratch_{name}_{i}"
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(str(scratch))
+        part = next(scratch.glob("part-*.parquet"))
+        target = d / f"f{i}.parquet"
+        shutil.move(str(part), str(target))
+        shutil.rmtree(scratch)
+        os.utime(target, (time.time() + i * 10, time.time() + i * 10))
+    return (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+
+
+def _run_to_memory(df, name, tmp_path, output_mode="append"):
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+
+def test_tumbling_window_watermark_drops_late(spark, tmp_path):
+    """Append-mode windowed agg with watermark: a second micro-batch
+    arriving far behind the watermark is dropped (late-data policy)."""
+    on_time = [
+        (1, 1, BASE + dt.timedelta(minutes=m), 1.0) for m in (0, 1, 2, 30, 31, 200)
+    ]
+    # Spark's watermark is best-effort within a batch: a late row arriving
+    # in the SAME batch that evicts its window still merges. The bump
+    # batch forces eviction first, so the late batch is genuinely dropped.
+    bump = [(50, 1, BASE + dt.timedelta(minutes=201), 1.0)]
+    late = [(99, 1, BASE + dt.timedelta(minutes=3), 1.0)]  # far behind watermark
+    stream = _stage(spark, tmp_path, "late", [on_time, bump, late])
+    stream, win = W.tumbling(stream, "ts", "10 minutes", watermark="10 minutes")
+    agg = stream.groupBy(win.alias("w")).agg(F.count("*").alias("n")).select(
+        F.col("w.start").alias("ws"), "n"
+    )
+    _run_to_memory(agg, "late_out", tmp_path)
+    got = {r["ws"]: r["n"] for r in spark.table("late_out").collect()}
+    # window [0,10) closed with 3 on-time events; the late event (min 3)
+    # arrived after watermark passed → NOT counted
+    assert got[BASE] == 3
+    assert got[BASE + dt.timedelta(minutes=30)] == 2
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    rows1 = [(1, 1, BASE, 1.0), (1, 1, BASE + dt.timedelta(seconds=30), 1.0), (2, 1, BASE + dt.timedelta(minutes=1), 1.0)]
+    rows2 = [(1, 1, BASE + dt.timedelta(minutes=2), 1.0), (3, 1, BASE + dt.timedelta(minutes=3), 1.0)]
+    stream = _stage(spark, tmp_path, "dedup", [rows1, rows2])
+    out = W.dedup_within_watermark(stream, ["event_id"], "ts", "10 minutes")
+    _run_to_memory(out, "dedup_out", tmp_path)
+    ids = sorted(r["event_id"] for r in spark.table("dedup_out").collect())
+    assert ids == [1, 2, 3]  # duplicate event_id=1 rows suppressed
+
+
+def test_session_window_matches_batch_sessionizer(spark, tmp_path, sf_dir):
+    """Native streaming session_window session COUNT per user equals the
+    batch gap-sessionizer's (same 30-min gap semantics)."""
+    from callysto_spark.tables import load
+
+    events = load(spark, sf_dir, "events")["events"]
+    batch_sessions = (
+        sessionize(events, "user_id", "ts", gap_seconds=1800)
+        .groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"))
+    )
+    expected = {r["user_id"]: r["n_sessions"] for r in batch_sessions.collect()}
+
+    # stage: batch 1 = the real events; batch 2 = one sentinel per user
+    # 2 h after the max ts, so the watermark passes every real session
+    # and append mode emits them all (sentinel sessions stay in state).
+    real = [
+        (r["event_id"], r["user_id"], r["ts"], r["value"])
+        for r in events.select("event_id", "user_id", "ts", "value").collect()
+    ]
+    max_ts = max(r[2] for r in real)
+    users = sorted({r[1] for r in real})
+    sentinels = [
+        (10_000_000 + u, u, max_ts + dt.timedelta(hours=2), 0.0) for u in users
+    ]
+    stream = _stage(spark, tmp_path, "sess", [real, sentinels])
+    stream, win = W.session(stream, "ts", "30 minutes", watermark="0 seconds")
+    agg = stream.groupBy("user_id", win.alias("w")).agg(F.count("*").alias("n"))
+    _run_to_memory(agg, "sess_out", tmp_path)
+    got = (
+        spark.table("sess_out")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+        .collect()
+    )
+    assert {r["user_id"]: r["n_sessions"] for r in got} == expected
