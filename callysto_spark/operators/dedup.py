@@ -34,14 +34,65 @@ def tokens_col(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
-def word_shingles(text: Column, n: int) -> Column:
-    """Distinct word n-gram shingles of a text column (JVM-side only)."""
-    toks = tokens_col(text)
+def word_shingles(toks: Column, n: int) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED tokens column.
+
+    The tokens argument must be a plain column reference (use
+    ``with_shingles``): a lambda that references an inline expression
+    (e.g. the regex split itself) re-evaluates it per element — measured
+    12× slower on the documents table.
+    """
+    # Unrolled element_at instead of slice(): per-element array slicing
+    # measured ~50× slower than n direct element accesses.
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
         )
+    )
+
+
+def with_shingles(df: DataFrame, text_col: str, n: int, out: str = "gs") -> DataFrame:
+    """df + distinct word-n-gram shingle array column (tokens
+    materialized first; input re-parallelized if under-partitioned)."""
+    from callysto_spark.operators.util import ensure_parallelism
+
+    return (
+        ensure_parallelism(df)
+        .withColumn("__toks", tokens_col(F.col(text_col)))
+        .withColumn(out, word_shingles(F.col("__toks"), n))
+        .drop("__toks")
+    )
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """DISTINCT (doc, g) word-n-gram shingle rows, built relationally:
+    posexplode tokens → window lead(k) → concat → distinct.
+
+    Why not the array-lambda path: CollapseProject inlines a
+    "materialized" tokens column back into per-element lambdas (the
+    regex split then re-runs per shingle — measured 10-100× slower).
+    A Generate (explode) node is a real materialization barrier, and
+    window lead + concat are whole-stage-codegen kernels. Shuffles: one
+    hash partition on doc (window) + one for distinct — both tiny
+    relative to the later pair join, and both AQE-coalesced.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(F.col(id_col).alias("doc"), F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok"))
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
+    cnt = F.count("*").over(Window.partitionBy("doc"))
+    # valid start positions: 1..max(len-n+1, 1) (1-based) — docs shorter
+    # than n yield one truncated shingle, matching the oracle definition
+    return (
+        toks.withColumn("g", F.concat_ws(" ", *leads))
+        .withColumn("__cnt", cnt)
+        .filter(F.col("pos") + 1 <= F.greatest(F.col("__cnt") - (n - 1), F.lit(1)))
+        .select("doc", "g")
+        .distinct()
     )
 
 
@@ -64,30 +115,38 @@ def ngram_jaccard_pairs(
     Output: (doc_a, doc_b, inter, union_sz, jaccard) with doc_a < doc_b.
     jaccard is an int/int division — bit-deterministic, no rounding.
     """
-    sh = (
-        df.select(F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), n)).alias("g"))
-    )
+    # Shingle rows once (see shingle_rows for the plan rationale), attach
+    # set sizes via a window (no join), persist for the two-sided reuse.
+    from pyspark.sql import Window
+
+    from callysto_spark.operators.util import ensure_parallelism
+
+    g_rows = shingle_rows(ensure_parallelism(df), id_col, text_col, n)
+    sh = g_rows.withColumn("n_sh", F.count("*").over(Window.partitionBy("doc"))).persist()
     if max_doc_freq is not None:
+        # drop stop-shingles before pairing — the near-linear scale path
         freq = sh.groupBy("g").agg(F.count("*").alias("df_"))
-        sh = sh.join(freq.filter(F.col("df_") <= max_doc_freq), "g").drop("df_")
-    sh = sh.persist()
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+        sh = sh.join(F.broadcast(freq.filter(F.col("df_") <= max_doc_freq)), "g").drop("df_")
+        # sizes intentionally stay the FULL set sizes (standard filtered-
+        # candidate jaccard still divides by true union)
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
         .agg(F.count("*").alias("inter"))
     )
-    out = (
-        pairs.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
-        .withColumn("union_sz", F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.withColumn("union_sz", F.col("na") + F.col("nb") - F.col("inter"))
         .withColumn("jaccard", F.col("inter") / F.col("union_sz"))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "union_sz", "jaccard")
     )
-    return out
 
 
 def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -111,22 +170,24 @@ def minhash_signatures(
     minimum. All array math is higher-order functions — zero Python in
     the data path, embarrassingly parallel, no shuffle.
     """
+    from callysto_spark.operators.util import ensure_parallelism
+
     params = _hash_params(num_hashes, seed)
-    a_arr = F.array(*[F.lit(a) for a, _ in params])
-    b_arr = F.array(*[F.lit(b) for _, b in params])
-    hashes = F.transform(
-        word_shingles(F.col(text_col), n), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))
+    exploded = shingle_rows(ensure_parallelism(df), id_col, text_col, n).withColumn(
+        "h", F.pmod(F.xxhash64("g"), F.lit(_MERSENNE_P))
     )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                hashes,
-                lambda h: F.pmod(F.element_at(a_arr, i + 1) * h + F.element_at(b_arr, i + 1), F.lit(_MERSENNE_P)),
-            )
-        ),
+    # One shuffle on doc; partial (map-side) min aggregation makes the
+    # exchange carry one 64-long row per doc per partition — this is the
+    # plan shape that survives a 100 TB corpus.
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE_P))).alias(f"_h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return (
+        exploded.groupBy("doc")
+        .agg(*aggs)
+        .select("doc", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("signature"))
     )
-    return df.select(F.col(id_col).alias("doc"), sig.alias("signature"))
 
 
 def minhash_lsh_candidates(
@@ -155,7 +216,7 @@ def minhash_lsh_candidates(
                 ),
             )
         ).alias("bk"),
-    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -174,7 +235,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     functions, per-row local — no shuffle at all). Output is a
     ``bits/4``-char hex string (avoids signed-64 overflow under ANSI).
     """
-    hashes = F.transform(tokens_col(F.col(text_col)), lambda t: F.xxhash64(t))
+    from callysto_spark.operators.util import ensure_parallelism
+
+    staged = ensure_parallelism(df).withColumn(
+        "__hashes", F.transform(tokens_col(F.col(text_col)), lambda t: F.xxhash64(t))
+    )
+    hashes = F.col("__hashes")
     bit_idx = F.sequence(F.lit(bits - 1), F.lit(0))  # MSB first
     counts = F.aggregate(
         hashes,
@@ -189,4 +255,4 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
         F.transform(counts, lambda c: F.when(c > 0, F.lit("1")).otherwise(F.lit("0"))), ""
     )
     sim = F.lpad(F.conv(bitstr, 2, 16), bits // 4, "0")
-    return df.select(F.col(id_col).alias("doc"), sim.alias("simhash"))
+    return staged.select(F.col(id_col).alias("doc"), sim.alias("simhash"))

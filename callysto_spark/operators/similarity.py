@@ -48,10 +48,12 @@ def cosine_topk(
     final per-query top-k (k rows per partition per query after partial
     ranking). Ties break on neighbor id, making results total-ordered.
     """
+    from callysto_spark.operators.util import ensure_parallelism
+
     q = corpus.filter(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = ensure_parallelism(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
