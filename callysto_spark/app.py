@@ -310,6 +310,20 @@ class App:
                 remaining = (deadline - time.time()) if deadline else None
                 q.awaitTermination(remaining)
 
+    def run_agent(self, name: str) -> None:
+        """Start a single registered agent at runtime, outside
+        :meth:`run`'s bookkeeping (reference dynamic spawn,
+        `app.rs:626-640` / the `onthefly` feature `app.rs:766-864`)."""
+        self._start_agent(self._agents[name])
+
+    def stop_agent(self, name: str) -> None:
+        """Stop the streaming query backing an agent (runtime query
+        management — `spark.streams` is the registry)."""
+        for q in list(self._queries):
+            if q.name and name in q.name:
+                q.stop()
+                self._queries.remove(q)
+
     def stop(self) -> None:
         self._stop_event.set()
         if self._web is not None:

@@ -31,6 +31,25 @@ def top_k_per_group(
     return out if keep_rank else out.drop(rank_col)
 
 
+def enumerate_rows(
+    df: DataFrame,
+    order_by: Sequence[Column] | None = None,
+    out: str = "seq",
+) -> DataFrame:
+    """Attach a sequence number (reference D3: `enumerate()` in
+    `examples/src/elastic-sink.rs:22`).
+
+    With ``order_by``: a global row_number (total order — one range
+    exchange; use only when the semantics genuinely need global
+    numbering). Without: ``monotonically_increasing_id`` — unique and
+    partition-monotonic with NO shuffle, the 100 TB default.
+    """
+    if order_by is None:
+        return df.withColumn(out, F.monotonically_increasing_id())
+    w = Window.orderBy(*order_by)
+    return df.withColumn(out, F.row_number().over(w))
+
+
 def pivot_on(
     df: DataFrame,
     group_by: Sequence[str],

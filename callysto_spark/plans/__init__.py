@@ -1,0 +1,15 @@
+from callysto_spark.plans.audit import (
+    physical_plan,
+    pushed_filters,
+    broadcast_join_count,
+    exchange_count,
+    codegen_stage_count,
+)
+
+__all__ = [
+    "physical_plan",
+    "pushed_filters",
+    "broadcast_join_count",
+    "exchange_count",
+    "codegen_stage_count",
+]

@@ -1,0 +1,81 @@
+"""Plan-shape contracts for the headline queries: what must hold for the
+same code to be efficient at 100 TB (SURVEY.md 'optimize for scale').
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from callysto_spark.plans import (
+    broadcast_join_count,
+    codegen_stage_count,
+    exchange_count,
+    pushed_filters,
+)
+from callysto_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def q(name, spark, sf_dir):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    df = q("q1_pricing_summary", spark, sf_dir)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), f"shipdate filter not pushed: {pf}"
+    assert codegen_stage_count(df) >= 1
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    df = q("q6_forecast_revenue", spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, f"{col} not pushed: {pf}"
+    # pure scan→agg: the only exchange is the single-partition final agg
+    assert exchange_count(df) <= 1
+
+
+def test_q5_dims_broadcast(spark, sf_dir):
+    df = q("q5_supplier_volume", spark, sf_dir)
+    assert broadcast_join_count(df) >= 2, "nation/region/supplier joins must broadcast"
+    assert any("o_orderdate" in f for f in pushed_filters(df)), "date filter must push to orders scan"
+
+
+def test_q3_selective_dim_broadcast(spark, sf_dir):
+    df = q("q3_shipping_priority", spark, sf_dir)
+    assert broadcast_join_count(df) >= 1, "filtered customer side must broadcast"
+
+
+def test_top_k_single_shuffle(spark, sf_dir):
+    df = q("top3_orders_per_customer", spark, sf_dir)
+    assert exchange_count(df) == 1, "top-k per group must be exactly one shuffle on the group key"
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    df = q("events_asof_purchase_click", spark, sf_dir)
+    # union-sort as-of: one hash exchange on user_id feeds the window;
+    # no nested-loop / cartesian anywhere
+    from callysto_spark.plans import physical_plan
+
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert exchange_count(df) <= 2
+
+
+def test_sessionize_shares_shuffle(spark, sf_dir):
+    df = q("events_sessionize", spark, sf_dir)
+    # window on user_id + groupBy (user_id, session_id): the groupBy can
+    # reuse the window's hash partitioning on user_id (no extra exchange)
+    assert exchange_count(df) <= 1, "sessionize agg should reuse the window partitioning"
+
+
+def test_cosine_topk_no_cartesian_blowup(spark, sf_dir):
+    df = q("emb_cosine_topk", spark, sf_dir)
+    from callysto_spark.plans import physical_plan
+
+    plan = physical_plan(df)
+    # query side must broadcast (tiny); corpus side stays partitioned
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

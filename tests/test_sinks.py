@@ -57,3 +57,19 @@ def test_elasticsearch_sink_bulk_protocol(spark):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_idempotent_foreach_batch(spark, tmp_path):
+    from callysto_spark.sinks.exactly_once import idempotent
+
+    calls = []
+
+    def write(df, batch_id):
+        calls.append(batch_id)
+
+    w = idempotent(write, str(tmp_path / "markers"))
+    df = spark.createDataFrame([(1,)], "id long")
+    w(df, 0)
+    w(df, 0)  # replay → skipped
+    w(df, 1)
+    assert calls == [0, 1]
