@@ -276,3 +276,88 @@ def emb_label_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")["embeddings"]
     out = cosine_pairs_blocked(e, "vec_id", "embedding", "label", threshold=0.8)
     return out.withColumn("cosine_sim", rnd("cosine_sim", 6))
+
+
+def _centroids(spark: SparkSession, sf_dir: str, k: int = 8) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse centroids: the first k vectors (pluggable —
+    see operators/similarity.py ivf_assign)."""
+    rows = (
+        load(spark, sf_dir, "embeddings")["embeddings"]
+        .filter(F.col("vec_id") < k)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return [(r["vec_id"], list(r["embedding"])) for r in sorted(rows, key=lambda r: r["vec_id"])]
+
+
+_IVF_DIST = """list_sum([(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                         for i in range(1, 65)])"""
+
+
+@register(
+    "emb_ivf_assign",
+    oracle=f"""
+WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+d AS (
+  SELECT e.vec_id, c.cid, {_IVF_DIST} AS dist
+  FROM embeddings e CROSS JOIN cents c
+)
+SELECT vec_id, cell FROM (
+  SELECT vec_id, cid AS cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d
+) WHERE rn = 1
+""",
+)
+def emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: nearest-centroid cell per vector
+    (narrow, shuffle-free; the storage-partitioning key for ANN at
+    scale)."""
+    from callysto_spark.operators.similarity import ivf_assign
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    return ivf_assign(e, "vec_id", "embedding", _centroids(spark, sf_dir)).select("vec_id", "cell")
+
+
+@register(
+    "emb_ivf_topk",
+    oracle=f"""
+WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+d AS (
+  SELECT e.vec_id, e.embedding, c.cid, {_IVF_DIST} AS dist
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT vec_id, embedding, cid AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, cell AS qcell FROM assign WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         round(
+           list_sum([CAST(q.qv[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) for i in range(1, 65)])
+           / (sqrt(list_sum([CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE) for i in range(1, 65)]))
+              * sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) for i in range(1, 65)]))),
+           6) AS cosine_sim
+  FROM assign a JOIN q ON a.cell = q.qcell
+  WHERE a.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+)
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned ANN top-10 (probe = the query's own cell): the scale
+    path; emb_cosine_topk is the exact-recall baseline."""
+    from callysto_spark.operators.similarity import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    out = ivf_topk(e, "vec_id", "embedding", [0, 1, 2, 3, 4], _centroids(spark, sf_dir), k=10)
+    return out.withColumn("cosine_sim", rnd("cosine_sim", 6))

@@ -122,3 +122,46 @@ def test_session_window_matches_batch_sessionizer(spark, tmp_path, sf_dir):
         .collect()
     )
     assert {r["user_id"]: r["n_sessions"] for r in got} == expected
+
+
+def test_stream_stream_join_with_time_bound(spark, tmp_path):
+    """Stream-stream inner join with watermarks + time-range condition
+    (the interval-join shape): every purchase joins clicks from the
+    preceding hour; result must equal the batch join."""
+    purchases = [
+        (100 + i, 1, BASE + dt.timedelta(minutes=10 * i), 5.0) for i in range(6)
+    ]
+    clicks = [(200 + i, 1, BASE + dt.timedelta(minutes=7 * i), 0.0) for i in range(8)]
+    p_stream = _stage(spark, tmp_path, "ssj_p", [purchases])
+    c_stream = _stage(spark, tmp_path, "ssj_c", [clicks])
+
+    p = p_stream.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = c_stream.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    _run_to_memory(joined, "ssj_out", tmp_path)
+    got = sorted((r["p_id"], r["c_id"]) for r in spark.table("ssj_out").collect())
+
+    batch_p = spark.createDataFrame(purchases, "event_id long, user_id long, ts timestamp, value double")
+    batch_c = spark.createDataFrame(clicks, "event_id long, user_id long, ts timestamp, value double")
+    expect = sorted(
+        (r["p"], r["c"])
+        for r in batch_p.alias("p")
+        .join(
+            batch_c.alias("c"),
+            (F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("c.ts") <= F.col("p.ts"))
+            & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(F.col("p.event_id").alias("p"), F.col("c.event_id").alias("c"))
+        .collect()
+    )
+    assert got == expect and len(got) > 0
