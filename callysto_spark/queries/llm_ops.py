@@ -361,3 +361,53 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")["embeddings"]
     out = ivf_topk(e, "vec_id", "embedding", [0, 1, 2, 3, 4], _centroids(spark, sf_dir), k=10)
     return out.withColumn("cosine_sim", rnd("cosine_sim", 6))
+
+
+@register(
+    "doc_pipeline_clean_corpus",
+    oracle=rf"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         length({_TOKENS_SQL}) AS n_tokens,
+         (CASE WHEN length({_TOKENS_SQL}) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
+           * (1 - CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                    / greatest(length(text), 1)) AS quality,
+         sha256(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')),
+                               '\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+),
+filtered AS (SELECT * FROM scored WHERE quality >= 0.7 AND n_tokens >= 20),
+deduped AS (
+  SELECT doc_id, lang, n_tokens FROM (
+    SELECT doc_id, lang, n_tokens,
+           row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM filtered
+  ) WHERE rn = 1
+)
+SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       round(avg(n_tokens), 4) AS avg_tokens
+FROM deduped GROUP BY lang
+""",
+    bench=True,
+)
+def doc_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data pipeline: quality filter → length
+    filter → fingerprint dedup → per-language corpus stats. One narrow
+    scoring pass, one dedup shuffle, one agg — the end-to-end shape of a
+    100 TB cleaning job, built from the individually-verified operators."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    n_tokens = TX.token_count(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    filtered = scored.filter((F.col("quality") >= 0.7) & (F.col("n_tokens") >= 20))
+    deduped = dedup_exact(filtered, ["fingerprint"], [F.col("doc_id")])
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        rnd(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )

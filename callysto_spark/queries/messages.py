@@ -1,0 +1,69 @@
+"""Raw Kafka-message path parity (FIXTURES.md F1, reference
+`examples/src/basic.rs` + `producer.py`): opaque (key, value, topic,
+partition, offset, timestamp) rows → schema-ful decode → relational ops.
+
+The message table is synthesized deterministically from `events` (the
+driver testdata has no raw_messages table); the decode uses the Avro-
+schema-derived StructType via the jar-free JSON path. Engine-encoded
+payload bytes ⇒ rows-only correctness check (deterministic across runs,
+no cross-engine oracle for Spark's JSON rendering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from callysto_spark.queries import register
+from callysto_spark.serde import decode_json, encode_json
+from callysto_spark.tables import load
+
+MESSAGE_AVRO_SCHEMA = """
+{"type": "record", "name": "event", "fields": [
+  {"name": "event_id", "type": "long"},
+  {"name": "user_id", "type": "long"},
+  {"name": "event_type", "type": "string"},
+  {"name": "value", "type": "double"}
+]}
+"""
+
+
+def raw_messages(spark: SparkSession, sf_dir: str, partitions: int = 4) -> DataFrame:
+    """Synthesize the Kafka source schema (F1) from events: payload =
+    encoded struct bytes, partition = user_id hash-mod, offset =
+    per-partition sequence."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")["events"]
+    msg = e.select(
+        F.lit(None).cast("binary").alias("key"),
+        encode_json(F.struct("event_id", "user_id", "event_type", "value")).alias("value"),
+        F.lit("events").alias("topic"),
+        F.pmod(F.col("user_id"), F.lit(partitions)).cast("int").alias("partition"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_id"),
+    )
+    w = Window.partitionBy("partition").orderBy("timestamp", "event_id")
+    return msg.withColumn("offset", F.row_number().over(w).cast("long") - 1).drop("event_id")
+
+
+@register("raw_message_decode_stats", oracle=None)
+def raw_message_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The basic.rs agent shape, declaratively: consume opaque messages,
+    decode payloads (schema from the Avro definition), count + aggregate
+    per (partition, event_type). Rows-only check (payload bytes are
+    engine-encoded)."""
+    msg = raw_messages(spark, sf_dir)
+    decoded = msg.select(
+        "partition",
+        "offset",
+        decode_json("value", MESSAGE_AVRO_SCHEMA).alias("r"),
+    ).select("partition", "offset", "r.*")
+    return (
+        decoded.groupBy("partition", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("offset").alias("max_offset"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("partition", "event_type")
+    )
