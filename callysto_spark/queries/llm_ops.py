@@ -322,6 +322,7 @@ def emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_ivf_topk",
+    bench=True,
     oracle=f"""
 WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
 d AS (

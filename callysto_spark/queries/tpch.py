@@ -513,7 +513,16 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB pipeline uses instead of exact distinct. No SQL oracle: sketch
     results are engine-specific by design."""
     li = load(spark, sf_dir, "lineitem")["lineitem"]
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.hll_sketch_agg("l_partkey").alias("__hll"),
+    )
+    # DataSketches HLL: mergeable sketches are the 100 TB distinct-count
+    # path (union across partitions/days without re-scanning)
+    return agg.select(
+        "l_returnflag",
+        "approx_parts",
+        "approx_median_price",
+        F.hll_sketch_estimate("__hll").alias("hll_estimate"),
     )
