@@ -172,7 +172,10 @@ class App:
             from callysto_spark.streaming.state import bind_table_agent
 
             self._agents[name] = _Agent(
-                name, self.source(source), bind_table_agent(table, fn), dict(options, stateful=True, table=table)
+                name,
+                self.source(source),
+                bind_table_agent(table, fn, timeout=options.get("timeout", "NoTimeout")),
+                dict(options, stateful=True, table=table),
             )
             return fn
 

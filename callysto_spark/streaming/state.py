@@ -43,7 +43,9 @@ class CTable:
 
 class TableState:
     """get/set/del parity shim over Spark's GroupState
-    (reference `types/table.rs:81-113`)."""
+    (reference `types/table.rs:81-113`), plus the TTL surface the
+    reference lacks: processing/event-time timeouts for state eviction
+    (SURVEY.md §7 risk register: TTL semantics)."""
 
     def __init__(self, group_state: Any) -> None:
         self._gs = group_state
@@ -63,10 +65,27 @@ class TableState:
     def exists(self) -> bool:
         return self._gs.exists
 
+    @property
+    def timed_out(self) -> bool:
+        """True when this invocation is a timeout callback (no new rows;
+        decide whether to emit/evict)."""
+        return bool(self._gs.hasTimedOut)
+
+    def set_timeout_ms(self, ms: int) -> None:
+        """Arm a processing-time timeout (requires the table agent to be
+        registered with timeout='ProcessingTimeTimeout')."""
+        self._gs.setTimeoutDuration(ms)
+
+    def set_timeout_timestamp_ms(self, epoch_ms: int) -> None:
+        """Arm an event-time timeout (requires timeout='EventTimeTimeout'
+        and a watermark on the stream)."""
+        self._gs.setTimeoutTimestamp(epoch_ms)
+
 
 def bind_table_agent(
     table: CTable,
     fn: Callable[[tuple, pd.DataFrame, TableState], pd.DataFrame | None],
+    timeout: str = "NoTimeout",
 ):
     """Bind a user closure to a table → streaming transform builder.
 
@@ -79,8 +98,16 @@ def bind_table_agent(
     def build(df):
         def wrapped(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
             ts = TableState(state)
+            got_rows = False
             for pdf in pdfs:
+                got_rows = True
                 out = fn(key, pdf, ts)
+                if out is not None and len(out):
+                    yield out
+            if not got_rows:
+                # timeout invocation: closure sees an empty batch with
+                # state.timed_out set and decides emit/evict
+                out = fn(key, pd.DataFrame(), ts)
                 if out is not None and len(out):
                     yield out
 
@@ -89,7 +116,7 @@ def bind_table_agent(
             outputStructType=table.output_schema or table.value_schema,
             stateStructType=table.value_schema,
             outputMode="update",
-            timeoutConf="NoTimeout",
+            timeoutConf=timeout,
         )
 
     return build

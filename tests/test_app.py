@@ -124,3 +124,71 @@ def test_task_timer_service_lifecycle(app, spark):
     app.stop()
     time.sleep(0.3)
     assert app.state["svc"] == "stopped"
+
+
+def test_table_agent_processing_time_timeout(spark, tmp_path, sf_dir):
+    """Processing-time TTL: state armed with a short timeout is handed
+    back to the closure (timed_out=True, empty batch) when a later
+    micro-batch runs past the deadline — the eviction surface the
+    reference's tables lack."""
+    import shutil
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from callysto_spark.app import App
+    from callysto_spark.sources import SourceSpec
+
+    stream_dir = tmp_path / "s"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "a.parquet")
+    out_dir = str(tmp_path / "out")
+
+    def make_app():
+        a = App("ttl_app", spark=spark, checkpoint_root=str(tmp_path / "ckpt"))
+        src = SourceSpec.parquet_stream(
+            str(stream_dir),
+            schema="event_id long, ts long, user_id long, event_type string, value double, props string",
+        )
+        stream = src.load(spark).withColumn(
+            "parity", F.when(F.col("event_id") % 2 == 0, "even").otherwise("odd")
+        )
+        table = a.table("ttl_counts", key_schema="parity string", value_schema="cnt long")
+        table.output_schema = "parity string, cnt long"
+
+        @a.table_agent(
+            "ttl_agent",
+            stream,
+            table,
+            timeout="ProcessingTimeTimeout",
+            sink=lambda b: b.write.mode("append").parquet(out_dir),
+        )
+        def agent(key, pdf, state):
+            if state.timed_out:
+                state.delete()  # evict → emit tombstone count -1
+                return pd.DataFrame({"parity": [key[0]], "cnt": [-1]})
+            prev = state.get()
+            cnt = (prev[0] if prev else 0) + len(pdf)
+            state.set(cnt)
+            state.set_timeout_ms(100)
+            return pd.DataFrame({"parity": [key[0]], "cnt": [cnt]})
+
+        return a
+
+    # availableNow keeps the query alive while processing-time timers are
+    # pending, so awaitTermination times out — bound it tightly and stop.
+    a1 = make_app()
+    a1.run(await_termination=True, timeout=25)
+    a1.stop()
+    _time.sleep(0.5)  # let the processing-time deadline pass
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "b.parquet")
+    a2 = make_app()
+    a2.run(await_termination=True, timeout=25)
+    a2.stop()
+    rows = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    # run 2's batch first fires the timeout callbacks (tombstones), then
+    # processes the new file against the now-deleted state
+    assert ("even", -1) in rows and ("odd", -1) in rows
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert ("even", n // 2) in rows  # run 1

@@ -165,3 +165,20 @@ def test_stream_stream_join_with_time_bound(spark, tmp_path):
         .collect()
     )
     assert got == expect and len(got) > 0
+
+
+def test_stream_static_join(spark, tmp_path, sf_dir):
+    """Stream-static join: streaming events enriched with the static
+    customer dim (broadcast at plan time — no state, no watermark)."""
+    from callysto_spark.tables import load
+
+    cust = load(spark, sf_dir, "customer")["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    rows = [(i, i % 5 + 1, BASE + dt.timedelta(minutes=i), 1.0) for i in range(20)]
+    stream = _stage(spark, tmp_path, "ss_static", [rows])
+    joined = stream.join(F.broadcast(cust), "user_id").select("event_id", "user_id", "c_mktsegment")
+    _run_to_memory(joined, "ss_static_out", tmp_path)
+    got = spark.table("ss_static_out")
+    assert got.count() == 20
+    assert got.filter(F.col("c_mktsegment").isNull()).count() == 0
