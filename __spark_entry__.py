@@ -7,11 +7,16 @@ bench.py iterate, so declared surface, tests and benchmarks cannot drift.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from callysto_spark.queries import load_all
+# import works regardless of the harness's CWD
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from callysto_spark.queries import load_all  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
 

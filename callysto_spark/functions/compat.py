@@ -23,10 +23,81 @@ from pyspark.sql import Column, functions as F
 
 
 def rnd(col: Column | str, n: int) -> Column:
-    """Deterministic round-half-up via floor (see module docstring)."""
+    """Deterministic round-half-up via floor (see module docstring).
+
+    NOTE: safe for PER-ROW values and ratios of deterministic inputs.
+    For rounded SUMS/AVGS over many doubles use :func:`fixed_sum` —
+    parallel accumulation order drifts between engines by ~n·ε·|x|,
+    which crosses rounding-grid boundaries once row counts grow.
+    """
     c = F.col(col) if isinstance(col, str) else col
     scale = float(10**n)
     return F.floor(c * scale + F.lit(0.5)) / scale
+
+
+def fixed_sum(col: Column | str, scale: int = 100) -> Column:
+    """Order-independent deterministic sum of a double expression.
+
+    Each ROW is rounded to a scaled integer (identical per-row doubles ⇒
+    identical ints in every engine), summed exactly in int64 (addition
+    is associative), then divided back. Semantics: "sum of per-row
+    values at 1/scale resolution" — bit-identical across engines and
+    partitionings at ANY row count. Oracle-side macro: MSUM(x) /
+    FSUM(x, scale) (see rewrite_oracle_fixed).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.floor(c * F.lit(float(scale)) + F.lit(0.5)).cast("long")) / F.lit(float(scale))
+
+
+def _expand_macro(sql: str, name: str, build) -> str:
+    import re
+
+    out = sql
+    pos = 0
+    while True:
+        m = re.search(rf"\b{name}\s*\(", out[pos:])
+        if not m:
+            return out
+        open_idx = pos + m.end() - 1
+        depth = 0
+        for i in range(open_idx, len(out)):
+            if out[i] == "(":
+                depth += 1
+            elif out[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    body = out[open_idx + 1 : i]
+                    repl = build(body)
+                    start = pos + m.start()
+                    out = out[:start] + repl + out[i + 1 :]
+                    pos = start + len(repl)
+                    break
+        else:
+            return out
+
+
+def rewrite_oracle_fixed(sql: str) -> str:
+    """Expand MSUM(expr) and FSUM(expr, scale) macros in oracle SQL to
+    the portable scaled-integer sum (DuckDB + any ANSI engine)."""
+
+    def msum(body: str) -> str:
+        return f"(sum(CAST(floor(({body}) * 100.0 + 0.5) AS BIGINT)) / 100.0)"
+
+    def fsum(body: str) -> str:
+        # split on last top-level comma
+        depth = 0
+        last = -1
+        for j, ch in enumerate(body):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                last = j
+        expr, scale = body[:last].strip(), body[last + 1 :].strip()
+        return f"(sum(CAST(floor(({expr}) * {scale}.0 + 0.5) AS BIGINT)) / {scale}.0)"
+
+    return _expand_macro(_expand_macro(sql, "MSUM", msum), "FSUM", fsum)
 
 
 def _find_round_call(sql: str, start: int = 0) -> tuple[int, int, str, str] | None:

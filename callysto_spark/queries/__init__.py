@@ -42,9 +42,9 @@ def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = 
     """Decorator: add a query to the registry."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        from callysto_spark.functions.compat import rewrite_oracle_round
+        from callysto_spark.functions.compat import rewrite_oracle_fixed, rewrite_oracle_round
 
-        sql = rewrite_oracle_round(oracle) if oracle else oracle
+        sql = rewrite_oracle_round(rewrite_oracle_fixed(oracle)) if oracle else oracle
         REGISTRY[name] = Query(name=name, fn=fn, oracle=sql, doc=doc or (fn.__doc__ or ""), bench=bench)
         return fn
 

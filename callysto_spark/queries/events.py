@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from callysto_spark.operators import asof_join, dedup_exact, sessionize
-from callysto_spark.functions import rnd
+from callysto_spark.functions import fixed_sum, rnd
 from callysto_spark.queries import register
 from callysto_spark.tables import load
 
@@ -43,7 +43,7 @@ def events_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type,
        count(*) AS n,
        sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
-       round(avg(value), 4) AS avg_value,
+       MSUM(value) / count(*) AS avg_value,
        min(ts) AS first_ts, max(ts) AS last_ts
 FROM events GROUP BY event_type
 """,
@@ -54,7 +54,7 @@ def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k"),
-        rnd(F.avg("value"), 4).alias("avg_value"),
+        (fixed_sum("value") / F.count(F.lit(1))).alias("avg_value"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
@@ -64,7 +64,7 @@ def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_hourly_tumbling",
     oracle="""
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
-       count(*) AS n, round(sum(value), 2) AS total_value
+       count(*) AS n, MSUM(value) AS total_value
 FROM events GROUP BY 1, 2
 """,
 )
@@ -75,7 +75,7 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")["events"]
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("n"), rnd(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), fixed_sum("value").alias("total_value"))
         .select(F.col("w.start").alias("ws"), "event_type", "n", "total_value")
     )
 
@@ -94,7 +94,7 @@ WITH hopped AS (
          value
   FROM events
 )
-SELECT ws, count(*) AS n, round(sum(value), 2) AS total_value
+SELECT ws, count(*) AS n, MSUM(value) AS total_value
 FROM hopped GROUP BY ws
 """,
 )
@@ -104,7 +104,7 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")["events"]
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), rnd(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), fixed_sum("value").alias("total_value"))
         .select(F.col("w.start").alias("ws"), "n", "total_value")
     )
 
@@ -127,7 +127,7 @@ WITH g AS (
 )
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end,
-       round(sum(value), 2) AS total_value
+       MSUM(value) AS total_value
 FROM s GROUP BY 1, 2
 """,
     bench=True,
@@ -141,7 +141,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        rnd(F.sum("value"), 2).alias("total_value"),
+        fixed_sum("value").alias("total_value"),
     )
 
 
@@ -207,7 +207,7 @@ def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_spend_deciles",
     oracle="""
 WITH spend AS (
-  SELECT user_id, round(sum(value), 2) AS spend, count(*) AS n_purchases
+  SELECT user_id, MSUM(value) AS spend, count(*) AS n_purchases
   FROM events WHERE event_type = 'purchase' GROUP BY user_id
 )
 SELECT user_id, spend, n_purchases,
@@ -222,7 +222,7 @@ def user_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
-        .agg(rnd(F.sum("value"), 2).alias("spend"), F.count(F.lit(1)).alias("n_purchases"))
+        .agg(fixed_sum("value").alias("spend"), F.count(F.lit(1)).alias("n_purchases"))
     )
     w = Window.orderBy(F.col("spend").desc(), F.col("user_id"))
     return spend.withColumn("decile", F.ntile(10).over(w))

@@ -386,7 +386,7 @@ deduped AS (
   ) WHERE rn = 1
 )
 SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-       round(avg(n_tokens), 4) AS avg_tokens
+       CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
 FROM deduped GROUP BY lang
 """,
     bench=True,
@@ -410,5 +410,5 @@ def doc_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        rnd(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
     )

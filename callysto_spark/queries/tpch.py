@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from callysto_spark.operators import top_k_per_group, pivot_on
-from callysto_spark.functions import rnd
+from callysto_spark.functions import fixed_sum, rnd
 from callysto_spark.queries import register
 from callysto_spark.tables import load
 
@@ -27,12 +27,12 @@ def REV():
     oracle="""
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                         AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4)                              AS avg_qty,
-       round(avg(l_extendedprice), 4)                         AS avg_price,
-       round(avg(l_discount), 6)                              AS avg_disc,
+       MSUM(l_extendedprice)                                  AS sum_base_price,
+       MSUM(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
+       MSUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+       sum(l_quantity) / count(*)                             AS avg_qty,
+       MSUM(l_extendedprice) / count(*)                       AS avg_price,
+       FSUM(l_discount, 1000000) / count(*)                   AS avg_disc,
        count(*)                                               AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -50,12 +50,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            rnd(F.sum(REV()), 2).alias("sum_disc_price"),
-            rnd(F.sum(REV() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
-            rnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            rnd(F.avg("l_discount"), 6).alias("avg_disc"),
+            fixed_sum("l_extendedprice").alias("sum_base_price"),
+            fixed_sum(REV()).alias("sum_disc_price"),
+            fixed_sum(REV() * (1 + F.col("l_tax"))).alias("sum_charge"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (fixed_sum("l_extendedprice") / F.count(F.lit(1))).alias("avg_price"),
+            (fixed_sum("l_discount", 1_000_000) / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -66,7 +66,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       MSUM(l_extendedprice * (1 - l_discount)) AS revenue,
        o_orderdate, o_orderpriority
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -94,7 +94,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(rnd(F.sum(REV()), 2).alias("revenue"))
+        .agg(fixed_sum(REV()).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -104,7 +104,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_supplier_volume",
     oracle="""
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, MSUM(l_extendedprice * (1 - l_discount)) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -142,7 +142,7 @@ def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("n_name")
-        .agg(rnd(F.sum(REV()), 2).alias("revenue"))
+        .agg(fixed_sum(REV()).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
@@ -150,7 +150,7 @@ def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT MSUM(l_extendedprice * l_discount) AS revenue,
        count(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -168,7 +168,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        rnd(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        fixed_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -202,7 +202,7 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
   SELECT l_suppkey, CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
          sum(l_quantity) AS qty,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         MSUM(l_extendedprice * (1 - l_discount)) AS revenue
   FROM lineitem GROUP BY 1, 2
 )
 SELECT l_suppkey, day, qty, revenue,
@@ -226,7 +226,7 @@ def supplier_daily_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey", F.date_trunc("day", F.col("l_shipdate")).alias("day")
     ).agg(
         F.sum("l_quantity").alias("qty"),
-        rnd(F.sum(REV()), 2).alias("revenue"),
+        fixed_sum(REV()).alias("revenue"),
     )
     w = Window.partitionBy("l_suppkey").orderBy("day")
     return daily.select(
@@ -245,7 +245,7 @@ def supplier_daily_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       MSUM(l_extendedprice * (1 - l_discount)) AS revenue,
        count(*) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -256,7 +256,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")["lineitem"]
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity").alias("sum_qty"),
-        rnd(F.sum(REV()), 2).alias("revenue"),
+        fixed_sum(REV()).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -266,7 +266,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n,
-       round(sum(o_totalprice), 2) AS total
+       MSUM(o_totalprice) AS total
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
@@ -276,7 +276,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")["orders"]
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        rnd(F.sum("o_totalprice"), 2).alias("total"),
+        fixed_sum("o_totalprice").alias("total"),
     )
 
 
@@ -284,7 +284,8 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_order_stats",
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
-       count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+       count(*) AS n,
+       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 1e2 / count(*) AS avg_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
 """,
@@ -296,7 +297,8 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
-               count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+               count(*) AS n,
+               sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 1e2 / count(*) AS avg_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
@@ -370,7 +372,7 @@ SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
             ELSE 'high' END AS bucket,
        o_orderstatus,
        count(*) AS n,
-       round(avg(o_totalprice), 4) AS avg_price
+       MSUM(o_totalprice) / count(*) AS avg_price
 FROM orders
 GROUP BY 1, 2
 """,
@@ -385,7 +387,7 @@ def case_bucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.groupBy(bucket.alias("bucket"), F.col("o_orderstatus"))
-        .agg(F.count(F.lit(1)).alias("n"), rnd(F.avg("o_totalprice"), 4).alias("avg_price"))
+        .agg(F.count(F.lit(1)).alias("n"), (fixed_sum("o_totalprice") / F.count(F.lit(1))).alias("avg_price"))
     )
 
 
@@ -395,7 +397,7 @@ def case_bucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
        count(*) AS n_orders,
        count(DISTINCT o_custkey) AS n_customers,
-       round(sum(o_totalprice), 2) AS total,
+       MSUM(o_totalprice) AS total,
        min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
 FROM orders
 GROUP BY 1
@@ -407,7 +409,7 @@ def order_month_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
-        rnd(F.sum("o_totalprice"), 2).alias("total"),
+        fixed_sum("o_totalprice").alias("total"),
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
@@ -433,9 +435,9 @@ def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p_type, p_partkey, revenue, rn FROM (
   SELECT p_type, p_partkey,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         MSUM(l_extendedprice * (1 - l_discount)) AS revenue,
          row_number() OVER (PARTITION BY p_type
-                            ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC, p_partkey) AS rn
+                            ORDER BY MSUM(l_extendedprice * (1 - l_discount)) DESC, p_partkey) AS rn
   FROM lineitem JOIN part ON l_partkey = p_partkey
   GROUP BY p_type, p_partkey
 ) WHERE rn <= 5
@@ -451,7 +453,7 @@ def part_type_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .join(t["part"].select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_type", "p_partkey")
-        .agg(rnd(F.sum(REV()), 2).alias("revenue"))
+        .agg(fixed_sum(REV()).alias("revenue"))
     )
     return top_k_per_group(
         agg, ["p_type"], [F.col("revenue").desc(), F.col("p_partkey")], 5, keep_rank=True

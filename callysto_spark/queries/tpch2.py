@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from callysto_spark.functions import rnd
+from callysto_spark.functions import fixed_sum, rnd
 from callysto_spark.queries import register
 from callysto_spark.tables import load
 
@@ -22,7 +22,7 @@ def REV():
     oracle="""
 SELECT c_custkey, c_mktsegment,
        count(o_orderkey) AS n_orders,
-       coalesce(round(sum(o_totalprice), 2), 0.0) AS total_spend
+       coalesce(MSUM(o_totalprice), 0.0) AS total_spend
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_mktsegment
 """,
@@ -37,7 +37,7 @@ def left_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(rnd(F.sum("o_totalprice"), 2), F.lit(0.0)).alias("total_spend"),
+            F.coalesce(fixed_sum("o_totalprice"), F.lit(0.0)).alias("total_spend"),
         )
     )
 
@@ -96,7 +96,7 @@ def q4_priority_with_discounted_lines(spark: SparkSession, sf_dir: str) -> DataF
 WITH avg_qty AS (
   SELECT l_partkey AS pk, avg(l_quantity) AS aq FROM lineitem GROUP BY 1
 )
-SELECT round(sum(l_extendedprice), 2) AS total_price, count(*) AS n_lines
+SELECT MSUM(l_extendedprice) AS total_price, count(*) AS n_lines
 FROM lineitem JOIN avg_qty ON l_partkey = pk
 WHERE l_quantity < 0.5 * aq
 """,
@@ -109,7 +109,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(avg_qty, F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
-        .agg(rnd(F.sum("l_extendedprice"), 2).alias("total_price"), F.count(F.lit(1)).alias("n_lines"))
+        .agg(fixed_sum("l_extendedprice").alias("total_price"), F.count(F.lit(1)).alias("n_lines"))
     )
 
 
@@ -144,7 +144,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_bracket_revenue",
     oracle="""
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n
+SELECT MSUM(l_extendedprice * (1 - l_discount)) AS revenue, count(*) AS n
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 1 AND l_quantity <= 20)
    OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity >= 10 AND l_quantity <= 30)
@@ -162,7 +162,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_type") == "PROMO") & (F.col("p_size") <= 15) & (F.col("l_quantity") >= 20))
     )
     return j.filter(cond).agg(
-        rnd(F.sum(REV()), 2).alias("revenue"), F.count(F.lit(1)).alias("n")
+        fixed_sum(REV()).alias("revenue"), F.count(F.lit(1)).alias("n")
     )
 
 

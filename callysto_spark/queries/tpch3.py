@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from callysto_spark.functions import rnd
+from callysto_spark.functions import fixed_sum, rnd
 from callysto_spark.queries import register
 from callysto_spark.tables import load
 
@@ -22,7 +22,7 @@ def REV():
     oracle="""
 SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
        extract(year FROM l_shipdate) AS ship_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume,
+       MSUM(l_extendedprice * (1 - l_discount)) AS volume,
        count(*) AS n_lines
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -54,7 +54,7 @@ def q7_bilateral_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year"))
-        .agg(rnd(F.sum(REV()), 2).alias("volume"), F.count(F.lit(1)).alias("n_lines"))
+        .agg(fixed_sum(REV()).alias("volume"), F.count(F.lit(1)).alias("n_lines"))
     )
 
 
@@ -62,7 +62,7 @@ def q7_bilateral_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
 SELECT c_custkey, c_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       MSUM(l_extendedprice * (1 - l_discount)) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -91,7 +91,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(rnd(F.sum(REV()), 2).alias("revenue"))
+        .agg(fixed_sum(REV()).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -138,8 +138,8 @@ def q12_priority_by_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_share",
     oracle="""
 SELECT round(
-         100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+         100.0 * MSUM(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+         / MSUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
        count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
@@ -157,7 +157,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(t["part"].select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            rnd(F.lit(100.0) * F.sum(promo) / F.sum(REV()), 4).alias("promo_pct"),
+            rnd(F.lit(100.0) * fixed_sum(promo) / fixed_sum(REV()), 4).alias("promo_pct"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -167,7 +167,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_rich_customers",
     oracle="""
 WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
-SELECT c_mktsegment, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+SELECT c_mktsegment, count(*) AS n_cust, MSUM(c_acctbal) AS total_bal
 FROM customer
 WHERE c_acctbal > (SELECT ab FROM avg_bal)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -184,5 +184,82 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > avg_bal)
         .join(t["orders"].select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_cust"), rnd(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .agg(F.count(F.lit(1)).alias("n_cust"), fixed_sum("c_acctbal").alias("total_bal"))
+    )
+
+
+@register(
+    "setop_all_variants",
+    oracle="""
+WITH a AS (SELECT o_orderstatus AS s FROM orders WHERE o_totalprice > 100000),
+     b AS (SELECT o_orderstatus AS s FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT 'intersect_all' AS tag, s, count(*) AS n FROM (SELECT s FROM a INTERSECT ALL SELECT s FROM b) GROUP BY s
+UNION ALL
+SELECT 'except_all' AS tag, s, count(*) AS n FROM (SELECT s FROM a EXCEPT ALL SELECT s FROM b) GROUP BY s
+""",
+)
+def setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set ops: INTERSECT ALL / EXCEPT ALL (bag semantics —
+    duplicates preserved, unlike the distinct set ops)."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    a = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_orderstatus").alias("s"))
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_orderstatus").alias("s"))
+    ia = a.intersectAll(b).groupBy("s").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect_all").alias("tag"), "s", "n"
+    )
+    ea = a.exceptAll(b).groupBy("s").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except_all").alias("tag"), "s", "n"
+    )
+    return ia.unionByName(ea)
+
+
+@register(
+    "shipping_delay_histogram",
+    oracle="""
+SELECT date_diff('day', o_orderdate, l_shipdate) AS delay_days,
+       count(*) AS n,
+       MSUM(l_extendedprice) / count(*) AS avg_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate
+GROUP BY 1
+""",
+)
+def shipping_delay_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: per-day order→ship delay histogram
+    (datediff ≡ date_diff('day'))."""
+    t = load(spark, sf_dir, "lineitem", "orders")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("delay_days"))
+        .agg(F.count(F.lit(1)).alias("n"), (fixed_sum("l_extendedprice") / F.count(F.lit(1))).alias("avg_price"))
+    )
+
+
+@register(
+    "string_normalize_parts",
+    oracle="""
+SELECT p_partkey,
+       translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+       lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+       reverse(p_brand) AS brand_rev,
+       replace(p_type, 'ANOD', 'anod') AS type_repl,
+       CASE WHEN p_name LIKE '%steel%' THEN 1 ELSE 0 END AS has_steel,
+       position('#' IN p_brand) AS hash_pos
+FROM part
+""",
+)
+def string_normalize_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More scalar string kernels: translate/lpad/reverse/replace/LIKE/
+    position — all whole-stage-codegen JVM ops."""
+    p = load(spark, sf_dir, "part")["part"]
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.replace(F.col("p_type"), F.lit("ANOD"), F.lit("anod")).alias("type_repl"),
+        F.when(F.col("p_name").like("%steel%"), 1).otherwise(0).alias("has_steel"),
+        F.instr("p_brand", "#").alias("hash_pos"),
     )
