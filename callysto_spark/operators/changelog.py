@@ -1,0 +1,35 @@
+"""Changelog materialization: compact a change stream into current
+state.
+
+Reference semantics (`stores/rocksdb.rs:395-447`,
+`stores/inmemory.rs:185-226`): replay changelog records with
+last-offset-wins per key, applying a delete when the payload is empty
+(`types/table.rs:364-381` encodes deletes as empty values). This is the
+same operator as Delta/Iceberg CDC compaction: one shuffle on the key,
+rank by recency, keep winners, drop tombstones.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F, Window
+
+
+def changelog_materialize(
+    changes: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Latest record per key (by ``order_by``, which must be a total
+    order — offset, or (ts, seq)); keys whose latest op is ``delete_op``
+    disappear. Exactly the reference's apply_changelog_batch, expressed
+    as one window pass."""
+    w = Window.partitionBy(*keys).orderBy(*[c.desc() for c in order_by])
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("__rn")
+    )

@@ -226,3 +226,39 @@ def user_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("spend").desc(), F.col("user_id"))
     return spend.withColumn("decile", F.ntile(10).over(w))
+
+
+@register(
+    "events_changelog_materialize",
+    oracle="""
+WITH ch AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+  FROM events
+)
+SELECT user_id, value AS current_value, ts AS updated_at
+FROM (
+  SELECT user_id, value, ts, op,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ch
+) WHERE rn = 1 AND op <> 'delete'
+""",
+)
+def events_changelog_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction (reference apply_changelog_batch semantics,
+    `stores/rocksdb.rs:395-447`): events as a change stream keyed by
+    user — last-write-wins, 'error' rows act as tombstones."""
+    from callysto_spark.operators.changelog import changelog_materialize
+
+    e = load(spark, sf_dir, "events")["events"]
+    ch = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", "delete").otherwise("upsert").alias("op"),
+    )
+    out = changelog_materialize(ch, ["user_id"], [F.col("ts"), F.col("event_id")])
+    return out.select(
+        "user_id", F.col("value").alias("current_value"), F.col("ts").alias("updated_at")
+    )
