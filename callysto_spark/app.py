@@ -313,6 +313,39 @@ class App:
                 remaining = (deadline - time.time()) if deadline else None
                 q.awaitTermination(remaining)
 
+    def enable_auto_restart(self, poll_seconds: float = 2.0, max_restarts: int = 3) -> None:
+        """Crash-restart supervision (reference service state machine
+        `types/service.rs:24-93`: Crashed → Restarting via the outer
+        'fallback loop). A monitor thread polls query exceptions and
+        restarts the owning agent from its checkpoint, up to
+        ``max_restarts`` per agent."""
+        restarts: dict[str, int] = {}
+
+        def monitor() -> None:
+            while not self._stop_event.wait(poll_seconds):
+                for q in list(self._queries):
+                    try:
+                        exc = q.exception()
+                    except Exception:
+                        continue
+                    if exc is None:
+                        continue
+                    name = next(
+                        (a.name for a in self._agents.values() if a.name in (q.name or "")),
+                        None,
+                    )
+                    self._queries.remove(q)
+                    if name and restarts.get(name, 0) < max_restarts:
+                        restarts[name] = restarts.get(name, 0) + 1
+                        try:
+                            self._start_agent(self._agents[name])
+                        except Exception:
+                            pass
+
+        t = threading.Thread(target=monitor, daemon=True)
+        t.start()
+        self._threads.append(t)
+
     def run_agent(self, name: str) -> None:
         """Start a single registered agent at runtime, outside
         :meth:`run`'s bookkeeping (reference dynamic spawn,

@@ -263,3 +263,66 @@ def string_normalize_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p_name").like("%steel%"), 1).otherwise(0).alias("has_steel"),
         F.instr("p_brand", "#").alias("hash_pos"),
     )
+
+
+@register(
+    "argmax_order_per_nation",
+    oracle="""
+WITH j AS (
+  SELECT n_name, o_orderkey, o_totalprice
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+),
+r AS (
+  SELECT n_name, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY n_name ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+         row_number() OVER (PARTITION BY n_name ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+  FROM j
+)
+SELECT n_name,
+       max(CASE WHEN rmax = 1 THEN o_orderkey END) AS top_orderkey,
+       max(o_totalprice) AS top_price,
+       max(CASE WHEN rmin = 1 THEN o_orderkey END) AS bottom_orderkey
+FROM r GROUP BY n_name
+""",
+)
+def argmax_order_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin) aggregates with a composite
+    tie-break ordering so the chosen row is total-order deterministic."""
+    t = load(spark, sf_dir, "orders", "customer", "nation")
+    key = F.struct(F.col("o_totalprice"), F.col("o_orderkey").cast("double"))
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.max_by("o_orderkey", key).alias("top_orderkey"),
+            F.max("o_totalprice").alias("top_price"),
+            F.min_by("o_orderkey", key).alias("bottom_orderkey"),
+        )
+    )
+
+
+@register(
+    "token_positions",
+    oracle=r"""
+SELECT doc_id,
+       generate_subscripts(toks, 1) - 1 AS pos,
+       unnest(toks) AS tok
+FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents WHERE doc_id < 10)
+""",
+)
+def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (lateral expansion with ordinality) — 0-based token
+    positions for the first 10 documents."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    from callysto_spark.operators.dedup import tokens_col
+
+    return (
+        d.filter(F.col("doc_id") < 10)
+        .select("doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok"))
+        .select("doc_id", "pos", "tok")
+    )

@@ -182,3 +182,23 @@ def test_stream_static_join(spark, tmp_path, sf_dir):
     got = spark.table("ss_static_out")
     assert got.count() == 20
     assert got.filter(F.col("c_mktsegment").isNull()).count() == 0
+
+
+def test_running_aggregate_update_mode(spark, tmp_path):
+    """D7 declarative running aggregate: groupBy().count() in update
+    mode accumulates across micro-batches (the reference's per-instance
+    atomic counter, distributed)."""
+    rows1 = [(i, i % 2, BASE + dt.timedelta(seconds=i), 1.0) for i in range(10)]
+    rows2 = [(100 + i, i % 2, BASE + dt.timedelta(minutes=1, seconds=i), 1.0) for i in range(6)]
+    stream = _stage(spark, tmp_path, "runagg", [rows1, rows2])
+    agg = stream.groupBy("user_id").count()
+    _run_to_memory(agg, "runagg_out", tmp_path, output_mode="update")
+    # update mode re-emits per batch; the LAST emission per key is the
+    # running total over both batches
+    latest = (
+        spark.table("runagg_out")
+        .groupBy("user_id")
+        .agg(F.max("count").alias("n"))
+        .collect()
+    )
+    assert {r["user_id"]: r["n"] for r in latest} == {0: 8, 1: 8}
