@@ -25,20 +25,27 @@ def main() -> None:
     spark = get_spark("callysto-bench", cpus=cpus)
     # warm the JVM + parquet footers once, outside the timed region
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    def run(df) -> None:
+        # noop sink, NOT count(): count() lets Catalyst prune every
+        # unreferenced column, optimizing away the very aggregate
+        # expressions being measured; the noop sink consumes full rows.
+        df.write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in names:
         # steady-state measurement: first execution pays whole-stage
         # codegen JIT (~10s of generated-class compilation per complex
         # plan — irrelevant at 100 TB where it amortizes to noise);
         # run once to warm, clear any operator-level cache, then time.
-        registry[name].fn(spark, sf_dir).count()
+        run(registry[name].fn(spark, sf_dir))
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = registry[name].fn(spark, sf_dir)
-        n = df.count()
+        run(df)
         timings[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

@@ -90,9 +90,18 @@ class App:
         name: str,
         spark: SparkSession | None = None,
         checkpoint_root: str | None = None,
+        state_store: Any = None,
     ) -> None:
         self.name = name
         self.spark = spark or get_spark(app_name=name)
+        if state_store is not None:
+            # StateStoreConfig (or anything with .apply) — provider +
+            # RocksDB tuning read from session conf at stream start
+            if isinstance(state_store, str):
+                from callysto_spark.config import StateStoreConfig
+
+                state_store = StateStoreConfig(provider=state_store)
+            state_store.apply(self.spark)
         self.checkpoint_root = checkpoint_root or f"/tmp/callysto_spark/{name}/checkpoints"
         self.state: dict[str, Any] = {}
         self._agents: dict[str, _Agent] = {}
@@ -100,8 +109,11 @@ class App:
         self._tables: dict[str, Any] = {}
         self._tasks: list[Callable[[Context], Any]] = []
         self._timers: list[tuple[float, Callable[[Context], Any]]] = []
-        self._services: list[Callable[[Context, threading.Event], Any]] = []
+        self._services: list[tuple[Callable[[Context, threading.Event], Any], list[Callable]]] = []
+        self._service_start_order: list[str] = []
         self._queries: list[Any] = []
+        self._query_owner: dict[str, str] = {}  # query id → agent/flow name
+        self._failures: list[tuple[str | None, str]] = []  # (owner, exception text)
         self._threads: list[threading.Thread] = []
         self._pages: dict[str, Callable[[], Any]] = {}
         self._web: Any = None
@@ -206,15 +218,58 @@ class App:
 
         return deco
 
-    def service(self, fn: Callable[[Context, threading.Event], Any]):
-        """Long-running service w/ stop signal (reference `types/service.rs`)."""
-        self._services.append(fn)
-        return fn
+    def service(self, fn: Callable[[Context, threading.Event], Any] | None = None, *, deps: list[Callable] | None = None):
+        """Long-running service w/ stop signal (reference `types/service.rs`).
+
+        ``deps`` lists other registered service callables that must be
+        started first (reference starts a service's dependencies before
+        the service itself, `types/service.rs:146-151`). Start order is
+        a topological sort; registration order breaks ties.
+        """
+        if fn is not None:
+            self._services.append((fn, list(deps or [])))
+            return fn
+
+        def deco(f: Callable[[Context, threading.Event], Any]):
+            self._services.append((f, list(deps or [])))
+            return f
+
+        return deco
+
+    def _ordered_services(self) -> list[Callable[[Context, threading.Event], Any]]:
+        """Dependency-first ordering of registered services (DFS topo
+        sort, cycle-safe: a cycle falls back to registration order for
+        the already-visiting node rather than recursing forever)."""
+        deps_of = {fn: deps for fn, deps in self._services}
+        ordered: list[Callable] = []
+        visiting: set[Any] = set()
+
+        def visit(fn) -> None:
+            if fn in ordered or fn in visiting:
+                return
+            visiting.add(fn)
+            for d in deps_of.get(fn, []):
+                if d in deps_of:
+                    visit(d)
+            visiting.discard(fn)
+            ordered.append(fn)
+
+        for fn, _ in self._services:
+            visit(fn)
+        return ordered
 
     # ----------------------------------------------------------------- run
+    def _register_query(self, q: Any, owner: str) -> None:
+        """Track query → owning agent/flow by query id, so supervision
+        and stop_agent never depend on name matching (foreachBatch
+        queries historically had name=None — the silent-failure bug)."""
+        self._queries.append(q)
+        self._query_owner[str(q.id)] = owner
+
     def _start_agent(self, agent: _Agent) -> None:
         ctx = Context(self, agent.name)
         df = agent.source.load(self.spark)
+        qname = _identifier(f"{self.name}_{agent.name}")
         if agent.options.get("stateful"):
             df = agent.fn(df)  # bound stateful transform builds the plan
             writer = df.writeStream.outputMode(agent.options.get("output_mode", "update"))
@@ -224,13 +279,14 @@ class App:
                 writer = writer.foreachBatch(lambda b, i, s=sink: s(b))
             else:
                 # memory sink: test convenience only (no checkpoint recovery)
-                writer = writer.format("memory").queryName(_identifier(f"{self.name}_{agent.name}"))
+                writer = writer.format("memory")
             q = (
-                writer.option("checkpointLocation", f"{self.checkpoint_root}/{agent.name}")
+                writer.queryName(qname)
+                .option("checkpointLocation", f"{self.checkpoint_root}/{agent.name}")
                 .trigger(**agent.options.get("trigger", {"availableNow": True}))
                 .start()
             )
-            self._queries.append(q)
+            self._register_query(q, agent.name)
             return
         if df.isStreaming:
 
@@ -240,11 +296,12 @@ class App:
 
             q = (
                 df.writeStream.foreachBatch(process)
+                .queryName(qname)
                 .option("checkpointLocation", f"{self.checkpoint_root}/{agent.name}")
                 .trigger(**agent.options.get("trigger", {"availableNow": True}))
                 .start()
             )
-            self._queries.append(q)
+            self._register_query(q, agent.name)
         else:
             # Finite source (reference flow example with stream::iter):
             # run the closure once over the whole batch.
@@ -270,11 +327,12 @@ class App:
         else:
             q = (
                 df.writeStream.foreachBatch(lambda b, i: flow.sink(b) if flow.sink else None)
+                .queryName(_identifier(f"{self.name}_{flow.name}"))
                 .option("checkpointLocation", f"{self.checkpoint_root}/{flow.name}")
                 .trigger(availableNow=True)
                 .start()
             )
-        self._queries.append(q)
+        self._register_query(q, flow.name)
 
     def run(self, await_termination: bool = True, timeout: float | None = None) -> None:
         """Start everything (reference start order, `app.rs:644-880`):
@@ -288,7 +346,8 @@ class App:
                 self._web.page(slug, fn)
             self._web.start()
             self.web_port = self._web.port
-        for svc in self._services:
+        for svc in self._ordered_services():
+            self._service_start_order.append(getattr(svc, "__name__", repr(svc)))
             t = threading.Thread(target=svc, args=(ctx, self._stop_event), daemon=True)
             t.start()
             self._threads.append(t)
@@ -321,6 +380,10 @@ class App:
         ``max_restarts`` per agent."""
         restarts: dict[str, int] = {}
 
+        import logging
+
+        log = logging.getLogger("callysto_spark.app")
+
         def monitor() -> None:
             while not self._stop_event.wait(poll_seconds):
                 for q in list(self._queries):
@@ -330,17 +393,23 @@ class App:
                         continue
                     if exc is None:
                         continue
-                    name = next(
-                        (a.name for a in self._agents.values() if a.name in (q.name or "")),
-                        None,
-                    )
+                    # Ownership by query id — never by name matching
+                    # (foreachBatch queries without an explicit queryName
+                    # report name=None, which used to swallow failures).
+                    name = self._query_owner.pop(str(q.id), None)
                     self._queries.remove(q)
-                    if name and restarts.get(name, 0) < max_restarts:
+                    self._failures.append((name, str(exc)))
+                    if name is None or name not in self._agents:
+                        log.error("query %s failed with no restartable owner: %s", q.id, exc)
+                        continue
+                    if restarts.get(name, 0) < max_restarts:
                         restarts[name] = restarts.get(name, 0) + 1
                         try:
                             self._start_agent(self._agents[name])
                         except Exception:
-                            pass
+                            log.exception("restart of agent %r failed", name)
+                    else:
+                        log.error("agent %r exceeded max_restarts=%d: %s", name, max_restarts, exc)
 
         t = threading.Thread(target=monitor, daemon=True)
         t.start()
@@ -354,11 +423,18 @@ class App:
 
     def stop_agent(self, name: str) -> None:
         """Stop the streaming query backing an agent (runtime query
-        management — `spark.streams` is the registry)."""
+        management — ownership tracked by query id, not name)."""
         for q in list(self._queries):
-            if q.name and name in q.name:
+            if self._query_owner.get(str(q.id)) == name:
                 q.stop()
                 self._queries.remove(q)
+                self._query_owner.pop(str(q.id), None)
+
+    @property
+    def failures(self) -> list[tuple[str | None, str]]:
+        """(owner, exception) pairs observed by the supervision monitor —
+        surfaced instead of silently dropped."""
+        return list(self._failures)
 
     def stop(self) -> None:
         self._stop_event.set()

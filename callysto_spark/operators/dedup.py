@@ -43,11 +43,15 @@ def word_shingles(toks: Column, n: int) -> Column:
     12× slower on the documents table.
     """
     # Unrolled element_at instead of slice(): per-element array slicing
-    # measured ~50× slower than n direct element accesses.
+    # measured ~50× slower than n direct element accesses. try_element_at
+    # (not element_at): docs shorter than n tokens index past the end,
+    # which under ANSI mode would throw; try_element_at yields NULL and
+    # concat_ws skips it, producing the truncated shingle the oracle
+    # definition expects.
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
+            lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + k) for k in range(n)]),
         )
     )
 

@@ -50,6 +50,87 @@ def enumerate_rows(
     return df.withColumn(out, F.row_number().over(w))
 
 
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integral division on long columns (no `div` builtin in the
+    Python API; (a - a%b)/b is IEEE-exact for quotients < 2^53)."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+    _keep_total: bool = False,
+) -> DataFrame:
+    """Global 1-based row_number over a total order WITHOUT funneling the
+    data through one task.
+
+    A bare ``Window.orderBy(...)`` plans ``Exchange SinglePartition`` —
+    every row through a single reducer, the classic scale-killer. Here:
+
+    1. ``repartitionByRange`` on the order keys (partition i holds keys
+       entirely before partition i+1's),
+    2. partition-local ``row_number`` keyed on ``spark_partition_id()``
+       (materialized as a column BELOW the window's hash exchange;
+       nondeterministic, so Catalyst cannot push it around),
+    3. per-partition row counts → cumulative offsets, computed in-plan
+       (the only global window runs over ~num_partitions rows — bounded
+       by cluster width, not data size) and broadcast-joined back.
+
+    ``order_by`` must be a total order for deterministic ranks.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *order_by).withColumn("__pid", F.spark_partition_id())
+    w_local = Window.partitionBy("__pid").orderBy(*order_by)
+    local = ranged.withColumn("__lrn", F.row_number().over(w_local))
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__total"),
+    )
+    out = (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__lrn") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lrn", "__off")
+    )
+    return out if _keep_total else out.drop("__total")
+
+
+def global_ntile(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    n_buckets: int,
+    out: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``ntile(n)`` over a global order with no single-partition window —
+    exact ntile semantics (first ``N mod n`` buckets one row larger),
+    derived arithmetically from :func:`global_rank`.
+    """
+    ranked = global_rank(
+        df, order_by, rank_col="__grank", num_partitions=num_partitions, _keep_total=True
+    )
+    r = F.col("__grank")
+    total = F.col("__total")
+    k = F.lit(n_buckets).cast("long")
+    q = _idiv(total, k)
+    rem = F.pmod(total, k)
+    big_span = rem * (q + 1)  # rows covered by the (q+1)-sized buckets
+    bucket = (
+        F.when(r <= big_span, _idiv(r - 1, q + 1) + 1)
+        .otherwise(rem + _idiv(r - 1 - big_span, q) + 1)
+        .cast("int")
+    )
+    return ranked.withColumn(out, bucket).drop("__grank", "__total")
+
+
 def pivot_on(
     df: DataFrame,
     group_by: Sequence[str],

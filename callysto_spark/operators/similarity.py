@@ -34,12 +34,21 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _maybe_round(col: Column, ndigits: int | None) -> Column:
+    if ndigits is None:
+        return col
+    from callysto_spark.functions import rnd
+
+    return rnd(col, ndigits)
+
+
 def cosine_topk(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
     query_ids: Sequence[int],
     k: int = 10,
+    round_ndigits: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for the given query ids.
 
@@ -47,6 +56,8 @@ def cosine_topk(
     is embarrassingly parallel (narrow), and the only shuffle is the
     final per-query top-k (k rows per partition per query after partial
     ranking). Ties break on neighbor id, making results total-ordered.
+    ``round_ndigits`` rounds the similarity BEFORE ranking, so a
+    fixed-precision oracle orders identically at tie boundaries.
     """
     from callysto_spark.operators.util import ensure_parallelism
 
@@ -57,7 +68,7 @@ def cosine_topk(
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cosine_sim", _maybe_round(cosine(F.col("qv"), F.col("cv")), round_ndigits))
         .select("query_id", "neighbor_id", "cosine_sim")
     )
     return top_k_per_group(
@@ -68,6 +79,21 @@ def cosine_topk(
         rank_col="rank",
         keep_rank=True,
     )
+
+
+def _cell_structs(vec_col: str, centroids: list[tuple[int, list[float]]]) -> Column:
+    """(squared-distance, centroid-id) structs for every centroid — the
+    per-row scoring array behind cell assignment and multi-probe."""
+    cells = []
+    for cid, cv in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in cv])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), carr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cells.append(F.struct(d.alias("dist"), F.lit(cid).alias("cid")))
+    return F.array(*cells)
 
 
 def ivf_assign(
@@ -81,23 +107,62 @@ def ivf_assign(
     broadcast as literals into one narrow projection; ties break on the
     lower centroid id. No shuffle: assignment is embarrassingly parallel.
 
-    Centroid selection is pluggable (k-means on a sample, PQ, …); any
-    deterministic list works — the search path only needs *some*
-    partition of the space.
+    Centroid selection is pluggable (:func:`kmeans_centroids` fits them
+    on a sample; any deterministic list works — the search path only
+    needs *some* partition of the space).
     """
-    cells = []
-    for cid, cv in centroids:
-        carr = F.array(*[F.lit(float(x)) for x in cv])
-        d = F.aggregate(
-            F.zip_with(F.col(vec_col), carr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        cells.append(F.struct(d.alias("dist"), F.lit(cid).alias("cid")))
-    best = F.array_min(F.array(*cells))
+    best = F.array_min(_cell_structs(vec_col, centroids))
     return corpus.select(
         F.col(id_col), F.col(vec_col), best.getField("cid").alias("cell")
     )
+
+
+def nearest_cells(vec_col: str, centroids: list[tuple[int, list[float]]], nprobe: int) -> Column:
+    """The ``nprobe`` nearest centroid ids for each row's vector (sorted
+    by distance, centroid-id tie-break) — the multi-probe list for IVF
+    search."""
+    ranked = F.array_sort(_cell_structs(vec_col, centroids))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s.getField("cid"))
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 5,
+    sample: int = 2048,
+    seed: int = 42,
+) -> list[tuple[int, list[float]]]:
+    """Fit IVF coarse centroids: Lloyd's k-means on a bounded,
+    deterministic sample.
+
+    Scale shape: the sample is a global top-``sample`` by a salted hash
+    of the id (TakeOrderedAndProject — k·dim floats to the driver, bounded
+    regardless of corpus size); iterations run driver-side in numpy over
+    that sample only. The full corpus is never collected — cell ASSIGNMENT
+    of the corpus stays distributed (ivf_assign). Deterministic: hash
+    order + seeded init ⇒ same centroids every run.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("i").cast("string"), F.lit(seed)), F.col("i"))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([[float(x) for x in r["v"]] for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [(i, [float(x) for x in cents[i]]) for i in range(len(cents))]
 
 
 def ivf_topk(
@@ -107,18 +172,29 @@ def ivf_topk(
     query_ids: Sequence[int],
     centroids: list[tuple[int, list[float]]],
     k: int = 10,
+    round_ndigits: int | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-pruned top-k cosine: search only the query's coarse cell.
+    """IVF-pruned top-k cosine: search the query's ``nprobe`` nearest
+    coarse cells.
 
     The scale path for ANN at 100 TB: the corpus is partitioned by cell
-    (in storage: partitionBy(cell)), a query probes 1..nprobe cells, so
-    the scan is |corpus|/n_cells instead of |corpus|. Exactness is
-    traded for the usual IVF recall; emb_cosine_topk is the exact
-    baseline to measure recall against.
+    (in storage: partitionBy(cell)), a query probes nprobe cells, so the
+    scan is ``nprobe/n_cells`` of the corpus instead of all of it.
+    Exactness is traded for the usual IVF recall — raising nprobe buys
+    recall linearly in scan cost; emb_cosine_topk is the exact baseline
+    to measure against (tests pin recall@10 ≥ 0.9 at nprobe=2).
     """
     assigned = ivf_assign(corpus, id_col, vec_col, centroids)
-    q = assigned.filter(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), F.col("cell").alias("qcell")
+    # multi-probe: explode each query into its nprobe nearest cells —
+    # query side stays tiny (|queries|·nprobe rows) and broadcasts
+    q = (
+        corpus.filter(F.col(id_col).isin(list(query_ids)))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(nearest_cells(vec_col, centroids, nprobe)).alias("qcell"),
+        )
     )
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), F.col("cell")
@@ -126,7 +202,7 @@ def ivf_topk(
     scored = (
         c.join(F.broadcast(q), F.col("cell") == F.col("qcell"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cosine_sim", _maybe_round(cosine(F.col("qv"), F.col("cv")), round_ndigits))
         .select("query_id", "neighbor_id", "cosine_sim")
     )
     return top_k_per_group(

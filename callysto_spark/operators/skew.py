@@ -35,7 +35,18 @@ def salted_join(
     right side: left rows get a random salt in [0, salt); the right side
     is replicated ``salt`` times, so each (key, salt) bucket is 1/salt
     of the hot key. Use when the right side is too big to broadcast but
-    small enough to replicate; otherwise rely on AQE skew-join."""
+    small enough to replicate; otherwise rely on AQE skew-join.
+
+    Only left-preserving modes are semantics-preserving: the replicated
+    right side would emit ``salt`` copies of every non-matched right row
+    under right/full outer joins.
+    """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not semantics-preserving with a "
+            f"replicated right side; use one of {sorted(allowed)}"
+        )
     lsalted = left.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int"))
     rrepl = right.crossJoin(
         F.broadcast(

@@ -9,7 +9,7 @@ callysto_spark.streaming — same logical semantics, oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from callysto_spark.operators import asof_join, dedup_exact, sessionize
 from callysto_spark.functions import fixed_sum, rnd
@@ -42,7 +42,7 @@ def events_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        MSUM(value) / count(*) AS avg_value,
        min(ts) AS first_ts, max(ts) AS last_ts
 FROM events GROUP BY event_type
@@ -121,8 +121,8 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), s AS (
   SELECT user_id, ts, value,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -216,16 +216,19 @@ FROM spend
 """,
 )
 def user_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile bucketing over an aggregate (global window, single partition
-    at the final stage — fine: the input is one row per user)."""
+    """ntile bucketing over a global order — via global_ntile
+    (range-partition + partition-local rank + in-plan offsets), so no
+    ``Exchange SinglePartition`` funnels the per-user aggregate through
+    one task at 10⁹ users. Exact ntile semantics, oracle unchanged."""
+    from callysto_spark.operators.relational import global_ntile
+
     e = load(spark, sf_dir, "events")["events"]
     spend = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(fixed_sum("value").alias("spend"), F.count(F.lit(1)).alias("n_purchases"))
     )
-    w = Window.orderBy(F.col("spend").desc(), F.col("user_id"))
-    return spend.withColumn("decile", F.ntile(10).over(w))
+    return global_ntile(spend, [F.col("spend").desc(), F.col("user_id")], 10, out="decile")
 
 
 @register(

@@ -196,7 +196,6 @@ JOIN sizes na ON doc_a = na.doc
 JOIN sizes nb ON doc_b = nb.doc
 WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= 0.005
 """,
-    bench=True,
 )
 def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-4-gram Jaccard similar pairs (threshold 0.005 — the
@@ -204,6 +203,45 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlaps is what's checkable). jaccard = int/int ⇒ unrounded."""
     d = load(spark, sf_dir, "documents")["documents"]
     return ngram_jaccard_pairs(d, "doc_id", "text", n=4, threshold=0.005)
+
+
+@register(
+    "doc_ngram_jaccard_capped",
+    oracle=r"""
+WITH sh AS (
+  SELECT doc_id AS doc, unnest(list_distinct(
+           [array_to_string(toks[i:i+3], ' ')
+            for i in range(1, greatest(length(toks) - 3, 1) + 1)])) AS g
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+kept AS (
+  SELECT sh.doc, sh.g FROM sh
+  JOIN (SELECT g FROM sh GROUP BY g HAVING count(*) <= 20) live ON sh.g = live.g
+),
+pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+  FROM kept a JOIN kept b ON a.g = b.g AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       na.n_sh + nb.n_sh - inter AS union_sz,
+       CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) AS jaccard
+FROM pairs
+JOIN sizes na ON doc_a = na.doc
+JOIN sizes nb ON doc_b = nb.doc
+WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= 0.005
+""",
+    bench=True,
+)
+def doc_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of n-gram Jaccard: shingles appearing in more than
+    ``max_doc_freq`` docs are dropped before the pair join (stop-shingle
+    cap, `operators/dedup.py`), keeping candidate pairs near-linear in
+    corpus size instead of quadratic on hot shingles. Union sizes stay
+    the true (uncapped) set sizes — standard filtered-candidate Jaccard."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=4, threshold=0.005, max_doc_freq=20)
 
 
 @register("doc_minhash_lsh_pairs", oracle=None)
@@ -250,8 +288,7 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline. Ranking is on round(sim, 6) with neighbor-id tie-break so
     both engines order identically."""
     e = load(spark, sf_dir, "embeddings")["embeddings"]
-    out = cosine_topk(e, "vec_id", "embedding", query_ids=[0, 1, 2, 3, 4], k=10)
-    return out.withColumn("cosine_sim", rnd("cosine_sim", 6))
+    return cosine_topk(e, "vec_id", "embedding", query_ids=[0, 1, 2, 3, 4], k=10, round_ndigits=6)
 
 
 @register(
@@ -360,8 +397,9 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from callysto_spark.operators.similarity import ivf_topk
 
     e = load(spark, sf_dir, "embeddings")["embeddings"]
-    out = ivf_topk(e, "vec_id", "embedding", [0, 1, 2, 3, 4], _centroids(spark, sf_dir), k=10)
-    return out.withColumn("cosine_sim", rnd("cosine_sim", 6))
+    return ivf_topk(
+        e, "vec_id", "embedding", [0, 1, 2, 3, 4], _centroids(spark, sf_dir), k=10, round_ndigits=6
+    )
 
 
 @register(

@@ -103,8 +103,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CASE WHEN l_quantity < 10 THEN 'small'
             WHEN l_quantity < 30 THEN 'medium'
             ELSE 'large' END AS qty_bracket,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY 1
@@ -178,10 +178,16 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: above-average balance + never ordered
     (scalar subquery + anti join)."""
     t = load(spark, sf_dir, "customer", "orders")
-    avg_bal = t["customer"].filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    # Scalar subquery stays in-plan: a 1-row aggregate broadcast-cross-joined
+    # onto customer, so Catalyst sees one job and no driver round-trip.
+    avg_bal = (
+        t["customer"].filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_avg_bal"))
+    )
     return (
         t["customer"]
-        .filter(F.col("c_acctbal") > avg_bal)
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .drop("_avg_bal")
         .join(t["orders"].select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_cust"), fixed_sum("c_acctbal").alias("total_bal"))

@@ -47,16 +47,26 @@ def test_flow_transform_to_view(app, spark, sf_dir):
     assert spark.table("purchase_view").count() == expect
 
 
-def test_table_agent_parity_counts_and_recovery(spark, tmp_path, sf_dir):
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_table_agent_parity_counts_and_recovery(spark, tmp_path, sf_dir, provider):
     """Reference inmemory.rs odd/even tables + runtime/recovery.rs:
-    restart must resume state from the checkpoint."""
+    restart must resume state from the checkpoint — on both state-store
+    providers (RocksDB is the at-scale one; reference stores/rocksdb.rs)."""
+    from callysto_spark.config import StateStoreConfig
+
+    prev_provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     stream_dir = tmp_path / "stream"
     stream_dir.mkdir()
     shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "a.parquet")
     out_dir = str(tmp_path / "out")
 
     def make_app():
-        a = App("test_state", spark=spark, checkpoint_root=str(tmp_path / "ckpt"))
+        a = App(
+            "test_state",
+            spark=spark,
+            checkpoint_root=str(tmp_path / "ckpt"),
+            state_store=StateStoreConfig(provider=provider),
+        )
         src = SourceSpec.parquet_stream(
             str(stream_dir),
             schema="event_id long, ts long, user_id long, event_type string, value double, props string",
@@ -95,6 +105,10 @@ def test_table_agent_parity_counts_and_recovery(spark, tmp_path, sf_dir):
     a2.stop()
     rows = spark.read.parquet(out_dir).groupBy("parity").agg(F.max("cnt").alias("cnt")).collect()
     assert {r["parity"]: r["cnt"] for r in rows} == {"even": n, "odd": n}
+    if prev_provider is not None:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_provider)
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
 def test_task_timer_service_lifecycle(app, spark):
@@ -124,6 +138,55 @@ def test_task_timer_service_lifecycle(app, spark):
     app.stop()
     time.sleep(0.3)
     assert app.state["svc"] == "stopped"
+
+
+def test_service_dependency_start_order(app, spark):
+    """Reference starts a service's dependencies before the service
+    itself (`types/service.rs:146-151`)."""
+
+    def db(ctx, stop_event):
+        stop_event.wait()
+
+    def cache(ctx, stop_event):
+        stop_event.wait()
+
+    def api(ctx, stop_event):
+        stop_event.wait()
+
+    # register intentionally out of dependency order
+    app.service(api, deps=[cache, db])
+    app.service(cache, deps=[db])
+    app.service(db)
+    app.run(await_termination=False)
+    order = app._service_start_order
+    assert order.index("db") < order.index("cache") < order.index("api")
+    app.stop()
+
+
+def test_supervision_tracks_foreachbatch_queries(app, spark, tmp_path, sf_dir):
+    """Every started query must carry a name and an owner mapping —
+    the silent-failure path was foreachBatch queries with name=None."""
+    import shutil
+
+    stream_dir = tmp_path / "s"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "a.parquet")
+    src = SourceSpec.parquet_stream(
+        str(stream_dir),
+        schema="event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+
+    @app.agent("fb_agent", src)
+    def fb_agent(df, ctx):
+        ctx.state["rows"] = ctx.state.get("rows", 0) + df.count()
+
+    app.run(await_termination=True, timeout=120)
+    assert app.state["rows"] > 0
+    for q in app.queries:
+        assert q.name is not None, "foreachBatch query must have a queryName"
+        assert app._query_owner.get(str(q.id)) == "fb_agent"
+    app.stop_agent("fb_agent")
+    assert app.queries == []
 
 
 def test_table_agent_processing_time_timeout(spark, tmp_path, sf_dir):

@@ -79,3 +79,41 @@ def test_cosine_topk_no_cartesian_blowup(spark, sf_dir):
     # query side must broadcast (tiny); corpus side stays partitioned
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_deciles_no_global_window_funnel(spark, sf_dir):
+    """user_spend_deciles must not funnel the per-user aggregate through
+    one task: the data path range-partitions; the only SinglePartition
+    exchange allowed is the ~num_partitions-row offsets branch."""
+    from callysto_spark.plans import physical_plan
+
+    df = q("user_spend_deciles", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "rangepartitioning" in plan.lower(), "data path must range-partition on the order keys"
+    assert plan.count("Exchange SinglePartition") <= 1, (
+        "only the tiny per-partition-counts branch may single-partition"
+    )
+
+
+def test_jaccard_capped_prunes_candidate_pairs(spark, sf_dir):
+    """The stop-shingle cap must strictly reduce candidate pairs vs the
+    uncapped self-join (the near-linear-at-scale contract)."""
+    from callysto_spark.operators.dedup import shingle_rows
+    from callysto_spark.tables import load as load_tables
+    from pyspark.sql import functions as F
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    sh = shingle_rows(d, "doc_id", "text", 4)
+    freq = sh.groupBy("g").agg(F.count("*").alias("df_"))
+    stats = freq.agg(
+        F.sum(F.col("df_") * (F.col("df_") - 1) / 2).alias("p"), F.max("df_").alias("mx")
+    ).collect()[0]
+    uncapped, max_df = stats["p"], stats["mx"]
+    # cap just under the hottest shingle — guarantees pruning at any SF
+    # (the registered query's absolute cap of 20 bites at sf0.01+)
+    capped = (
+        freq.filter(F.col("df_") <= max_df - 1)
+        .agg(F.sum(F.col("df_") * (F.col("df_") - 1) / 2).alias("p"))
+        .collect()[0]["p"]
+    ) or 0
+    assert capped < uncapped, "cap must drop hot-shingle pair work"

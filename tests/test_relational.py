@@ -1,0 +1,62 @@
+"""Scale-safe relational operators: global_rank / global_ntile (the
+no-single-partition replacements for bare ``Window.orderBy``) and the
+short-document shingle edge case under ANSI mode."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from callysto_spark.operators.dedup import with_shingles
+from callysto_spark.operators.relational import global_ntile, global_rank
+from callysto_spark.tables import load
+
+
+def test_global_rank_matches_window_row_number(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")["customer"].select("c_custkey", "c_acctbal")
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey")]
+    expect = {
+        r["c_custkey"]: r["rn"]
+        for r in c.withColumn("rn", F.row_number().over(Window.orderBy(*order))).collect()
+    }
+    got = {
+        r["c_custkey"]: r["rank"]
+        for r in global_rank(c, order, num_partitions=8).collect()
+    }
+    assert got == expect
+
+
+def test_global_ntile_matches_window_ntile(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")["customer"].select("c_custkey", "c_acctbal")
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey")]
+    for k in (3, 10, 7):
+        expect = {
+            r["c_custkey"]: r["b"]
+            for r in c.withColumn("b", F.ntile(k).over(Window.orderBy(*order))).collect()
+        }
+        got = {
+            r["c_custkey"]: r["bucket"]
+            for r in global_ntile(c, order, k, num_partitions=8).collect()
+        }
+        assert got == expect, f"ntile({k}) mismatch"
+
+
+def test_global_ntile_more_buckets_than_rows(spark):
+    df = spark.range(4).select(F.col("id"))
+    got = {
+        r["id"]: r["bucket"]
+        for r in global_ntile(df, [F.col("id")], 10, num_partitions=3).collect()
+    }
+    # N < k: each row gets its own bucket, in order — exact ntile semantics
+    assert got == {0: 1, 1: 2, 2: 3, 3: 4}
+
+
+def test_word_shingles_short_doc_no_ansi_crash(spark):
+    """Docs shorter than n tokens must yield one truncated shingle, not
+    an INVALID_ARRAY_INDEX_IN_ELEMENT_AT error (try_element_at path)."""
+    df = spark.createDataFrame(
+        [(1, "two tokens"), (2, "a"), (3, "four small word doc here")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r["gs"] for r in with_shingles(df, "text", n=4).collect()}
+    assert rows[1] == ["two tokens"]
+    assert rows[2] == ["a"]
+    assert rows[3][0] == "four small word doc"

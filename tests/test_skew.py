@@ -33,3 +33,16 @@ def test_salted_join_equals_plain(spark, sf_dir):
         for r in salted_join(o, c, "custkey", salt=4).collect()
     )
     assert plain == salted
+
+
+def test_salted_join_rejects_outer_modes(spark, sf_dir):
+    """Replicated right side is NOT semantics-preserving for right/full
+    outer joins (non-matched right rows would appear salt times)."""
+    import pytest
+
+    t = load(spark, sf_dir, "orders", "customer")
+    o = t["orders"].select(F.col("o_custkey").alias("custkey"))
+    c = t["customer"].select(F.col("c_custkey").alias("custkey"))
+    for how in ("full", "right", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="not semantics-preserving"):
+            salted_join(o, c, "custkey", salt=4, how=how)

@@ -16,6 +16,12 @@ def test_ops_server_routes(spark):
     def custom():
         return {"answer": 42}
 
+    @app.page("echo")
+    def echo(req):
+        # request-object parity (reference routes get (Request, Context),
+        # types/route.rs:6-67)
+        return {"method": req.method, "path": req.path, "who": req.param("who", "nobody")}
+
     app.run(await_termination=False)
     try:
         base = f"http://127.0.0.1:{app.web_port}"
@@ -25,6 +31,14 @@ def test_ops_server_routes(spark):
         assert state["greeting"] == "'hi'"
         custom_resp = json.loads(urllib.request.urlopen(f"{base}/custom").read())
         assert custom_resp == {"answer": 42}
+        echo = json.loads(urllib.request.urlopen(f"{base}/echo?who=callysto").read())
+        assert echo == {"method": "GET", "path": "/echo", "who": "callysto"}
+        post = json.loads(
+            urllib.request.urlopen(
+                urllib.request.Request(f"{base}/echo", data=b"x", method="POST")
+            ).read()
+        )
+        assert post["method"] == "POST"
         progress = json.loads(urllib.request.urlopen(f"{base}/progress").read())
         assert progress == []
         try:
