@@ -4,6 +4,7 @@ from callysto_spark.sinks.core import (
     JdbcSink,
     ElasticsearchSink,
     MemorySink,
+    MemTopicSink,
     sink_to_foreach_batch,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "JdbcSink",
     "ElasticsearchSink",
     "MemorySink",
+    "MemTopicSink",
     "sink_to_foreach_batch",
 ]

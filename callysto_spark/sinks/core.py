@@ -96,6 +96,36 @@ class KafkaSink(Sink):
 
 
 @dataclass
+class MemTopicSink(Sink):
+    """Keyed produce to the jar-free memtopic transport (the runnable
+    twin of :class:`KafkaSink`; reference `kafka/cproducer.rs:24-58`).
+    Routes by crc32(key) % partitions on the EXECUTORS (foreachPartition
+    — rows never funnel through the driver), appending to the topic's
+    partition logs. Needs `value` (and optionally `key`) columns, same
+    contract as the Kafka writer."""
+
+    topic: str
+    broker_dir: str
+    n_partitions: int = 4
+
+    def write(self, df: DataFrame, batch_id: int = 0) -> None:
+        topic, broker_dir, n_parts = self.topic, self.broker_dir, self.n_partitions
+        cols = [F.col("value").cast("string").alias("value")]
+        has_key = "key" in df.columns
+        if has_key:
+            cols.insert(0, F.col("key").cast("string").alias("key"))
+
+        def produce_partition(rows) -> None:
+            from callysto_spark.sources.memtopic import produce
+
+            msgs = [((r["key"] if has_key else None), r["value"]) for r in rows]
+            if msgs:
+                produce(broker_dir, topic, msgs, n_parts)
+
+        df.select(*cols).foreachPartition(produce_partition)
+
+
+@dataclass
 class JdbcSink(Sink):
     """JDBC append sink (reference Postgres sink `sinks/postgres.rs`):
     pooled prepared statements → Spark's JDBC writer (per-partition
@@ -164,6 +194,7 @@ class ElasticsearchSink(Sink):
                 if len(buf) >= 2 * bulk_size:
                     flush()
             flush()
-            return iter(())
 
-        df.rdd.mapPartitions(post_partition).count()  # force execution
+        # foreachPartition, not rdd.mapPartitions: stays on the DataFrame
+        # path (no plan-wide RDD conversion) and is an action already
+        df.foreachPartition(post_partition)

@@ -43,6 +43,16 @@ class SourceSpec:
         return SourceSpec("kafka", opts)
 
     @staticmethod
+    def memtopic(topic: str, broker_dir: str, partitions: int = 4) -> "SourceSpec":
+        """Jar-free partitioned topic (Kafka twin; see
+        callysto_spark.sources.memtopic). Same offset/partition contract
+        as the Kafka source — swap to :meth:`kafka` at deploy time."""
+        return SourceSpec(
+            "memtopic",
+            {"topic": topic, "brokerDir": broker_dir, "partitions": str(partitions)},
+        )
+
+    @staticmethod
     def rate(rows_per_second: int = 100) -> "SourceSpec":
         return SourceSpec("rate", {"rowsPerSecond": str(rows_per_second)})
 
@@ -72,6 +82,11 @@ class SourceSpec:
                     "Kafka source requires the spark-sql-kafka connector jar "
                     "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)"
                 ) from exc
+        if self.kind == "memtopic":
+            from callysto_spark.sources.memtopic import register
+
+            register(spark)
+            return spark.readStream.format("memtopic").options(**self.options).load()
         if self.kind == "rate":
             return spark.readStream.format("rate").options(**self.options).load()
         if self.kind == "parquet_stream":

@@ -1,0 +1,250 @@
+"""Jar-free topic transport: a Kafka twin as a PySpark Python DataSource.
+
+The reference's whole execution loop is consume→process→produce over
+partitioned topics with offsets (`kafka/cconsumer.rs:85-122` consume,
+`kafka/cproducer.rs:24-58` keyed produce). The test image ships no
+broker and no spark-sql-kafka jar, so this module implements the same
+contract as a custom `DataSource` (Spark 4 Python data source API):
+
+- broker   = a directory
+- topic    = a subdirectory
+- partition = an append-only JSONL log (``p{i}.log``)
+- offset   = line number within the partition log
+
+Because offsets/partitions behave exactly like Kafka's, Structured
+Streaming's checkpoint machinery gives the same delivery semantics:
+restart resumes from committed offsets, ``availableNow`` drains to the
+latest offset, and a keyed produce routes by ``crc32(key) % n`` (stable
+across processes — Python's builtin ``hash`` is salt-randomized).
+
+Scale honesty: appends serialize on a per-partition ``flock``, so this
+is a single-host transport for end-to-end agent→sink loops in tests and
+dev. At deploy scale the format string changes to ``"kafka"`` — the
+option names (``topic``, ``startingOffsets``-equivalents) match — and
+nothing else in an App changes.
+
+Delivery on the produce side is at-least-once (a retried write task
+re-appends, as with a non-transactional Kafka producer); readers get
+exactly-once from checkpointed offsets.
+"""
+
+from __future__ import annotations
+
+import fcntl
+import json
+import os
+import time
+import zlib
+from dataclasses import dataclass
+from typing import Any, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+SCHEMA_DDL = "key string, value string, topic string, partition int, offset long, timestamp double"
+
+
+def _topic_dir(broker_dir: str, topic: str) -> str:
+    return os.path.join(broker_dir, topic)
+
+
+def _log_path(broker_dir: str, topic: str, pid: int) -> str:
+    return os.path.join(_topic_dir(broker_dir, topic), f"p{pid}.log")
+
+
+def _route(key: str | None, n_partitions: int, fallback: int = 0) -> int:
+    if key is None:
+        return fallback % n_partitions
+    return zlib.crc32(key.encode("utf-8")) % n_partitions
+
+
+def produce(
+    broker_dir: str,
+    topic: str,
+    messages: list[tuple[str | None, str]],
+    n_partitions: int = 4,
+) -> None:
+    """Keyed produce (reference `kafka/cproducer.rs:24-58`): route each
+    (key, value) by crc32(key) % n_partitions, append under flock.
+    Callable from the driver or from executor tasks."""
+    os.makedirs(_topic_dir(broker_dir, topic), exist_ok=True)
+    by_pid: dict[int, list[str]] = {}
+    for i, (key, value) in enumerate(messages):
+        pid = _route(key, n_partitions, fallback=i)
+        by_pid.setdefault(pid, []).append(
+            json.dumps({"k": key, "v": value, "ts": time.time()}, ensure_ascii=False)
+        )
+    for pid, lines in by_pid.items():
+        with open(_log_path(broker_dir, topic, pid), "a", encoding="utf-8") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            fh.write("\n".join(lines) + "\n")
+            fh.flush()
+            fcntl.flock(fh, fcntl.LOCK_UN)
+
+
+def _partition_sizes(broker_dir: str, topic: str, n_partitions: int) -> dict[str, int]:
+    sizes: dict[str, int] = {}
+    for pid in range(n_partitions):
+        path = _log_path(broker_dir, topic, pid)
+        n = 0
+        if os.path.exists(path):
+            with open(path, "r", encoding="utf-8") as fh:
+                for _ in fh:
+                    n += 1
+        sizes[str(pid)] = n
+    return sizes
+
+
+def _read_slice(
+    broker_dir: str, topic: str, pid: int, start: int, end: int
+) -> Iterator[tuple]:
+    path = _log_path(broker_dir, topic, pid)
+    if end <= start or not os.path.exists(path):
+        return
+    with open(path, "r", encoding="utf-8") as fh:
+        for offset, line in enumerate(fh):
+            if offset >= end:
+                break
+            if offset < start:
+                continue
+            rec = json.loads(line)
+            yield (rec["k"], rec["v"], topic, pid, offset, rec["ts"])
+
+
+@dataclass
+class _Slice(InputPartition):
+    pid: int
+    start: int
+    end: int
+
+
+class _Opts:
+    """Shared option parsing for the reader/writer halves."""
+
+    def __init__(self, options: dict[str, str]) -> None:
+        self.broker_dir = options.get("brokerdir") or options.get("brokerDir") or options["path"]
+        self.topic = options["topic"]
+        self.n_partitions = int(options.get("partitions", "4"))
+
+
+class MemTopicStreamReader(DataSourceStreamReader):
+    """Offset model identical to Kafka's: {partition → next offset}."""
+
+    def __init__(self, options: dict[str, str]) -> None:
+        self.o = _Opts(options)
+
+    def initialOffset(self) -> dict:
+        # earliest, like the reference's default auto.offset.reset
+        return {str(pid): 0 for pid in range(self.o.n_partitions)}
+
+    def latestOffset(self) -> dict:
+        return _partition_sizes(self.o.broker_dir, self.o.topic, self.o.n_partitions)
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            _Slice(pid=int(p), start=int(start.get(p, 0)), end=int(end[p]))
+            for p in end
+            if int(end[p]) > int(start.get(p, 0))
+        ] or [_Slice(pid=0, start=0, end=0)]
+
+    def read(self, partition: _Slice) -> Iterator[tuple]:
+        yield from _read_slice(
+            self.o.broker_dir, self.o.topic, partition.pid, partition.start, partition.end
+        )
+
+    def commit(self, end: dict) -> None:
+        # checkpoint owns offsets (same stance as the app's Context.commit)
+        return None
+
+
+class MemTopicBatchReader(DataSourceReader):
+    def __init__(self, options: dict[str, str]) -> None:
+        self.o = _Opts(options)
+
+    def partitions(self):
+        sizes = _partition_sizes(self.o.broker_dir, self.o.topic, self.o.n_partitions)
+        return [_Slice(pid=int(p), start=0, end=n) for p, n in sizes.items()]
+
+    def read(self, partition: _Slice) -> Iterator[tuple]:
+        yield from _read_slice(
+            self.o.broker_dir, self.o.topic, partition.pid, partition.start, partition.end
+        )
+
+
+class _Produced(WriterCommitMessage):
+    pass
+
+
+class _MemTopicWriterBase:
+    """Executor-side keyed produce: each task routes its rows by key and
+    appends to the partition logs (flock-serialized). Requires `key` and
+    `value` columns (cast upstream), like the Kafka sink."""
+
+    def __init__(self, options: dict[str, str]) -> None:
+        self.o = _Opts(options)
+
+    def write(self, iterator) -> WriterCommitMessage:
+        msgs = []
+        for row in iterator:
+            d = row.asDict() if hasattr(row, "asDict") else dict(row)
+            msgs.append((d.get("key"), d["value"]))
+        if msgs:
+            produce(self.o.broker_dir, self.o.topic, msgs, self.o.n_partitions)
+        return _Produced()
+
+    def commit(self, messages, batchId=None) -> None:
+        return None
+
+    def abort(self, messages, batchId=None) -> None:
+        return None
+
+
+class MemTopicStreamWriter(_MemTopicWriterBase, DataSourceStreamWriter):
+    pass
+
+
+class MemTopicBatchWriter(_MemTopicWriterBase, DataSourceWriter):
+    pass
+
+
+class MemTopicDataSource(DataSource):
+    """``spark.read/readStream/writeStream.format("memtopic")`` with
+    options ``brokerDir``, ``topic``, ``partitions``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "memtopic"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return MemTopicBatchReader(self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return MemTopicStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return MemTopicBatchWriter(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> DataSourceStreamWriter:
+        return MemTopicStreamWriter(self.options)
+
+
+_REGISTERED: set[int] = set()
+
+
+def register(spark: Any) -> None:
+    """Idempotently register the memtopic format on a session."""
+    key = id(spark)
+    if key not in _REGISTERED:
+        spark.dataSource.register(MemTopicDataSource)
+        _REGISTERED.add(key)
