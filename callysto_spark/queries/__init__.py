@@ -53,6 +53,6 @@ def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = 
 
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: registration) and return REGISTRY."""
-    from callysto_spark.queries import tpch, tpch2, tpch3, events, llm_ops, arrays, messages  # noqa: F401
+    from callysto_spark.queries import tpch, tpch2, tpch3, tpch4, events, llm_ops, arrays, messages  # noqa: F401
 
     return REGISTRY
