@@ -64,6 +64,20 @@ def lang_scores(text: Column) -> dict[str, Column]:
     return out
 
 
+# GPT-2-flavored pre-tokenizer pattern, restricted to RE2-safe syntax
+# (no lookahead) so the same pattern runs identically on Spark's Java
+# regex and DuckDB's RE2: contractions | space+letters | space+digits |
+# space+other | whitespace runs. Alternation is leftmost-first in both.
+BPE_TOKEN_PATTERN = r"'(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: number of pre-tokenizer matches (the
+    GPT-2-style segmentation LLM pipelines budget by, minus merges).
+    One regexp_count kernel — narrow, codegen'd."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))
+
+
 def fingerprint(text: Column) -> Column:
     """Normalization fingerprint: sha256 of lower-cased, punct-stripped,
     whitespace-collapsed text — the canonical key for fuzzy-exact dedup
@@ -72,3 +86,47 @@ def fingerprint(text: Column) -> Column:
         F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", "")), r"\s+", " "
     )
     return F.sha2(norm, 256)
+
+
+def winnow_fingerprints(df, id_col: str, text_col: str, k: int = 3, w: int = 4):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every token k-gram, slide a
+    window of ``w`` consecutive gram hashes, keep each window's minimum;
+    the distinct minima are the document's fingerprint set. Robust to
+    insertions/reorderings in a way whole-document hashing is not.
+
+    Cross-engine determinism: the gram "hash" is the first 16 hex chars
+    of sha256(gram) compared LEXICOGRAPHICALLY — identical in any engine
+    (vs xxhash64, which is engine-specific), so this operator is fully
+    oracle-checkable. Plan shape: posexplode → window lead (one shuffle
+    on doc) → sliding-window min over the SAME partitioning (no second
+    exchange) → distinct. Docs with fewer than ``w`` grams keep their
+    single global minimum, so every non-empty doc fingerprints.
+
+    Returns distinct (doc, fp) rows.
+    """
+    from pyspark.sql import Window
+
+    from callysto_spark.operators.dedup import tokens_col
+
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok")
+    )
+    wo = Window.partitionBy("doc").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(wo) for i in range(1, k)]
+    n_tok = F.count("*").over(Window.partitionBy("doc"))
+    grams = (
+        toks.withColumn("gram", F.concat_ws(" ", *leads))
+        .withColumn("__n", n_tok)
+        .filter(F.col("pos") + 1 <= F.greatest(F.col("__n") - (k - 1), F.lit(1)))
+        .withColumn("h", F.substring(F.sha2(F.col("gram"), 256), 1, 16))
+    )
+    n_grams = F.count("*").over(Window.partitionBy("doc"))
+    win_min = F.min("h").over(wo.rowsBetween(-(w - 1), 0))
+    return (
+        grams.withColumn("__g", n_grams)
+        .withColumn("fp", win_min)
+        .filter((F.col("pos") + 1 >= w) | ((F.col("__g") < w) & (F.col("pos") + 1 == F.col("__g"))))
+        .select("doc", "fp")
+        .distinct()
+    )

@@ -132,6 +132,74 @@ def doc_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_bpe_token_stats",
+    oracle=r"""
+SELECT doc_id,
+       length(regexp_extract_all(text, '''(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe_tokens,
+       length(string_split_regex(trim(lower(text)), '\s+')) AS n_ws_tokens
+FROM documents
+""",
+)
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (GPT-2-style pre-tokenizer segmentation,
+    RE2-safe pattern — operators/text.py BPE_TOKEN_PATTERN) next to the
+    whitespace count: the token-budget columns of an LLM data pipeline,
+    one narrow regex pass."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id",
+        TX.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        TX.token_count(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "doc_winnow_fingerprints",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id AS doc, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents)
+),
+grams AS (
+  SELECT doc, pos,
+         concat_ws(' ', tok, lead(tok, 1) OVER w, lead(tok, 2) OVER w) AS gram,
+         count(*) OVER (PARTITION BY doc) AS n_tok
+  FROM toks
+  WINDOW w AS (PARTITION BY doc ORDER BY pos)
+),
+valid AS (
+  SELECT doc, pos, substr(sha256(gram), 1, 16) AS h
+  FROM grams WHERE pos + 1 <= greatest(n_tok - 2, 1)
+),
+fps AS (
+  SELECT doc, pos,
+         min(h) OVER (PARTITION BY doc ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+         count(*) OVER (PARTITION BY doc) AS n_g
+  FROM valid
+),
+sel AS (
+  SELECT DISTINCT doc, fp FROM fps
+  WHERE pos + 1 >= 4 OR (n_g < 4 AND pos + 1 = n_g)
+)
+SELECT doc, count(*) AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp
+FROM sel GROUP BY doc
+""",
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (MOSS algorithm) per doc,
+    k=3-gram window w=4 — summarized per doc for the hash check. Fully
+    oracle-checkable because the gram hash is a sha256 prefix compared
+    lexicographically (not an engine-specific hash)."""
+    fps = TX.winnow_fingerprints(
+        load(spark, sf_dir, "documents")["documents"], "doc_id", "text", k=3, w=4
+    )
+    return fps.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_fp"), F.min("fp").alias("min_fp"), F.max("fp").alias("max_fp")
+    )
+
+
+@register(
     "doc_fingerprint_groups",
     oracle=r"""
 WITH fp AS (
