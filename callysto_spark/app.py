@@ -178,16 +178,31 @@ class App:
 
     def table_agent(self, name: str, source: SourceSpec | DataFrame, table, **options: Any):
         """Register a stateful processor (reference `types/table_agent.rs`):
-        closure runs per key-group with get/set/del on the table's state."""
+        closure runs per key-group with get/set/del on the table's state.
+
+        ``api="tws"`` selects the Spark 4 transformWithState binding
+        (streaming/state_v2.py: named states, first-class timers, native
+        TTL via ``ttl_ms=``; requires the RocksDB state-store provider).
+        Default is the GroupState binding — same closure contract either
+        way.
+        """
 
         def deco(fn):
-            from callysto_spark.streaming.state import bind_table_agent
+            if options.get("api") == "tws":
+                from callysto_spark.streaming.state_v2 import bind_table_processor
 
+                bound = bind_table_processor(
+                    table,
+                    fn,
+                    timeout=options.get("timeout", "NoTimeout"),
+                    ttl_ms=options.get("ttl_ms"),
+                )
+            else:
+                from callysto_spark.streaming.state import bind_table_agent
+
+                bound = bind_table_agent(table, fn, timeout=options.get("timeout", "NoTimeout"))
             self._agents[name] = _Agent(
-                name,
-                self.source(source),
-                bind_table_agent(table, fn, timeout=options.get("timeout", "NoTimeout")),
-                dict(options, stateful=True, table=table),
+                name, self.source(source), bound, dict(options, stateful=True, table=table)
             )
             return fn
 

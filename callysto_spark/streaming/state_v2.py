@@ -1,0 +1,125 @@
+"""CTable on Spark 4's transformWithState (the successor stateful API).
+
+`streaming/state.py` binds tables via ``applyInPandasWithState``
+(GroupState) — one opaque state tuple per key.  This module binds the
+SAME user-closure contract to ``transformWithStateInPandas``
+(StatefulProcessor), which maps the reference's table surface more
+faithfully:
+
+- named state variables per processor (`handle.getValueState(name, …)`)
+  ↔ the reference's multiple named CTables per agent
+  (`types/table_agent.rs:26-103` takes a `Tables` map);
+- first-class timers (`registerTimer`) ↔ the TTL/eviction surface;
+- native TTL per state (`ttlDurationMs`) — state GC without timers;
+- requires the RocksDB state-store provider (config.StateStoreConfig),
+  i.e. the at-scale store is the default here, not an option.
+
+The user closure keeps the `(key, pandas-batch, TableState)` shape, so
+an agent written against the v1 binding runs unchanged on v2 via
+``App.table_agent(..., api="tws")``.
+
+Environment gate: executing (not building) a transformWithState plan
+needs ``google.protobuf`` for Spark's streaming Python runner; images
+without it can still build/validate plans, and the GroupState binding
+(`streaming/state.py`) remains the dependency-free default.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any, Iterator
+
+import pandas as pd
+
+from callysto_spark.streaming.state import CTable
+
+
+class TableStateV2:
+    """get/set/del parity shim over a named ValueState + timers
+    (same contract as streaming.state.TableState; reference
+    `types/table.rs:81-113`)."""
+
+    def __init__(self, vs: Any, handle: Any, timer_values: Any, timed_out: bool = False) -> None:
+        self._vs = vs
+        self._h = handle
+        self._tv = timer_values
+        self._timed_out = timed_out
+
+    def get(self) -> tuple | None:
+        if not self._vs.exists():
+            return None
+        return tuple(self._vs.get())
+
+    def set(self, *values: Any) -> None:
+        self._vs.update(tuple(values))
+
+    def delete(self) -> None:
+        self._vs.clear()
+
+    @property
+    def exists(self) -> bool:
+        return bool(self._vs.exists())
+
+    @property
+    def timed_out(self) -> bool:
+        return self._timed_out
+
+    def set_timeout_ms(self, ms: int) -> None:
+        """Arm a processing-time timer ``ms`` from now (requires the
+        agent registered with timeout='ProcessingTimeTimeout')."""
+        self._h.registerTimer(self._tv.getCurrentProcessingTimeInMs() + ms)
+
+    def set_timeout_timestamp_ms(self, epoch_ms: int) -> None:
+        self._h.registerTimer(epoch_ms)
+
+
+def bind_table_processor(
+    table: CTable,
+    fn: Callable[[tuple, pd.DataFrame, TableStateV2], pd.DataFrame | None],
+    timeout: str = "NoTimeout",
+    ttl_ms: int | None = None,
+):
+    """Bind a user closure to a table via transformWithStateInPandas.
+
+    ``timeout`` mirrors the v1 strings ('NoTimeout' |
+    'ProcessingTimeTimeout' | 'EventTimeTimeout') and selects the
+    processor's timeMode. ``ttl_ms`` enables native per-state TTL.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    time_mode = {
+        "NoTimeout": "None",
+        "ProcessingTimeTimeout": "ProcessingTime",
+        "EventTimeTimeout": "EventTime",
+    }[timeout]
+
+    class _Processor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._handle = handle
+            self._vs = handle.getValueState(table.name, table.value_schema, ttlDurationMs=ttl_ms)
+
+        def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
+            ts = TableStateV2(self._vs, self._handle, timer_values)
+            for pdf in rows:
+                out = fn(tuple(key), pdf, ts)
+                if out is not None and len(out):
+                    yield out
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info) -> Iterator[pd.DataFrame]:
+            ts = TableStateV2(self._vs, self._handle, timer_values, timed_out=True)
+            out = fn(tuple(key), pd.DataFrame(), ts)
+            if out is not None and len(out):
+                yield out
+
+        def close(self) -> None:
+            return None
+
+    def build(df):
+        return df.groupBy(*table.key_cols).transformWithStateInPandas(
+            _Processor(),
+            outputStructType=table.output_schema or table.value_schema,
+            outputMode="Update",
+            timeMode=time_mode,
+        )
+
+    return build

@@ -140,6 +140,104 @@ def test_task_timer_service_lifecycle(app, spark):
     assert app.state["svc"] == "stopped"
 
 
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_table_agent_tws_builds_plan(spark, tmp_path, sf_dir):
+    """The tws binding must build a valid streaming plan with the
+    declared output schema regardless of environment (execution needs
+    google.protobuf — runtime-gated, like the connector jars)."""
+    from callysto_spark.streaming.state import CTable
+    from callysto_spark.streaming.state_v2 import bind_table_processor
+
+    src = SourceSpec.parquet_stream(
+        f"{tmp_path}",  # never started — plan-level only
+        schema="event_id long, parity string",
+    )
+    table = CTable(name="t", key_schema="parity string", value_schema="cnt long")
+    table.output_schema = "parity string, cnt long"
+    build = bind_table_processor(table, lambda k, pdf, st: None)
+    out = build(src.load(spark))
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == ["parity", "cnt"]
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python runner requires google.protobuf, "
+    "not shipped in this image (same environment gating as the avro/kafka jars)",
+)
+def test_table_agent_tws_parity_counts_and_recovery(spark, tmp_path, sf_dir):
+    """The same odd/even workload on the transformWithState binding
+    (api='tws', Spark 4 StatefulProcessor + RocksDB provider): identical
+    closure, identical results, checkpoint recovery across restart."""
+    from callysto_spark.config import StateStoreConfig
+
+    prev_provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "a.parquet")
+    out_dir = str(tmp_path / "out")
+
+    def make_app():
+        a = App(
+            "tws_state",
+            spark=spark,
+            checkpoint_root=str(tmp_path / "ckpt"),
+            state_store=StateStoreConfig(provider="rocksdb"),
+        )
+        src = SourceSpec.parquet_stream(
+            str(stream_dir),
+            schema="event_id long, ts long, user_id long, event_type string, value double, props string",
+        )
+        stream = src.load(spark).withColumn(
+            "parity", F.when(F.col("event_id") % 2 == 0, "even").otherwise("odd")
+        )
+        table = a.table("tws_counts", key_schema="parity string", value_schema="cnt long")
+        table.output_schema = "parity string, cnt long"
+
+        @a.table_agent(
+            "tws_agent",
+            stream,
+            table,
+            api="tws",
+            sink=lambda b: b.write.mode("append").parquet(out_dir),
+        )
+        def tws_agent(key, pdf, state):
+            prev = state.get()
+            cnt = (prev[0] if prev else 0) + len(pdf)
+            state.set(cnt)
+            return pd.DataFrame({"parity": [key[0]], "cnt": [cnt]})
+
+        return a
+
+    try:
+        a1 = make_app()
+        a1.run(await_termination=True, timeout=120)
+        a1.stop()
+        n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        first = {r["parity"]: r["cnt"] for r in spark.read.parquet(out_dir).collect()}
+        assert first == {"even": n // 2, "odd": n // 2}
+
+        shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "b.parquet")
+        a2 = make_app()
+        a2.run(await_termination=True, timeout=120)
+        a2.stop()
+        rows = spark.read.parquet(out_dir).groupBy("parity").agg(F.max("cnt").alias("cnt")).collect()
+        assert {r["parity"]: r["cnt"] for r in rows} == {"even": n, "odd": n}
+    finally:
+        if prev_provider is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_provider)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_service_dependency_start_order(app, spark):
     """Reference starts a service's dependencies before the service
     itself (`types/service.rs:146-151`)."""
