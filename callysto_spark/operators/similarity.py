@@ -215,6 +215,72 @@ def ivf_topk(
     )
 
 
+def ivf_write(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus as an IVF index: cell-assigned and
+    ``partitionBy(cell)``-partitioned parquet. At 100 TB this is the
+    storage half of the ANN story — a probe reads only its cells'
+    directories (partition pruning), so serving cost is
+    ``nprobe/n_cells`` of the corpus in IO, not just in compute."""
+    assigned = ivf_assign(corpus, id_col, vec_col, centroids)
+    assigned.write.mode(mode).partitionBy("cell").parquet(path)
+
+
+def ivf_topk_stored(
+    spark,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    queries: list[tuple[int, list[float]]],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 1,
+    round_ndigits: int | None = None,
+) -> DataFrame:
+    """Serve ANN top-k from an :func:`ivf_write` index.
+
+    Query vectors are driver-side (the serving shape); their probe
+    cells are computed driver-side against the same centroids, and the
+    scan filters ``cell IN (probe cells)`` — which lands in the parquet
+    PartitionFilters, pruning every non-probed cell directory before
+    any IO (pinned by tests/test_layout.py).
+    """
+    probe_cells: set[int] = set()
+    rows = []
+    for qid, qv in queries:
+        dists = sorted(
+            (sum((float(x) - float(y)) ** 2 for x, y in zip(qv, cv)), cid) for cid, cv in centroids
+        )
+        cells = [cid for _, cid in dists[:nprobe]]
+        probe_cells.update(cells)
+        rows.append((qid, [float(x) for x in qv], cells))
+    q = spark.createDataFrame(rows, f"query_id long, qv array<double>, qcells array<int>").select(
+        "query_id", "qv", F.explode("qcells").alias("qcell")
+    )
+    index = spark.read.parquet(path).filter(F.col("cell").isin(sorted(probe_cells)))
+    c = index.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell")
+    scored = (
+        c.join(F.broadcast(q), F.col("cell") == F.col("qcell"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", _maybe_round(cosine(F.col("qv"), F.col("cv")), round_ndigits))
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+        keep_rank=True,
+    )
+
+
 def cosine_pairs_blocked(
     corpus: DataFrame,
     id_col: str,

@@ -25,6 +25,41 @@ def test_partition_pruning(spark, tmp_path, sf_dir):
     assert back.count() == spark.read.parquet(out).filter("o_orderstatus = 'F'").count()
 
 
+def test_ivf_index_partition_pruned_probe(spark, tmp_path, sf_dir):
+    """The stored-ANN path: ivf_write partitions the corpus by cell;
+    a probe's cell filter must land in PartitionFilters (directory
+    pruning — only probed cells are read), and stored results must
+    match the in-memory ivf_topk exactly."""
+    import re
+
+    from callysto_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_stored,
+        ivf_write,
+        kmeans_centroids,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    cents = kmeans_centroids(e, "vec_id", "embedding", k=8, iters=3, sample=512)
+    path = str(tmp_path / "ivf_index")
+    ivf_write(e, "vec_id", "embedding", cents, path)
+
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < 3).collect()
+    ]
+    stored = ivf_topk_stored(
+        spark, path, "vec_id", "embedding", queries, cents, k=10, nprobe=2
+    )
+    plan = physical_plan(stored)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan[:800]
+
+    mem = ivf_topk(e, "vec_id", "embedding", [0, 1, 2], cents, k=10, nprobe=2)
+    as_set = lambda df: {(r["query_id"], r["neighbor_id"], r["rank"]) for r in df.collect()}
+    assert as_set(stored) == as_set(mem)
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir):
     t = load(spark, sf_dir, "orders", "customer")
     bucketed_table(t["orders"].select("o_orderkey", "o_custkey", "o_totalprice"), "b_orders", ["o_custkey"], 8)
