@@ -78,3 +78,86 @@ def extract_features(
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Resize the image payloads, preserving the media schema (1→1 rows).
+
+    'stub' marks the decode→resize→re-encode codec seam; 'fake' emits a
+    deterministic payload of the target dimensions' byte budget so batch
+    shape and schema round-trip is testable. Output schema == input
+    MEDIA_SCHEMA with width/height updated — resize composes with any
+    downstream media operator.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "stub":
+                raise NotImplementedError(
+                    "real resize requires an image codec; plug PIL here "
+                    "(decode → resize((w,h)) → encode)"
+                )
+            out = pdf.copy()
+
+            def fake_resize(b: bytes | None) -> bytes:
+                # deterministic stand-in sized ~ w*h: digest-tiled bytes
+                seed = hashlib.sha256((b or b"") + f"{width}x{height}".encode()).digest()
+                need = min(width * height, 4096)
+                return (seed * (need // len(seed) + 1))[:need]
+
+            out["content"] = pdf["content"].map(fake_resize)
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, ts_ms int, content binary, width int, height int"
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 32,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Sample frames from video/audio payloads at a fixed period
+    (1→N row expansion inside the Arrow batch — the frame table stays
+    distributed; no driver involvement, no shuffle).
+
+    'stub' is the ffmpeg seam; 'fake' derives ``duration_ms/every_ms``
+    deterministic frames per row (capped at ``max_frames``), so the
+    exploding batch shape, schema, and cap are all testable. Rows with
+    no duration (e.g. still images) yield one frame at ts 0.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "stub":
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg/av; plug it here "
+                    "(demux → seek every_ms → decode frame → encode)"
+                )
+            out: dict[str, list] = {k: [] for k in ("media_id", "frame_idx", "ts_ms", "content", "width", "height")}
+            for _, row in pdf.iterrows():
+                dur = row["duration_ms"]
+                n = 1 if dur is None or pd.isna(dur) else max(1, min(int(dur) // every_ms, max_frames))
+                for i in range(n):
+                    ts = i * every_ms
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(ts)
+                    out["content"].append(
+                        hashlib.sha256((row["content"] or b"") + ts.to_bytes(8, "big")).digest()
+                    )
+                    out["width"].append(row["width"])
+                    out["height"].append(row["height"])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
