@@ -133,20 +133,51 @@ class _Opts:
         self.broker_dir = options.get("brokerdir") or options.get("brokerDir") or options["path"]
         self.topic = options["topic"]
         self.n_partitions = int(options.get("partitions", "4"))
+        # Kafka source option parity
+        self.starting_offsets = (
+            options.get("startingoffsets") or options.get("startingOffsets") or "earliest"
+        )
+        mrpt = options.get("maxrecordspertrigger") or options.get("maxRecordsPerTrigger")
+        self.max_records_per_trigger = int(mrpt) if mrpt else None
 
 
 class MemTopicStreamReader(DataSourceStreamReader):
-    """Offset model identical to Kafka's: {partition → next offset}."""
+    """Offset model identical to Kafka's: {partition → next offset}.
+
+    Option parity with the Kafka source: ``startingOffsets``
+    earliest|latest (the reference's auto.offset.reset,
+    `kafka/enums.rs`), and ``maxRecordsPerTrigger`` — per-partition
+    per-micro-batch admission cap, the backpressure knob
+    (``maxOffsetsPerTrigger`` in the Kafka source; reference D5
+    micro-batch chunking).
+    """
 
     def __init__(self, options: dict[str, str]) -> None:
         self.o = _Opts(options)
+        self._advanced: dict[str, int] | None = None  # rate-limit watermark
 
     def initialOffset(self) -> dict:
-        # earliest, like the reference's default auto.offset.reset
+        if self.o.starting_offsets == "latest":
+            return _partition_sizes(self.o.broker_dir, self.o.topic, self.o.n_partitions)
         return {str(pid): 0 for pid in range(self.o.n_partitions)}
 
     def latestOffset(self) -> dict:
-        return _partition_sizes(self.o.broker_dir, self.o.topic, self.o.n_partitions)
+        sizes = _partition_sizes(self.o.broker_dir, self.o.topic, self.o.n_partitions)
+        cap = self.o.max_records_per_trigger
+        if cap is None:
+            return sizes
+        # advance at most `cap` records per partition per micro-batch,
+        # from the last offset this reader instance admitted (starts at
+        # initialOffset; after an app restart Spark's checkpointed start
+        # still rules via partitions(start, end) intersection)
+        if self._advanced is None:
+            self._advanced = self.initialOffset()
+        end = {
+            p: min(sizes[p], self._advanced.get(p, 0) + cap) for p in sizes
+        }
+        # never regress below what exists if the watermark lags a restart
+        self._advanced = {p: max(end[p], self._advanced.get(p, 0)) for p in end}
+        return end
 
     def partitions(self, start: dict, end: dict):
         return [

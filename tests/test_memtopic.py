@@ -104,6 +104,65 @@ def test_double_agent_loop(spark, broker, tmp_path):
     assert out_df.select("partition").distinct().count() <= 2
 
 
+def test_rate_limited_micro_batches(spark, broker, tmp_path):
+    """maxRecordsPerTrigger (Kafka's maxOffsetsPerTrigger parity): an
+    availableNow drain must split into multiple micro-batches, each
+    admitting at most the cap per partition — the D5 chunking /
+    backpressure behavior."""
+    register(spark)
+    produce(broker, "rl", [(None, str(i)) for i in range(40)], n_partitions=2)
+    batch_sizes = []
+    stream = (
+        spark.readStream.format("memtopic")
+        .option("brokerDir", broker)
+        .option("topic", "rl")
+        .option("partitions", "2")
+        .option("maxRecordsPerTrigger", "5")
+        .load()
+    )
+    # Python DataSource streams fall back to single-batch under
+    # availableNow, so drain with a continuous trigger and stop when done
+    import time
+
+    q = (
+        stream.writeStream.foreachBatch(lambda df, bid: batch_sizes.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / "rl_ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while sum(batch_sizes) < 40 and time.time() < deadline:
+        time.sleep(0.3)
+    q.stop()
+    assert sum(batch_sizes) == 40
+    assert len([b for b in batch_sizes if b]) >= 4, f"expected chunked batches, got {batch_sizes}"
+    assert all(b <= 10 for b in batch_sizes), f"cap is 5/partition × 2: {batch_sizes}"
+
+
+def test_starting_offsets_latest(spark, broker, tmp_path):
+    """startingOffsets=latest: history before the stream starts is
+    skipped (auto.offset.reset parity)."""
+    register(spark)
+    produce(broker, "so", [(None, "old")] * 15, n_partitions=2)
+    seen = []
+    stream = (
+        spark.readStream.format("memtopic")
+        .option("brokerDir", broker)
+        .option("topic", "so")
+        .option("partitions", "2")
+        .option("startingOffsets", "latest")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(lambda df, bid: seen.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / "so_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sum(seen) == 0, f"latest must skip pre-start history: {seen}"
+
+
 def test_streaming_writer_path(spark, broker, tmp_path):
     """writeStream.format('memtopic') — the native streaming producer
     (DataSourceStreamWriter), mirroring the Kafka writer contract."""
