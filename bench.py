@@ -46,19 +46,85 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+    ingest = ingest_bench(spark)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if ingest is not None:
+        out["ingest_mbps"] = ingest
+    print(json.dumps(out))
     spark.stop()
+
+
+def ingest_bench(spark) -> float | None:
+    """Streaming-agent ingest throughput, methodology-matched to the
+    reference's only published number (BASELINE.md: 278.47 MB/s,
+    double-agent, 74 KB repetitive payloads, timed IN-AGENT from first
+    to last message — consumer startup excluded).
+
+    Workload: SPARK_GRAFT_INGEST_MSGS (default 10000) messages of ~72 KB
+    repeated-block text (the reference's payload was one 74-char URL
+    ×1000 — equally repetitive), staged as parquet and drained through
+    an App agent on the JVM file-stream path in 4 micro-batches; MB/s =
+    payload bytes / (last batch end − first batch start). Set the env
+    var to 0 to skip.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from callysto_spark.app import App
+    from callysto_spark.sources import SourceSpec
+
+    n = int(os.environ.get("SPARK_GRAFT_INGEST_MSGS", "10000"))
+    if n <= 0:
+        return None
+    base = tempfile.mkdtemp(prefix="callysto_ingest_")
+    try:
+        chunk = F.sha2(F.concat(F.col("id").cast("string"), F.lit("salt")), 256)
+        payload = F.repeat(chunk, 74000 // 64)
+        (
+            spark.range(n)
+            .repartition(32)
+            .select(F.col("id").alias("key"), payload.alias("value"))
+            .write.mode("overwrite")
+            .parquet(f"{base}/gen")
+        )
+        # stage flat part files (FileStreamSource wants plain files, not
+        # a writer output dir with metadata)
+        os.makedirs(f"{base}/stage")
+        for i, f_ in enumerate(sorted(os.listdir(f"{base}/gen"))):
+            if f_.endswith(".parquet"):
+                shutil.copy(f"{base}/gen/{f_}", f"{base}/stage/{i:04d}.parquet")
+        stats: dict = {"bytes": 0, "t0": None, "t1": None}
+        src = SourceSpec.parquet_stream(f"{base}/stage", schema="key long, value string")
+        src.options["maxFilesPerTrigger"] = 8
+        app = App("bench_ingest", spark=spark, checkpoint_root=f"{base}/ckpt")
+
+        @app.agent("counter", src)
+        def counter(b, ctx):
+            if stats["t0"] is None:
+                stats["t0"] = time.perf_counter()
+            stats["bytes"] += b.agg(F.sum(F.length("value"))).collect()[0][0] or 0
+            stats["t1"] = time.perf_counter()
+
+        app.run(await_termination=True, timeout=600)
+        app.stop()
+        dt = stats["t1"] - stats["t0"]
+        mbps = stats["bytes"] / (1024 * 1024) / dt
+        print(f"# ingest: {stats['bytes']/1048576:.0f} MB in {dt:.2f}s = {mbps:.1f} MB/s", file=sys.stderr)
+        return round(mbps, 1)
+    except Exception as exc:  # never fail the bench line on the extra metric
+        print(f"# ingest bench failed: {exc}", file=sys.stderr)
+        return None
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 if __name__ == "__main__":
