@@ -83,17 +83,27 @@ def cosine_topk(
 
 def _cell_structs(vec_col: str, centroids: list[tuple[int, list[float]]]) -> Column:
     """(squared-distance, centroid-id) structs for every centroid — the
-    per-row scoring array behind cell assignment and multi-probe."""
-    cells = []
-    for cid, cv in centroids:
-        carr = F.array(*[F.lit(float(x)) for x in cv])
-        d = F.aggregate(
-            F.zip_with(F.col(vec_col), carr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        cells.append(F.struct(d.alias("dist"), F.lit(cid).alias("cid")))
-    return F.array(*cells)
+    per-row scoring array behind cell assignment and multi-probe.
+
+    The centroid matrix is ONE 2-D array literal scored with an indexed
+    ``transform`` — O(1) plan nodes however many centroids there are.
+    (The unrolled per-centroid expression alternative grows the plan
+    linearly in k: slow to analyze at k=8, impossible at the k≈4096 a
+    100 TB index wants.)
+    """
+    matrix = F.lit([[float(x) for x in cv] for _, cv in centroids])
+    cids = F.lit([int(cid) for cid, _ in centroids])
+    return F.transform(
+        matrix,
+        lambda cv, i: F.struct(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), cv, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dist"),
+            F.element_at(cids, i + 1).alias("cid"),
+        ),
+    )
 
 
 def ivf_assign(
