@@ -126,13 +126,23 @@ def ngram_jaccard_pairs(
     from callysto_spark.operators.util import ensure_parallelism
 
     g_rows = shingle_rows(ensure_parallelism(df), id_col, text_col, n)
-    sh = g_rows.withColumn("n_sh", F.count("*").over(Window.partitionBy("doc"))).persist()
+    sh = g_rows.withColumn("n_sh", F.count("*").over(Window.partitionBy("doc")))
     if max_doc_freq is not None:
-        # drop stop-shingles before pairing — the near-linear scale path
-        freq = sh.groupBy("g").agg(F.count("*").alias("df_"))
-        sh = sh.join(F.broadcast(freq.filter(F.col("df_") <= max_doc_freq)), "g").drop("df_")
-        # sizes intentionally stay the FULL set sizes (standard filtered-
-        # candidate jaccard still divides by true union)
+        # Document-frequency prune as a WINDOW over the shingle key: the
+        # pair join shuffles on g anyway, so the df count rides the same
+        # partitioning (measured faster than a groupBy+broadcast-join
+        # prune, which pays a separate aggregation job). Drops
+        # stop-shingles (> max_doc_freq — the near-linear scale path)
+        # AND df==1 shingles, which cannot produce a pair (that part is
+        # result-identical). n_sh stays the FULL set size — standard
+        # filtered-candidate jaccard divides by the true union.
+        df_g = F.count("*").over(Window.partitionBy("g"))
+        sh = (
+            sh.withColumn("__df", df_g)
+            .filter((F.col("__df") >= 2) & (F.col("__df") <= max_doc_freq))
+            .drop("__df")
+        )
+    sh = sh.persist()
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
