@@ -81,6 +81,33 @@ def test_cosine_topk_no_cartesian_blowup(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+# Intentional broadcast nested-loop joins: a tiny broadcast side crossed
+# onto the fact (scalar subqueries, broadcast query vectors). Anything
+# else showing a BNLJ is an unintended plan regression.
+BNLJ_ALLOWED = {
+    "emb_cosine_topk",  # broadcast query vectors × corpus (scored scan)
+    "q22_idle_rich_customers",  # broadcast 1-row avg × customer
+    "q15_top_supplier",  # broadcast 1-row max × revenue (may plan as BHJ)
+}
+
+
+def test_registry_wide_plan_sweep(spark, sf_dir):
+    """Every registered query, every round: no CartesianProduct
+    anywhere, and broadcast nested-loop joins only where a tiny
+    broadcast side is the intended plan. Catches scale-killer
+    regressions in queries that have no dedicated plan test."""
+    failures = []
+    for name in sorted(REGISTRY):
+        from callysto_spark.plans import physical_plan
+
+        plan = physical_plan(REGISTRY[name].fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+    assert not failures, failures
+
+
 def test_deciles_no_global_window_funnel(spark, sf_dir):
     """user_spend_deciles must not funnel the per-user aggregate through
     one task: the data path range-partitions; the only SinglePartition
