@@ -232,6 +232,51 @@ def user_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_user_salted_counts",
+    oracle="""
+SELECT user_id, count(*) AS count
+FROM events GROUP BY user_id
+""",
+)
+def events_user_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py): count by
+    (key, salt) then re-aggregate by key — the skewed-aggregation
+    rewrite AQE cannot do (it only splits join partitions). Oracle is
+    the plain GROUP BY count the rewrite must exactly reproduce."""
+    from callysto_spark.operators.skew import salted_count
+
+    e = load(spark, sf_dir, "events")["events"]
+    return salted_count(e, ["user_id"], salt=16)
+
+
+@register("events_value_quantile_sketch", oracle=None)
+def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-family aggregates per event type: approx_percentile
+    (Greenwald-Khanna) + approx_count_distinct (HLL++). Deterministic
+    for a fixed dataset but engine-specific in boundary choices ⇒
+    rows-only check (like approx_distinct_parts); the exact-percentile
+    twin is price_quartiles_by_segment."""
+    e = load(spark, sf_dir, "events")["events"]
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("value_q"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.col("value_q")[0].alias("p50"),
+            F.col("value_q")[1].alias("p90"),
+            F.col("value_q")[2].alias("p99"),
+            "approx_users",
+            "n",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "events_changelog_materialize",
     oracle="""
 WITH ch AS (
