@@ -163,6 +163,56 @@ def test_starting_offsets_latest(spark, broker, tmp_path):
     assert sum(seen) == 0, f"latest must skip pre-start history: {seen}"
 
 
+def test_topic_to_stateful_table(spark, broker, tmp_path):
+    """The reference's core table workload: consume a topic, update a
+    keyed changelog table, emit updates — memtopic source → CTable
+    (GroupState) → parquet sink, with offset-correct restart."""
+    import pandas as pd
+
+    out_dir = str(tmp_path / "out")
+    produce(broker, "kv", [(f"u{i % 3}", "1") for i in range(30)], n_partitions=4)
+
+    def make_app():
+        a = App("kv_app", spark=spark, checkpoint_root=str(tmp_path / "ckpt"))
+        src = SourceSpec.memtopic("kv", broker, partitions=4)
+        table = a.table("user_counts", key_schema="key string", value_schema="cnt long")
+        table.output_schema = "key string, cnt long"
+
+        @a.table_agent(
+            "kv_agent",
+            src,
+            table,
+            sink=lambda b: b.write.mode("append").parquet(out_dir),
+        )
+        def kv_agent(key, pdf, state):
+            prev = state.get()
+            cnt = (prev[0] if prev else 0) + len(pdf)
+            state.set(cnt)
+            return pd.DataFrame({"key": [key[0]], "cnt": [cnt]})
+
+        return a
+
+    a1 = make_app()
+    a1.run(await_termination=True, timeout=120)
+    a1.stop()
+    latest = {
+        r["key"]: r["cnt"]
+        for r in spark.read.parquet(out_dir).groupBy("key").agg(F.max("cnt").alias("cnt")).collect()
+    }
+    assert latest == {"u0": 10, "u1": 10, "u2": 10}
+
+    # more messages for one key; state must continue from the table
+    produce(broker, "kv", [("u1", "1")] * 5, n_partitions=4)
+    a2 = make_app()
+    a2.run(await_termination=True, timeout=120)
+    a2.stop()
+    latest = {
+        r["key"]: r["cnt"]
+        for r in spark.read.parquet(out_dir).groupBy("key").agg(F.max("cnt").alias("cnt")).collect()
+    }
+    assert latest == {"u0": 10, "u1": 15, "u2": 10}
+
+
 def test_streaming_writer_path(spark, broker, tmp_path):
     """writeStream.format('memtopic') — the native streaming producer
     (DataSourceStreamWriter), mirroring the Kafka writer contract."""

@@ -50,6 +50,30 @@ def test_global_ntile_more_buckets_than_rows(spark):
     assert got == {0: 1, 1: 2, 2: 3, 3: 4}
 
 
+def test_global_ntile_property_random_data(spark):
+    """Property check across sizes, bucket counts and duplicate-heavy
+    value distributions: global_ntile must equal window ntile exactly
+    (ties broken by the id column in both)."""
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        n = rng.choice([1, 7, 64, 257])
+        k = rng.choice([2, 5, 10, 16])
+        rows = [(i, rng.choice([0.0, 1.5, 2.5, rng.random() * 10])) for i in range(n)]
+        df = spark.createDataFrame(rows, ["id", "v"]).repartition(5)
+        order = [F.col("v").desc(), F.col("id")]
+        expect = {
+            r["id"]: r["b"]
+            for r in df.withColumn("b", F.ntile(k).over(Window.orderBy(*order))).collect()
+        }
+        got = {
+            r["id"]: r["bucket"]
+            for r in global_ntile(df, order, k, num_partitions=4).collect()
+        }
+        assert got == expect, f"trial {trial}: n={n} k={k}"
+
+
 def test_word_shingles_short_doc_no_ansi_crash(spark):
     """Docs shorter than n tokens must yield one truncated shingle, not
     an INVALID_ARRAY_INDEX_IN_ELEMENT_AT error (try_element_at path)."""
