@@ -109,16 +109,42 @@ def _avro_functions():
         ) from exc
 
 
-def decode_avro(col: Column | str, schema_json: str) -> Column:
-    """Binary Avro payload column → struct column (S3/S4/S5)."""
-    from_avro, _ = _avro_functions()
-    return from_avro(col, schema_json)
+def decode_avro(col: Column | str, schema_json: str, engine: str = "auto") -> Column:
+    """Binary Avro payload column → struct column (S3/S4/S5).
+
+    ``engine``: 'jvm' = spark-avro's from_avro (fastest, needs the jar);
+    'python' = the pure-Python Arrow-batched codec (serde/avro_py.py, no
+    jar); 'auto' = jvm if the jar is present, else python — so the Avro
+    path always RUNS, jar or not.
+    """
+    if engine in ("auto", "jvm"):
+        try:
+            from_avro, _ = _avro_functions()
+            return from_avro(col, schema_json)
+        except RuntimeError:
+            if engine == "jvm":
+                raise
+    from callysto_spark.serde.avro_py import decode_avro_udf
+
+    return decode_avro_udf(schema_json)(F.col(col) if isinstance(col, str) else col)
 
 
-def encode_avro(col: Column) -> Column:
-    """Struct column → binary Avro payload (S7 sink encoding)."""
-    _, to_avro = _avro_functions()
-    return to_avro(col)
+def encode_avro(col: Column, schema_json: str | None = None, engine: str = "auto") -> Column:
+    """Struct column → binary Avro payload (S7 sink encoding).
+    The python engine needs ``schema_json`` (the jar derives it from the
+    column type)."""
+    if engine in ("auto", "jvm"):
+        try:
+            _, to_avro = _avro_functions()
+            return to_avro(col)
+        except RuntimeError:
+            if engine == "jvm":
+                raise
+    if schema_json is None:
+        raise ValueError("encode_avro without the spark-avro jar needs schema_json")
+    from callysto_spark.serde.avro_py import encode_avro_udf
+
+    return encode_avro_udf(schema_json)(col)
 
 
 def decode_json(col: Column | str, schema_json: str) -> Column:

@@ -1,0 +1,268 @@
+"""Pure-Python Avro binary codec — jar-free S3/S4 decode for real.
+
+The reference deserializes Kafka Avro payloads natively
+(`callysto-avro/src/avro.rs:31-198`); Spark's `from_avro` needs the
+spark-avro jar, which pip-installed pyspark doesn't ship. The Avro
+binary encoding itself is a small public spec (zigzag varints, length-
+prefixed bytes, fields in schema order), so this module implements it
+directly and exposes `decode_avro_udf` — an Arrow-batched pandas UDF
+that turns a binary payload column into a typed struct column with the
+StructType derived from the SAME schema by `avro_schema_to_spark`.
+
+Supported (the subset `avro_schema_to_spark` maps): null, boolean,
+int, long, float, double, bytes, string, record, array, map, enum,
+fixed, union-with-null, logical timestamp-micros/millis and date.
+Schema evolution/resolution (reader≠writer schema) is out of scope —
+payloads must be written with the schema they're read with, which is
+the reference's single-schema situation too.
+
+Scale shape: decode happens executor-side per Arrow batch (one Python
+crossing), embarrassingly parallel, no shuffle.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import struct as _struct
+from typing import Any
+
+# module-scope: pandas_udf resolves the (stringified, because of the
+# __future__ import) type hints against module globals
+import pandas as pd
+
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+
+
+# --------------------------------------------------------------- decoding
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        b = self.buf[self.pos : self.pos + n]
+        if len(b) != n:
+            raise ValueError("truncated avro payload")
+        self.pos += n
+        return b
+
+    def read_long(self) -> int:
+        # zigzag varint
+        shift = 0
+        acc = 0
+        while True:
+            byte = self.buf[self.pos]
+            self.pos += 1
+            acc |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)
+
+
+def _decode(r: _Reader, schema: Any) -> Any:
+    if isinstance(schema, str):
+        t = schema
+    elif isinstance(schema, list):  # union: long index then value
+        idx = r.read_long()
+        return _decode(r, schema[idx])
+    else:
+        t = schema["type"]
+        logical = schema.get("logicalType")
+        if logical == "timestamp-micros":
+            return _dt.datetime.utcfromtimestamp(0) + _dt.timedelta(microseconds=r.read_long())
+        if logical == "timestamp-millis":
+            return _dt.datetime.utcfromtimestamp(0) + _dt.timedelta(milliseconds=r.read_long())
+        if logical == "date":
+            return _EPOCH_DATE + _dt.timedelta(days=r.read_long())
+        if t == "record":
+            return {f["name"]: _decode(r, f["type"]) for f in schema["fields"]}
+        if t == "array":
+            out = []
+            while True:
+                n = r.read_long()
+                if n == 0:
+                    return out
+                if n < 0:  # block with byte size prefix
+                    r.read_long()
+                    n = -n
+                out.extend(_decode(r, schema["items"]) for _ in range(n))
+        if t == "map":
+            out_m: dict[str, Any] = {}
+            while True:
+                n = r.read_long()
+                if n == 0:
+                    return out_m
+                if n < 0:
+                    r.read_long()
+                    n = -n
+                for _ in range(n):
+                    k = r.read(r.read_long()).decode("utf-8")
+                    out_m[k] = _decode(r, schema["values"])
+        if t == "enum":
+            return schema["symbols"][r.read_long()]
+        if t == "fixed":
+            return r.read(schema["size"])
+        return _decode(r, t)
+    if t == "null":
+        return None
+    if t == "boolean":
+        return r.read(1) != b"\x00"
+    if t in ("int", "long"):
+        return r.read_long()
+    if t == "float":
+        return _struct.unpack("<f", r.read(4))[0]
+    if t == "double":
+        return _struct.unpack("<d", r.read(8))[0]
+    if t == "bytes":
+        return bytes(r.read(r.read_long()))
+    if t == "string":
+        return r.read(r.read_long()).decode("utf-8")
+    raise ValueError(f"unsupported avro type: {t}")
+
+
+def decode_record(payload: bytes, schema: dict | str) -> dict:
+    """One Avro-binary record → dict (schema = parsed JSON or string)."""
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+    return _decode(_Reader(payload), schema)
+
+
+# --------------------------------------------------------------- encoding
+def _zigzag(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _encode(value: Any, schema: Any, out: bytearray) -> None:
+    if isinstance(schema, str):
+        t = schema
+    elif isinstance(schema, list):  # union: pick null vs the non-null branch
+        if value is None:
+            idx = schema.index("null")
+            out += _zigzag(idx)
+            return
+        idx = next(i for i, s in enumerate(schema) if s != "null")
+        out += _zigzag(idx)
+        _encode(value, schema[idx], out)
+        return
+    else:
+        t = schema["type"]
+        logical = schema.get("logicalType")
+        if logical in ("timestamp-micros", "timestamp-millis"):
+            epoch = _dt.datetime.utcfromtimestamp(0)
+            delta = value - epoch
+            us = delta // _dt.timedelta(microseconds=1)
+            out += _zigzag(us if logical == "timestamp-micros" else us // 1000)
+            return
+        if logical == "date":
+            out += _zigzag((value - _EPOCH_DATE).days)
+            return
+        if t == "record":
+            for f in schema["fields"]:
+                _encode(value[f["name"]], f["type"], out)
+            return
+        if t == "array":
+            # len() check, not truthiness: Arrow hands numpy arrays here
+            if value is not None and len(value) > 0:
+                out += _zigzag(len(value))
+                for v in value:
+                    _encode(v, schema["items"], out)
+            out += _zigzag(0)
+            return
+        if t == "map":
+            if value is not None and len(value) > 0:
+                out += _zigzag(len(value))
+                for k, v in value.items():
+                    kb = k.encode("utf-8")
+                    out += _zigzag(len(kb)) + kb
+                    _encode(v, schema["values"], out)
+            out += _zigzag(0)
+            return
+        if t == "enum":
+            out += _zigzag(schema["symbols"].index(value))
+            return
+        if t == "fixed":
+            out += value
+            return
+        _encode(value, t, out)
+        return
+    if t == "null":
+        return
+    if t == "boolean":
+        out += b"\x01" if value else b"\x00"
+    elif t in ("int", "long"):
+        out += _zigzag(int(value))
+    elif t == "float":
+        out += _struct.pack("<f", value)
+    elif t == "double":
+        out += _struct.pack("<d", value)
+    elif t == "bytes":
+        out += _zigzag(len(value)) + bytes(value)
+    elif t == "string":
+        vb = value.encode("utf-8")
+        out += _zigzag(len(vb)) + vb
+    else:
+        raise ValueError(f"unsupported avro type: {t}")
+
+
+def encode_record(value: dict, schema: dict | str) -> bytes:
+    """dict → Avro-binary record bytes."""
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+    out = bytearray()
+    _encode(value, schema, out)
+    return bytes(out)
+
+
+# ------------------------------------------------------- Spark integration
+def decode_avro_udf(schema_json: str):
+    """Arrow-batched pandas UDF: binary Avro payload column → struct
+    column typed by ``avro_schema_to_spark(schema_json)``. The jar-free
+    counterpart of ``from_avro`` (use ``decode_avro`` when the
+    spark-avro jar is on the classpath — JVM-side is faster)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from callysto_spark.serde.avro import avro_schema_to_spark
+
+    spark_type = avro_schema_to_spark(schema_json)
+    schema = json.loads(schema_json)
+    field_names = [f.name for f in spark_type.fields]
+
+    @pandas_udf(spark_type)
+    def _decode_series(payloads: pd.Series) -> pd.DataFrame:
+        records = [
+            {k: None for k in field_names} if b is None else decode_record(bytes(b), schema)
+            for b in payloads
+        ]
+        return pd.DataFrame(records, columns=field_names)
+
+    return _decode_series
+
+
+def encode_avro_udf(schema_json: str):
+    """Arrow-batched pandas UDF: struct column → binary Avro payloads
+    (jar-free ``to_avro`` counterpart, for the S7 sink path)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    schema = json.loads(schema_json)
+
+    @pandas_udf(BinaryType())
+    def _encode_series(structs: pd.DataFrame) -> pd.Series:
+        return pd.Series(
+            [encode_record(row.to_dict(), schema) for _, row in structs.iterrows()]
+        )
+
+    return _encode_series

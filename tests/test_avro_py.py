@@ -1,0 +1,89 @@
+"""Pure-Python Avro binary codec: spec-vector pins, round-trips, and
+the jar-free Spark decode/encode path (serde/avro_py.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import functions as F
+
+from callysto_spark.serde.avro_py import (
+    decode_avro_udf,
+    decode_record,
+    encode_avro_udf,
+    encode_record,
+)
+
+SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "Event",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": "double"},
+            {"name": "tag", "type": ["null", "string"]},
+            {"name": "nums", "type": {"type": "array", "items": "int"}},
+            {"name": "attrs", "type": {"type": "map", "values": "string"}},
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            },
+        ],
+    }
+)
+
+
+def test_spec_byte_vectors():
+    """Pin the wire format against hand-computed Avro-spec encodings —
+    proves spec compliance, not just self-inverseness."""
+    s = {"type": "record", "name": "R", "fields": [{"name": "a", "type": "long"}, {"name": "b", "type": "string"}]}
+    # zigzag(27) = 54 = 0x36 ; "foo" = len 3 → 0x06 + bytes
+    assert encode_record({"a": 27, "b": "foo"}, s) == b"\x36\x06foo"
+    assert decode_record(b"\x36\x06foo", s) == {"a": 27, "b": "foo"}
+    long_s = {"type": "record", "name": "L", "fields": [{"name": "v", "type": "long"}]}
+    for value, wire in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"), (-64, b"\x7f"), (64, b"\x80\x01")]:
+        assert encode_record({"v": value}, long_s) == wire, value
+        assert decode_record(wire, long_s) == {"v": value}
+
+
+def test_round_trip_nested():
+    rec = {
+        "id": 42,
+        "name": "naïve ✓",
+        "score": 2.5,
+        "tag": None,
+        "nums": [1, -2, 300],
+        "attrs": {"k1": "v1", "k2": "v2"},
+        "ts": dt.datetime(2026, 8, 13, 12, 0, 0, 123456),
+    }
+    assert decode_record(encode_record(rec, SCHEMA), SCHEMA) == rec
+    rec2 = dict(rec, tag="present", nums=[], attrs={})
+    assert decode_record(encode_record(rec2, SCHEMA), SCHEMA) == rec2
+
+
+def test_spark_decode_encode_path(spark):
+    """Binary payload column → typed struct → re-encoded payloads, all
+    executor-side (the jar-free S3/S4/S7 path)."""
+    recs = [
+        {"id": i, "name": f"n{i}", "score": i / 4, "tag": None if i % 2 else f"t{i}",
+         "nums": [i, i + 1], "attrs": {"i": str(i)},
+         "ts": dt.datetime(2026, 1, 1) + dt.timedelta(seconds=i)}
+        for i in range(50)
+    ]
+    payloads = [(encode_record(r, SCHEMA),) for r in recs]
+    df = spark.createDataFrame(payloads, "payload binary").repartition(4)
+    decoded = df.select(decode_avro_udf(SCHEMA)(F.col("payload")).alias("r")).select("r.*")
+    rows = {r["id"]: r for r in decoded.collect()}
+    assert len(rows) == 50
+    assert rows[3]["name"] == "n3" and rows[3]["tag"] is None and rows[2]["tag"] == "t2"
+    assert rows[7]["nums"] == [7, 8] and rows[7]["attrs"] == {"i": "7"}
+    assert rows[9]["ts"] == dt.datetime(2026, 1, 1, 0, 0, 9)
+    # encode back: payload bytes must round-trip exactly
+    reenc = decoded.select(
+        encode_avro_udf(SCHEMA)(F.struct(*[F.col(f) for f in decoded.columns])).alias("payload")
+    )
+    got = sorted(bytes(r["payload"]) for r in reenc.collect())
+    want = sorted(p[0] for p in payloads)
+    assert got == want
