@@ -109,21 +109,42 @@ def _avro_functions():
         ) from exc
 
 
+_JAR_LOADED: bool | None = None
+
+
+def avro_jar_loaded() -> bool:
+    """True iff the spark-avro data source is on the active session's
+    classpath. (The Python `from_avro` wrapper imports and even builds a
+    Column without it — the AVRO_NOT_LOADED failure only fires at
+    analysis — so 'auto' engine selection needs this explicit probe.)"""
+    global _JAR_LOADED
+    if _JAR_LOADED is None:
+        try:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            jvm = spark._jvm  # type: ignore[union-attr]
+            # AvroDataSourceV2 ships only in the spark-avro jar;
+            # a few avro shim classes (AvroFileFormat) are bundled in
+            # spark-sql even without it, so probe the V2 source class
+            jvm.java.lang.Class.forName("org.apache.spark.sql.avro.AvroDataSourceV2")
+            _JAR_LOADED = True
+        except Exception:
+            _JAR_LOADED = False
+    return _JAR_LOADED
+
+
 def decode_avro(col: Column | str, schema_json: str, engine: str = "auto") -> Column:
     """Binary Avro payload column → struct column (S3/S4/S5).
 
     ``engine``: 'jvm' = spark-avro's from_avro (fastest, needs the jar);
     'python' = the pure-Python Arrow-batched codec (serde/avro_py.py, no
-    jar); 'auto' = jvm if the jar is present, else python — so the Avro
+    jar); 'auto' = jvm if the jar is loaded, else python — so the Avro
     path always RUNS, jar or not.
     """
-    if engine in ("auto", "jvm"):
-        try:
-            from_avro, _ = _avro_functions()
-            return from_avro(col, schema_json)
-        except RuntimeError:
-            if engine == "jvm":
-                raise
+    if engine == "jvm" or (engine == "auto" and avro_jar_loaded()):
+        from_avro, _ = _avro_functions()
+        return from_avro(col, schema_json)
     from callysto_spark.serde.avro_py import decode_avro_udf
 
     return decode_avro_udf(schema_json)(F.col(col) if isinstance(col, str) else col)
@@ -133,13 +154,9 @@ def encode_avro(col: Column, schema_json: str | None = None, engine: str = "auto
     """Struct column → binary Avro payload (S7 sink encoding).
     The python engine needs ``schema_json`` (the jar derives it from the
     column type)."""
-    if engine in ("auto", "jvm"):
-        try:
-            _, to_avro = _avro_functions()
-            return to_avro(col)
-        except RuntimeError:
-            if engine == "jvm":
-                raise
+    if engine == "jvm" or (engine == "auto" and avro_jar_loaded()):
+        _, to_avro = _avro_functions()
+        return to_avro(col)
     if schema_json is None:
         raise ValueError("encode_avro without the spark-avro jar needs schema_json")
     from callysto_spark.serde.avro_py import encode_avro_udf

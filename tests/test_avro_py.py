@@ -63,6 +63,27 @@ def test_round_trip_nested():
     assert decode_record(encode_record(rec2, SCHEMA), SCHEMA) == rec2
 
 
+def test_auto_engine_selects_runnable_path(spark):
+    """decode_avro/encode_avro engine='auto' must produce columns that
+    actually EXECUTE in this image (no spark-avro jar → python codec).
+    The jar's absence only surfaces at analysis time, so this guards the
+    capability probe, not just imports."""
+    from callysto_spark.serde.avro import decode_avro, encode_avro
+
+    s = json.dumps(
+        {"type": "record", "name": "R", "fields": [{"name": "v", "type": "long"}]}
+    )
+    df = spark.createDataFrame([(encode_record({"v": i}, s),) for i in range(5)], "p binary")
+    total = df.select(decode_avro("p", s).alias("r")).agg(F.sum("r.v")).collect()[0][0]
+    assert total == 10
+    back = df.select(decode_avro("p", s).alias("r")).select(
+        encode_avro(F.struct(F.col("r.v").alias("v")), s).alias("p")
+    )
+    assert sorted(bytes(r["p"]) for r in back.collect()) == sorted(
+        encode_record({"v": i}, s) for i in range(5)
+    )
+
+
 def test_spark_decode_encode_path(spark):
     """Binary payload column → typed struct → re-encoded payloads, all
     executor-side (the jar-free S3/S4/S7 path)."""
