@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from callysto_spark.functions import fixed_sum
 from callysto_spark.queries import register
 from callysto_spark.serde import decode_json, encode_json
 from callysto_spark.tables import load
@@ -44,6 +45,39 @@ def raw_messages(spark: SparkSession, sf_dir: str, partitions: int = 4) -> DataF
     )
     w = Window.partitionBy("partition").orderBy("timestamp", "event_id")
     return msg.withColumn("offset", F.row_number().over(w).cast("long") - 1).drop("event_id")
+
+
+@register(
+    "avro_roundtrip_stats",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(event_id) AS BIGINT) AS sum_id,
+       MSUM(value) AS total_value
+FROM events GROUP BY event_type
+""",
+)
+def avro_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4 Avro serde through the correctness gate: encode each event
+    struct to Avro BINARY with the pure-Python codec, decode it back
+    (engine='auto' — the jar-free path in this image), aggregate the
+    decoded rows. encode∘decode must be the identity, so the oracle is
+    the straight aggregation over events — any wire-format defect
+    breaks the hash."""
+    from callysto_spark.serde.avro import decode_avro, encode_avro
+
+    e = load(spark, sf_dir, "events")["events"]
+    payload = encode_avro(
+        F.struct("event_id", "user_id", "event_type", "value"), MESSAGE_AVRO_SCHEMA
+    )
+    decoded = e.select(payload.alias("p")).select(
+        decode_avro("p", MESSAGE_AVRO_SCHEMA).alias("r")
+    ).select("r.*")
+    return decoded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sum_id"),
+        fixed_sum("value").alias("total_value"),
+    )
 
 
 @register("raw_message_decode_stats", oracle=None)
