@@ -233,6 +233,39 @@ def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q11_important_parts",
+    oracle="""
+WITH pv AS (
+  SELECT l_partkey, MSUM(l_extendedprice * (1 - l_discount)) AS part_value
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT MSUM(l_extendedprice * (1 - l_discount)) AS total_value FROM lineitem)
+SELECT l_partkey, part_value
+FROM pv CROSS JOIN tot
+WHERE part_value > 0.0005 * total_value
+""",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose value exceeds a FRACTION of the
+    global total (HAVING sum > k·total). The global total is a 1-row
+    aggregate broadcast-crossed onto the per-part aggregate — in-plan,
+    no driver round-trip; both sums are exact scaled integers so the
+    threshold compare is deterministic."""
+    t = load(spark, sf_dir, "lineitem")
+    pv = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(fixed_sum(REV()).alias("part_value"))
+    )
+    tot = t["lineitem"].agg(fixed_sum(REV()).alias("total_value"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") > F.lit(0.0005) * F.col("total_value"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@register(
     "q21_waiting_suppliers",
     oracle="""
 WITH late AS (

@@ -36,6 +36,29 @@ class TopicSpec:
         return cfg
 
 
+def declare_memtopic(spec: TopicSpec, broker_dir: str) -> dict:
+    """Declare a topic on the jar-free memtopic broker (idempotent):
+    creates the topic dir + empty partition logs and records the spec's
+    config next to them — the runnable twin of Kafka topic_declare
+    (reference `kafka/ctopic.rs:91-119`), so changelog-style topics can
+    be auto-created in tests/dev exactly as the reference does."""
+    import json
+    import os
+
+    from callysto_spark.sources.memtopic import _log_path, _topic_dir
+
+    tdir = _topic_dir(broker_dir, spec.name)
+    os.makedirs(tdir, exist_ok=True)
+    for pid in range(spec.partitions):
+        path = _log_path(broker_dir, spec.name, pid)
+        if not os.path.exists(path):
+            open(path, "a").close()
+    meta = {"partitions": spec.partitions, **spec.config}
+    with open(os.path.join(tdir, "_config.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
 def declare_topic(spec: TopicSpec, bootstrap_servers: str = "localhost:9092") -> None:
     """Create the topic if absent (idempotent, like the reference's
     topic_declare)."""

@@ -163,6 +163,22 @@ def test_starting_offsets_latest(spark, broker, tmp_path):
     assert sum(seen) == 0, f"latest must skip pre-start history: {seen}"
 
 
+def test_declare_memtopic_idempotent(spark, broker):
+    """S10 topic admin against the runnable broker: partition logs
+    created, config recorded, re-declare is a no-op, and produced data
+    survives re-declaration."""
+    from callysto_spark.sources.admin import TopicSpec, declare_memtopic
+
+    spec = TopicSpec("changelog", partitions=3, compacting=True, retention_ms=1000)
+    meta = declare_memtopic(spec, broker)
+    assert meta["cleanup.policy"] == "compact,delete" and meta["partitions"] == 3
+    produce(broker, "changelog", [("k", "v")], n_partitions=3)
+    declare_memtopic(spec, broker)  # idempotent
+    register(spark)
+    df = spark.read.format("memtopic").option("brokerDir", broker).option("topic", "changelog").option("partitions", "3").load()
+    assert df.count() == 1
+
+
 def test_topic_to_stateful_table(spark, broker, tmp_path):
     """The reference's core table workload: consume a topic, update a
     keyed changelog table, emit updates — memtopic source → CTable

@@ -88,6 +88,7 @@ BNLJ_ALLOWED = {
     "emb_cosine_topk",  # broadcast query vectors × corpus (scored scan)
     "q22_idle_rich_customers",  # broadcast 1-row avg × customer
     "q15_top_supplier",  # broadcast 1-row max × revenue (may plan as BHJ)
+    "q11_important_parts",  # broadcast 1-row global total × per-part agg
 }
 
 
