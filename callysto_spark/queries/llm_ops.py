@@ -312,6 +312,71 @@ def doc_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, "doc_id", "text", n=4, threshold=0.005, max_doc_freq=20)
 
 
+_JACCARD_EDGES_SQL = r"""
+WITH sh AS (
+  SELECT doc_id AS doc, unnest(list_distinct(
+           [array_to_string(toks[i:i+3], ' ')
+            for i in range(1, greatest(length(toks) - 3, 1) + 1)])) AS g
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  JOIN sizes na ON doc_a = na.doc
+  JOIN sizes nb ON doc_b = nb.doc
+  WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= 0.05
+)
+"""
+
+
+@register(
+    "doc_near_dup_components",
+    # RECURSIVE prefixes the whole WITH clause (legal for the
+    # non-recursive CTEs too); only `reach` actually recurses.
+    oracle=_JACCARD_EDGES_SQL.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
+    + """,
+sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION SELECT doc_b, doc_a FROM edges),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (
+  SELECT a AS vertex, least(a, min(b)) AS component
+  FROM reach GROUP BY a
+)
+SELECT component, count(*) AS n_docs,
+       CAST(min(vertex) AS BIGINT) AS min_doc, CAST(max(vertex) AS BIGINT) AS max_doc
+FROM comp GROUP BY component
+""",
+)
+def doc_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate GROUPS: Jaccard pairs (threshold 0.05) clustered
+    into connected components by iterative min-label propagation
+    (operators/graph.py — Spark's answer to a recursive CTE: the loop is
+    driver control flow, every iteration a distributed join+agg). The
+    DuckDB oracle computes the same components via WITH RECURSIVE
+    transitive closure — two entirely different algorithms, one answer."""
+    from callysto_spark.operators.graph import connected_components
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    edges = ngram_jaccard_pairs(d, "doc_id", "text", n=4, threshold=0.05).select(
+        "doc_a", "doc_b"
+    )
+    comps = connected_components(edges, "doc_a", "doc_b")
+    return comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("vertex").alias("min_doc"),
+        F.max("vertex").alias("max_doc"),
+    )
+
+
 @register("doc_minhash_lsh_pairs", oracle=None)
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands × 4 rows) candidate pairs. xxhash64 is

@@ -74,6 +74,21 @@ def test_global_ntile_property_random_data(spark):
         assert got == expect, f"trial {trial}: n={n} k={k}"
 
 
+def test_connected_components_hand_graph(spark):
+    """Chain + triangle + isolated pair: every vertex must converge to
+    the component's minimum id, including chains longer than one
+    propagation round."""
+    from callysto_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5 (diameter > 1 round), triangle 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (21, 20)],
+        ["src", "dst"],
+    ).repartition(4)
+    got = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
 def test_word_shingles_short_doc_no_ansi_crash(spark):
     """Docs shorter than n tokens must yield one truncated shingle, not
     an INVALID_ARRAY_INDEX_IN_ELEMENT_AT error (try_element_at path)."""
