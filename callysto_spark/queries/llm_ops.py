@@ -377,6 +377,50 @@ def doc_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_near_dup_survivor_stats",
+    oracle=_JACCARD_EDGES_SQL.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
+    + """,
+sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION SELECT doc_b, doc_a FROM edges),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (
+  SELECT a AS vertex, least(a, min(b)) AS component
+  FROM reach GROUP BY a
+),
+dropped AS (SELECT vertex FROM comp WHERE vertex <> component)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT vertex FROM dropped)
+GROUP BY lang
+""",
+)
+def doc_near_dup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete near-dup dedup pipeline: Jaccard pairs → connected
+    components → drop every non-canonical member (survivor = the
+    component's min doc_id) → per-language stats of the surviving
+    corpus. Pairs + components + an anti join — end to end, each stage
+    individually oracle-verified by its own registry query."""
+    from callysto_spark.operators.graph import connected_components
+
+    d = load(spark, sf_dir, "documents")["documents"]
+    edges = ngram_jaccard_pairs(d, "doc_id", "text", n=4, threshold=0.05).select(
+        "doc_a", "doc_b"
+    )
+    comps = connected_components(edges, "doc_a", "doc_b")
+    dropped = comps.filter(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias("doc_id")
+    )
+    survivors = d.join(dropped, "doc_id", "left_anti")
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
 @register("doc_minhash_lsh_pairs", oracle=None)
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands × 4 rows) candidate pairs. xxhash64 is
