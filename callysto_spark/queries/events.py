@@ -232,6 +232,45 @@ def user_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_interval_join_clicks",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       count(c.event_id) AS clicks_5m,
+       CAST(coalesce(max(c.event_id), -1) AS BIGINT) AS last_click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 5 MINUTE AND c.ts < p.ts
+GROUP BY p.event_id
+""",
+)
+def events_interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (time-band) join, batch twin of the stream-stream
+    interval join in tests/test_streaming.py: every purchase joined to
+    the same user's clicks in the preceding 5 minutes. The equi key
+    (user_id) keeps it a plain shuffled hash join with the band as a
+    residual filter — no range-join blowup."""
+    e = load(spark, sf_dir, "events")["events"]
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    joined = p.join(
+        c,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("cts") < F.col("pts")),
+        "left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("click_id").alias("clicks_5m"),
+        F.coalesce(F.max("click_id"), F.lit(-1)).alias("last_click_id"),
+    )
+
+
+@register(
     "events_user_salted_counts",
     oracle="""
 SELECT user_id, count(*) AS count

@@ -431,6 +431,34 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(sigs, bands=16, rows_per_band=4).orderBy("doc_a", "doc_b")
 
 
+@register(
+    "doc_stratified_sample",
+    oracle="""
+SELECT lang, count(*) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS sample_chars,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM documents
+WHERE doc_id % 10 = 3
+GROUP BY lang
+""",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% stratified sample per language via key-mod
+    selection — the reproducible sampling a training-data pipeline needs
+    (TABLESAMPLE/rand() are engine- and seed-dependent; key-mod is
+    bit-identical everywhere, filter pushed to the scan)."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    return (
+        d.filter(F.col("doc_id") % 10 == 3)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sample_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
 @register("doc_simhash", oracle=None)
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (rows-only: engine-specific hash)."""

@@ -266,6 +266,30 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_balance_distribution",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       percent_rank() OVER w AS bal_pct_rank,
+       cume_dist() OVER w AS bal_cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+)
+def customer_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank, cume_dist) per
+    segment: (rank-1)/(n-1) and rank/n are int/int divisions of
+    identical ranks ⇒ bit-deterministic with the custkey tie-break."""
+    c = load(spark, sf_dir, "customer")["customer"]
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    )
+
+
+@register(
     "q21_waiting_suppliers",
     oracle="""
 WITH late AS (
