@@ -163,6 +163,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def verify_candidate_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact Jaccard verification restricted to CANDIDATE pairs — stage
+    two of the canonical 100 TB near-dup pipeline (stage one:
+    minhash_lsh_candidates). The full corpus never self-joins: shingles
+    are built only for docs appearing in a candidate pair (semi join),
+    and intersections are counted via the candidate-pair join, so total
+    work is O(|candidates| · shingles/doc) instead of O(corpus²).
+
+    ``candidates``: (doc_a, doc_b) with doc_a < doc_b. Output matches
+    ngram_jaccard_pairs' schema, filtered to candidates ∩ threshold.
+    """
+    cand = candidates.select("doc_a", "doc_b").distinct().persist()
+    touched = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    narrowed = df.join(
+        touched.withColumnRenamed("doc", id_col), id_col, "left_semi"
+    )
+    sh = shingle_rows(narrowed, id_col, text_col, n).withColumn(
+        "n_sh", F.count("*").over(Window.partitionBy("doc"))
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc") < F.col("b.doc")))
+        .join(
+            cand,
+            (F.col("a.doc") == F.col("doc_a")) & (F.col("b.doc") == F.col("doc_b")),
+            "left_semi",
+        )
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.withColumn("union_sz", F.col("na") + F.col("nb") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter") / F.col("union_sz"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "union_sz", "jaccard")
+    )
+
+
 def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [(rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P)) for _ in range(num_hashes)]

@@ -459,6 +459,33 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("doc_lsh_verified_near_dups", oracle=None)
+def doc_lsh_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical two-stage near-dup pipeline at 100 TB scale:
+    MinHash-LSH candidates (cheap, hash-bucketed — never a corpus²
+    join) → EXACT Jaccard verification on candidates only
+    (operators/dedup.py verify_candidate_pairs). Run on a planted
+    corpus (every doc_id < 50 gets a one-token-appended twin at
+    id+100000) so the pipeline has real near-dups to find; xxhash-based
+    candidates ⇒ rows-only check (deterministic: fixed hash params).
+    The exact stage's correctness is separately oracle-verified by
+    doc_ngram_jaccard_pairs."""
+    from callysto_spark.operators.dedup import verify_candidate_pairs
+
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    twins = (
+        d.filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), F.concat("text", F.lit(" planted")).alias("text"))
+    )
+    corpus = d.unionByName(twins)
+    sigs = minhash_signatures(corpus, "doc_id", "text", num_hashes=64, n=4)
+    cands = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+    verified = verify_candidate_pairs(corpus, cands, "doc_id", "text", n=4, threshold=0.6)
+    return verified.select("doc_a", "doc_b", "inter", "union_sz", "jaccard").orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 @register("doc_simhash", oracle=None)
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (rows-only: engine-specific hash)."""

@@ -1,0 +1,58 @@
+"""Two-stage near-dup pipeline quality contracts: LSH candidates must
+catch planted near-duplicates, and exact verification on candidates
+must agree with the full-corpus exact operator wherever they overlap."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from callysto_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    verify_candidate_pairs,
+)
+from callysto_spark.tables import load
+
+
+def _planted_corpus(spark, sf_dir, n_twins=30):
+    d = load(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    twins = (
+        d.filter(F.col("doc_id") < n_twins)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" planted")).alias("text"),
+        )
+    )
+    return d.unionByName(twins), n_twins
+
+
+def test_lsh_recall_on_planted_near_dups(spark, sf_dir):
+    corpus, n_twins = _planted_corpus(spark, sf_dir)
+    sigs = minhash_signatures(corpus, "doc_id", "text", num_hashes=64, n=4)
+    cands = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+    planted = {(i, i + 100000) for i in range(n_twins)}
+    got = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+    recall = len(planted & got) / len(planted)
+    assert recall >= 0.95, f"LSH recall on ~0.9-jaccard twins: {recall:.2f}"
+
+
+def test_verified_pairs_agree_with_exact(spark, sf_dir):
+    """verify_candidate_pairs(candidates) must be exactly the exact
+    operator's output restricted to the candidate set — same jaccard
+    values, nothing extra."""
+    corpus, _ = _planted_corpus(spark, sf_dir)
+    sigs = minhash_signatures(corpus, "doc_id", "text", num_hashes=64, n=4)
+    cands = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+    verified = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["union_sz"], r["jaccard"])
+        for r in verify_candidate_pairs(corpus, cands, "doc_id", "text", n=4, threshold=0.6).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["union_sz"], r["jaccard"])
+        for r in ngram_jaccard_pairs(corpus, "doc_id", "text", n=4, threshold=0.6).collect()
+    }
+    cand_set = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+    expected = {p: v for p, v in exact.items() if p in cand_set}
+    assert verified == expected
+    assert len(verified) >= 25, "planted twins must survive verification"
