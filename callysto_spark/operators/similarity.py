@@ -121,8 +121,10 @@ def ivf_assign(
     on a sample; any deterministic list works — the search path only
     needs *some* partition of the space).
     """
+    from callysto_spark.operators.util import ensure_parallelism
+
     best = F.array_min(_cell_structs(vec_col, centroids))
-    return corpus.select(
+    return ensure_parallelism(corpus).select(
         F.col(id_col), F.col(vec_col), best.getField("cid").alias("cell")
     )
 

@@ -547,16 +547,25 @@ def emb_label_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine_sim", rnd("cosine_sim", 6))
 
 
+_CENTROID_CACHE: dict[tuple[str, int], list[tuple[int, list[float]]]] = {}
+
+
 def _centroids(spark: SparkSession, sf_dir: str, k: int = 8) -> list[tuple[int, list[float]]]:
     """Deterministic coarse centroids: the first k vectors (pluggable —
-    see operators/similarity.py ivf_assign)."""
+    see operators/similarity.py ivf_assign). Cached per (sf_dir, k):
+    centroids are index metadata, fetched once, not once per query."""
+    key = (sf_dir, k)
+    if key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[key]
     rows = (
         load(spark, sf_dir, "embeddings")["embeddings"]
         .filter(F.col("vec_id") < k)
         .select("vec_id", "embedding")
         .collect()
     )
-    return [(r["vec_id"], list(r["embedding"])) for r in sorted(rows, key=lambda r: r["vec_id"])]
+    out = [(r["vec_id"], list(r["embedding"])) for r in sorted(rows, key=lambda r: r["vec_id"])]
+    _CENTROID_CACHE[key] = out
+    return out
 
 
 _IVF_DIST = """list_sum([(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
