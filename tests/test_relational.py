@@ -89,6 +89,38 @@ def test_connected_components_hand_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_bounded_lineage_and_convergence_warning(spark):
+    """Long path graph: (a) the returned DataFrame's logical plan must NOT
+    grow with iteration count (localCheckpoint truncates lineage every
+    round — without it 20 rounds nest 20 joins and analysis time blows up
+    superlinearly); (b) exiting without a fixpoint must warn, not return
+    silently-split components."""
+    import warnings
+
+    from callysto_spark.operators.graph import connected_components
+
+    # path 0-1-2-...-30: min-label propagates ~doubling? no — one hop per
+    # round, so diameter 30 needs 30 rounds.
+    edges = spark.createDataFrame([(i, i + 1) for i in range(30)], ["src", "dst"]).repartition(4)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # converged run must not warn
+        done = connected_components(edges, max_iterations=31)
+    assert {r["component"] for r in done.collect()} == {0}
+    # lineage truncated: plan string is flat regardless of 30+ iterations
+    plan_len = len(done._jdf.queryExecution().analyzed().toString())
+    assert plan_len < 2_000, f"plan grew with iterations: {plan_len} chars"
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        partial = connected_components(edges, max_iterations=5)
+        partial.collect()
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "did not converge" in str(w.message)
+        for w in caught
+    ), "non-convergent exit must raise a RuntimeWarning"
+
+
 def test_word_shingles_short_doc_no_ansi_crash(spark):
     """Docs shorter than n tokens must yield one truncated shingle, not
     an INVALID_ARRAY_INDEX_IN_ELEMENT_AT error (try_element_at path)."""
