@@ -283,6 +283,20 @@ class App:
 
     def _start_agent(self, agent: _Agent) -> None:
         ctx = Context(self, agent.name)
+        # Python DataSource streams fall back to single-batch availableNow,
+        # so a per-trigger admission cap would silently leave backlog
+        # unprocessed when the one batch "drains": reject the combination.
+        trigger = agent.options.get("trigger", {"availableNow": True})
+        src_opts = getattr(agent.source, "options", {}) or {}
+        has_cap = any(k.lower() == "maxrecordspertrigger" for k in src_opts)
+        if trigger.get("availableNow") and agent.source.kind == "memtopic" and has_cap:
+            raise ValueError(
+                f"agent {agent.name!r}: maxRecordsPerTrigger on a memtopic source is "
+                "incompatible with the availableNow trigger (Python DataSource "
+                "streams run availableNow as a SINGLE batch, so the cap truncates "
+                "the drain). Use trigger={'processingTime': '...'} with the cap, "
+                "or drop maxRecordsPerTrigger to drain fully."
+            )
         df = agent.source.load(self.spark)
         qname = _identifier(f"{self.name}_{agent.name}")
         if agent.options.get("stateful"):

@@ -43,14 +43,18 @@ class SourceSpec:
         return SourceSpec("kafka", opts)
 
     @staticmethod
-    def memtopic(topic: str, broker_dir: str, partitions: int = 4) -> "SourceSpec":
+    def memtopic(
+        topic: str, broker_dir: str, partitions: int = 4, **options: str
+    ) -> "SourceSpec":
         """Jar-free partitioned topic (Kafka twin; see
         callysto_spark.sources.memtopic). Same offset/partition contract
-        as the Kafka source — swap to :meth:`kafka` at deploy time."""
-        return SourceSpec(
-            "memtopic",
-            {"topic": topic, "brokerDir": broker_dir, "partitions": str(partitions)},
-        )
+        as the Kafka source — swap to :meth:`kafka` at deploy time.
+        Extra options pass through (``startingOffsets``,
+        ``maxRecordsPerTrigger`` — the latter is incompatible with the
+        App's default availableNow trigger and rejected at start)."""
+        opts = {"topic": topic, "brokerDir": broker_dir, "partitions": str(partitions)}
+        opts.update(options)
+        return SourceSpec("memtopic", opts)
 
     @staticmethod
     def rate(rows_per_second: int = 100) -> "SourceSpec":

@@ -91,13 +91,21 @@ def produce(
 
 
 def _partition_sizes(broker_dir: str, topic: str, n_partitions: int) -> dict[str, int]:
+    """Visible record count per partition. Readers take no lock, so a
+    large producer append may be mid-flush when we look: only lines with
+    a terminating newline are counted — an unterminated trailing line is
+    a partial write and is not yet visible (it will be, with its '\\n',
+    on the next poll). This keeps latestOffset() from admitting a record
+    that json.loads would then fail on mid-micro-batch."""
     sizes: dict[str, int] = {}
     for pid in range(n_partitions):
         path = _log_path(broker_dir, topic, pid)
         n = 0
         if os.path.exists(path):
             with open(path, "r", encoding="utf-8") as fh:
-                for _ in fh:
+                for line in fh:
+                    if not line.endswith("\n"):
+                        break  # partial trailing write: invisible
                     n += 1
         sizes[str(pid)] = n
     return sizes
@@ -113,6 +121,8 @@ def _read_slice(
         for offset, line in enumerate(fh):
             if offset >= end:
                 break
+            if not line.endswith("\n"):
+                break  # partial trailing write: same visibility rule as _partition_sizes
             if offset < start:
                 continue
             rec = json.loads(line)
@@ -150,36 +160,63 @@ class MemTopicStreamReader(DataSourceStreamReader):
     per-micro-batch admission cap, the backpressure knob
     (``maxOffsetsPerTrigger`` in the Kafka source; reference D5
     micro-batch chunking).
+
+    ``maxRecordsPerTrigger`` caveat: Python DataSource streams fall back
+    to SINGLE-BATCH availableNow (no multi-batch drain), so under an
+    availableNow trigger the cap means the one batch admits only ``cap``
+    records per partition and the query "successfully" terminates with
+    backlog unprocessed. The App layer rejects that combination
+    (`app.py:_start_agent`); use a processingTime trigger with the cap,
+    or drop the cap under availableNow.
     """
 
     def __init__(self, options: dict[str, str]) -> None:
         self.o = _Opts(options)
-        self._advanced: dict[str, int] | None = None  # rate-limit watermark
+        # Rate-limit watermark: the highest end offset this reader has
+        # admitted OR seen committed. Seeded lazily from initialOffset,
+        # then ratcheted by partitions(start, end) — after a restart
+        # Spark calls partitions() with the CHECKPOINTED start, which
+        # must never be regressed below (a smaller latestOffset would be
+        # recorded in the offset log and re-deliver processed records).
+        self._advanced: dict[str, int] | None = None
 
     def initialOffset(self) -> dict:
         if self.o.starting_offsets == "latest":
             return _partition_sizes(self.o.broker_dir, self.o.topic, self.o.n_partitions)
         return {str(pid): 0 for pid in range(self.o.n_partitions)}
 
+    def _ratchet(self, offsets: dict) -> None:
+        """Advance (never regress) the rate-limit watermark."""
+        if self._advanced is None:
+            self._advanced = self.initialOffset()
+        for p, n in offsets.items():
+            p = str(p)
+            if int(n) > self._advanced.get(p, 0):
+                self._advanced[p] = int(n)
+
     def latestOffset(self) -> dict:
         sizes = _partition_sizes(self.o.broker_dir, self.o.topic, self.o.n_partitions)
         cap = self.o.max_records_per_trigger
         if cap is None:
             return sizes
-        # advance at most `cap` records per partition per micro-batch,
-        # from the last offset this reader instance admitted (starts at
-        # initialOffset; after an app restart Spark's checkpointed start
-        # still rules via partitions(start, end) intersection)
+        # admit at most `cap` records per partition per micro-batch, from
+        # the watermark (checkpointed start after a restart — see
+        # partitions(); never below it, so the offset log never regresses)
         if self._advanced is None:
             self._advanced = self.initialOffset()
         end = {
-            p: min(sizes[p], self._advanced.get(p, 0) + cap) for p in sizes
+            p: max(min(sizes[p], self._advanced.get(p, 0) + cap), self._advanced.get(p, 0))
+            for p in sizes
         }
-        # never regress below what exists if the watermark lags a restart
-        self._advanced = {p: max(end[p], self._advanced.get(p, 0)) for p in end}
+        self._ratchet(end)
         return end
 
     def partitions(self, start: dict, end: dict):
+        # `start` carries Spark's committed position (checkpointed after a
+        # restart) — fold it into the watermark so latestOffset() resumes
+        # from there, not from a fresh initialOffset().
+        self._ratchet(start)
+        self._ratchet(end)
         return [
             _Slice(pid=int(p), start=int(start.get(p, 0)), end=int(end[p]))
             for p in end
@@ -192,7 +229,9 @@ class MemTopicStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        # checkpoint owns offsets (same stance as the app's Context.commit)
+        # checkpoint owns offsets (same stance as the app's Context.commit);
+        # still ratchet the rate-limit watermark from the committed end.
+        self._ratchet(end)
         return None
 
 

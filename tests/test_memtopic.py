@@ -139,6 +139,86 @@ def test_rate_limited_micro_batches(spark, broker, tmp_path):
     assert all(b <= 10 for b in batch_sizes), f"cap is 5/partition × 2: {batch_sizes}"
 
 
+def test_partial_trailing_line_invisible(broker):
+    """A producer flush can land mid-record (large appends cross write()
+    syscalls); lock-free readers must treat an unterminated trailing line
+    as not-yet-visible instead of mis-framing or crashing json.loads."""
+    from callysto_spark.sources.memtopic import _log_path, _partition_sizes, _read_slice
+    import os
+
+    os.makedirs(os.path.join(broker, "pp"), exist_ok=True)
+    path = _log_path(broker, "pp", 0)
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(json.dumps({"k": None, "v": "a", "ts": 1.0}) + "\n")
+        fh.write('{"k": null, "v": "tr')  # partial write, no newline
+    assert _partition_sizes(broker, "pp", 1) == {"0": 1}
+    assert [r[1] for r in _read_slice(broker, "pp", 0, 0, 2)] == ["a"]
+    with open(path, "a", encoding="utf-8") as fh:  # producer finishes the record
+        fh.write('uncated", "ts": 2.0}\n')
+    assert _partition_sizes(broker, "pp", 1) == {"0": 2}
+    assert [r[1] for r in _read_slice(broker, "pp", 0, 0, 2)] == ["a", "truncated"]
+
+
+def test_rate_cap_restart_no_redelivery(spark, broker, tmp_path):
+    """Restart of a rate-limited stream must not regress the offset log:
+    a fresh reader's watermark is ratcheted from Spark's checkpointed
+    start (partitions/commit), so records processed before the restart
+    are never re-admitted and new records all arrive exactly once."""
+    import time
+
+    register(spark)
+    produce(broker, "rcr", [(None, str(i)) for i in range(20)], n_partitions=1)
+    seen: list[str] = []
+
+    def drain(expect_new: int) -> None:
+        start_len = len(seen)
+        stream = (
+            spark.readStream.format("memtopic")
+            .option("brokerDir", broker)
+            .option("topic", "rcr")
+            .option("partitions", "1")
+            .option("maxRecordsPerTrigger", "5")
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: seen.extend(r["value"] for r in df.select("value").collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "rcr_ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 120
+        while len(seen) - start_len < expect_new and time.time() < deadline:
+            time.sleep(0.3)
+        time.sleep(1.0)  # extra trigger cycles would expose re-delivery
+        q.stop()
+
+    drain(20)
+    produce(broker, "rcr", [(None, str(i)) for i in range(20, 30)], n_partitions=1)
+    drain(10)
+    assert sorted(seen, key=int) == [str(i) for i in range(30)], (
+        f"expected exactly-once across restart, got {len(seen)} values "
+        f"({len(seen) - len(set(seen))} dups)"
+    )
+
+
+def test_rate_cap_with_available_now_rejected(spark, broker, tmp_path):
+    """maxRecordsPerTrigger + availableNow is a silent under-read (Python
+    DataSource availableNow is single-batch), so the App refuses it."""
+    produce(broker, "anx", [(None, "x")] * 3, n_partitions=1)
+    a = App("anx_app", spark=spark, checkpoint_root=str(tmp_path / "ckpt"))
+    src = SourceSpec.memtopic("anx", broker, partitions=1, maxRecordsPerTrigger="5")
+
+    @a.agent("reader", src)
+    def reader(df, ctx):
+        pass
+
+    with pytest.raises(ValueError, match="availableNow"):
+        a.run(await_termination=True, timeout=60)
+    a.stop()
+
+
 def test_starting_offsets_latest(spark, broker, tmp_path):
     """startingOffsets=latest: history before the stream starts is
     skipped (auto.offset.reset parity)."""
