@@ -109,29 +109,35 @@ def _avro_functions():
         ) from exc
 
 
-_JAR_LOADED: bool | None = None
+_JAR_LOADED: dict[int, bool] = {}  # keyed by session id — classpaths differ
 
 
 def avro_jar_loaded() -> bool:
     """True iff the spark-avro data source is on the active session's
     classpath. (The Python `from_avro` wrapper imports and even builds a
     Column without it — the AVRO_NOT_LOADED failure only fires at
-    analysis — so 'auto' engine selection needs this explicit probe.)"""
-    global _JAR_LOADED
-    if _JAR_LOADED is None:
-        try:
-            from pyspark.sql import SparkSession
+    analysis — so 'auto' engine selection needs this explicit probe.)
 
-            spark = SparkSession.getActiveSession()
-            jvm = spark._jvm  # type: ignore[union-attr]
+    The probe result is cached PER SESSION (two sessions can have
+    different classpaths), and not cached at all when there is no active
+    session — otherwise a premature call would pin False forever and
+    route a later jar-loaded session to the slower Python codec."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False  # no session to probe — don't poison the cache
+    key = id(spark)
+    if key not in _JAR_LOADED:
+        try:
             # AvroDataSourceV2 ships only in the spark-avro jar;
             # a few avro shim classes (AvroFileFormat) are bundled in
             # spark-sql even without it, so probe the V2 source class
-            jvm.java.lang.Class.forName("org.apache.spark.sql.avro.AvroDataSourceV2")
-            _JAR_LOADED = True
+            spark._jvm.java.lang.Class.forName("org.apache.spark.sql.avro.AvroDataSourceV2")
+            _JAR_LOADED[key] = True
         except Exception:
-            _JAR_LOADED = False
-    return _JAR_LOADED
+            _JAR_LOADED[key] = False
+    return _JAR_LOADED[key]
 
 
 def decode_avro(col: Column | str, schema_json: str, engine: str = "auto") -> Column:
