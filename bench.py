@@ -32,20 +32,25 @@ def main() -> None:
         # expressions being measured; the noop sink consumes full rows.
         df.write.format("noop").mode("overwrite").save()
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     for name in names:
         # steady-state measurement: first execution pays whole-stage
         # codegen JIT (~10s of generated-class compilation per complex
         # plan — irrelevant at 100 TB where it amortizes to noise);
-        # run once to warm, clear any operator-level cache, then time.
+        # run once to warm, then time n_runs and report the MIN (the
+        # steady-state convention — sub-second queries need n≥5 for
+        # round-over-round deltas to exceed scheduler/GC noise).
         run(registry[name].fn(spark, sf_dir))
         spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        df = registry[name].fn(spark, sf_dir)
-        run(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            run(registry[name].fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
+        print(f"# {name}: {timings[name]:.3f}s (min of {n_runs})", file=sys.stderr)
     ingest = ingest_bench(spark)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -67,7 +72,7 @@ def ingest_bench(spark) -> float | None:
     double-agent, 74 KB repetitive payloads, timed IN-AGENT from first
     to last message — consumer startup excluded).
 
-    Workload: SPARK_GRAFT_INGEST_MSGS (default 10000) messages of ~72 KB
+    Workload: SPARK_GRAFT_INGEST_MSGS (default 50000) messages of ~72 KB
     repeated-block text (the reference's payload was one 74-char URL
     ×1000 — equally repetitive), staged as parquet and drained through
     an App agent on the JVM file-stream path in 4 micro-batches; MB/s =
@@ -82,7 +87,9 @@ def ingest_bench(spark) -> float | None:
     from callysto_spark.app import App
     from callysto_spark.sources import SourceSpec
 
-    n = int(os.environ.get("SPARK_GRAFT_INGEST_MSGS", "10000"))
+    # 50k ≈ 3.5 GB: long enough (~10s+) that startup jitter stops moving
+    # the MB/s figure, closer to the reference's 200k-message methodology
+    n = int(os.environ.get("SPARK_GRAFT_INGEST_MSGS", "50000"))
     if n <= 0:
         return None
     base = tempfile.mkdtemp(prefix="callysto_ingest_")

@@ -15,6 +15,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from callysto_spark.operators.util import transient_persist
+
 # Mersenne prime 2^31-1: (a*h + b) % P stays within int64 for a,b < P and
 # h reduced mod P first.
 _MERSENNE_P = (1 << 31) - 1
@@ -114,7 +116,11 @@ def ngram_jaccard_pairs(
     count intersections → join sizes → ratio filter. ``max_doc_freq``
     drops stop-shingles (appearing in more than that many docs) before
     the pair join — at 100 TB this is what keeps the candidate-pair
-    count near-linear instead of quadratic.
+    count near-linear instead of quadratic. ALWAYS set it at scale; the
+    uncapped form is a small-corpus exactness baseline. For the full
+    100 TB near-dup pipeline prefer ``minhash_signatures`` →
+    ``minhash_lsh_candidates`` → ``verify_candidate_pairs``: the corpus
+    then never self-joins at all.
 
     Output: (doc_a, doc_b, inter, union_sz, jaccard) with doc_a < doc_b.
     jaccard is an int/int division — bit-deterministic, no rounding.
@@ -142,7 +148,7 @@ def ngram_jaccard_pairs(
             .filter((F.col("__df") >= 2) & (F.col("__df") <= max_doc_freq))
             .drop("__df")
         )
-    sh = sh.persist()
+    sh = transient_persist(sh)
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
@@ -181,7 +187,7 @@ def verify_candidate_pairs(
     ``candidates``: (doc_a, doc_b) with doc_a < doc_b. Output matches
     ngram_jaccard_pairs' schema, filtered to candidates ∩ threshold.
     """
-    cand = candidates.select("doc_a", "doc_b").distinct().persist()
+    cand = transient_persist(candidates.select("doc_a", "doc_b").distinct())
     touched = (
         cand.select(F.col("doc_a").alias("doc"))
         .unionByName(cand.select(F.col("doc_b").alias("doc")))
@@ -285,7 +291,8 @@ def minhash_lsh_candidates(
                 ),
             )
         ).alias("bk"),
-    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")).persist()
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    banded = transient_persist(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -86,6 +86,11 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    # The final labels' checkpoint cache intentionally outlives this call:
+    # the caller's action consumes it, and a truncated-lineage checkpoint
+    # cannot recompute if released early — so it is NOT registered with
+    # release_transient_persists(). Cost: one small (vertex, label)
+    # cached dataset per invocation, reclaimed on session stop.
     if changed:
         warnings.warn(
             f"connected_components did not converge within {max_iterations} "

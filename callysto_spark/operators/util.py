@@ -4,6 +4,48 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# ------------------------------------------------------------------
+# Transient persist tracking: operators that persist() an intermediate
+# for multi-sided reuse (dedup's shingle table, LSH's banded table) hand
+# the caller a LAZY result — the cache is consumed only when the caller
+# runs an action, so the operator cannot unpersist before returning.
+# Tracking pairs every such persist with an explicit release:
+# `release_transient_persists()` runs at the start of every registry
+# query (queries/__init__.py) and after each bench run, so a long-lived
+# session executing many queries holds at most one query's worth of
+# transient cache instead of accumulating caches forever. Strong
+# references on purpose: the operator's local handle dies when it
+# returns (only the JVM plan survives in the result), so a weakref
+# would expire before the sweep and the JVM-side cache would leak.
+_TRANSIENT: list[DataFrame] = []
+
+
+def track_transient(df: DataFrame) -> DataFrame:
+    """Register an already-cached/checkpointed DataFrame for release at
+    the next `release_transient_persists()` sweep."""
+    _TRANSIENT.append(df)
+    return df
+
+
+def transient_persist(df: DataFrame) -> DataFrame:
+    """persist() + register for deferred release (see module note)."""
+    return track_transient(df.persist())
+
+
+def release_transient_persists() -> int:
+    """Unpersist every tracked transient cache; returns how many were
+    released. Safe to call anytime: a consumer that somehow re-runs an
+    action afterwards just recomputes (correctness unaffected)."""
+    released = 0
+    while _TRANSIENT:
+        df = _TRANSIENT.pop()
+        try:
+            df.unpersist()
+            released += 1
+        except Exception:
+            pass  # session already stopped
+    return released
+
 
 def ensure_parallelism(df: DataFrame, min_files: int | None = None) -> DataFrame:
     """Repartition when the input is a small file scan.

@@ -45,7 +45,21 @@ def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = 
         from callysto_spark.functions.compat import rewrite_oracle_fixed, rewrite_oracle_round
 
         sql = rewrite_oracle_round(rewrite_oracle_fixed(oracle)) if oracle else oracle
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=sql, doc=doc or (fn.__doc__ or ""), bench=bench)
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Release the PREVIOUS query's transient operator caches
+            # (dedup shingle/banded tables etc.) so a long-lived session
+            # running many registry queries holds at most one query's
+            # worth of transient storage. Safe: those caches are
+            # recompute-able persists, never truncated checkpoints.
+            from callysto_spark.operators.util import release_transient_persists
+
+            release_transient_persists()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = Query(name=name, fn=wrapped, oracle=sql, doc=doc or (fn.__doc__ or ""), bench=bench)
         return fn
 
     return deco

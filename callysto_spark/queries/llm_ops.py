@@ -268,7 +268,14 @@ WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= 0.005
 def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-4-gram Jaccard similar pairs (threshold 0.005 — the
     synthetic corpus has no planted near-dups, so the tail of chance
-    overlaps is what's checkable). jaccard = int/int ⇒ unrounded."""
+    overlaps is what's checkable). jaccard = int/int ⇒ unrounded.
+
+    SMALL-CORPUS BASELINE ONLY: the uncapped shingle self-join is
+    quadratic on hot shingles. At scale (100 TB) use
+    ``doc_ngram_jaccard_capped`` (stop-shingle df cap — near-linear) or
+    the two-stage ``doc_minhash_lsh_pairs`` → ``verify_candidate_pairs``
+    pipeline (``doc_lsh_verified_near_dups``), where the corpus never
+    self-joins."""
     d = load(spark, sf_dir, "documents")["documents"]
     return ngram_jaccard_pairs(d, "doc_id", "text", n=4, threshold=0.005)
 
