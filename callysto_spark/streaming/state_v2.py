@@ -122,4 +122,9 @@ def bind_table_processor(
             timeMode=time_mode,
         )
 
+    # exposed for direct unit-testing of the processor logic (init/TTL
+    # wiring, input handling, timer expiry) in images where the
+    # streaming Python runner's google.protobuf dependency is absent
+    build.processor_cls = _Processor
+    build.time_mode = time_mode
     return build

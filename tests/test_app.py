@@ -168,6 +168,102 @@ def test_table_agent_tws_builds_plan(spark, tmp_path, sf_dir):
     assert [f.name for f in out.schema.fields] == ["parity", "cnt"]
 
 
+def test_tws_timer_ttl_plan_and_processor_logic(spark, tmp_path):
+    """Environment-independent tws coverage: (a) the timeMode string
+    reaches the analyzed streaming plan (ProcessingTime timers); (b) the
+    StatefulProcessor's logic — TTL wiring at init, per-batch state
+    accumulation, timer arming, expired-timer callback — exercised
+    directly with fake state handles (the streaming Python runner needs
+    google.protobuf, absent in this image; execution parity is the
+    skipped test below)."""
+    from callysto_spark.streaming.state import CTable
+    from callysto_spark.streaming.state_v2 import bind_table_processor
+
+    stream_dir = tmp_path / "plan_src"
+    stream_dir.mkdir()
+    src = SourceSpec.parquet_stream(str(stream_dir), schema="event_id long, parity string")
+    table = CTable(name="cnts", key_schema="parity string", value_schema="cnt long")
+    table.output_schema = "parity string, cnt long"
+
+    armed: list[int] = []
+
+    def closure(key, pdf, state):
+        if state.timed_out:
+            state.delete()
+            return pd.DataFrame({"parity": [key[0]], "cnt": [-1]})
+        prev = state.get()
+        cnt = (prev[0] if prev else 0) + len(pdf)
+        state.set(cnt)
+        state.set_timeout_ms(5_000)
+        return pd.DataFrame({"parity": [key[0]], "cnt": [cnt]})
+
+    build = bind_table_processor(table, closure, timeout="ProcessingTimeTimeout", ttl_ms=60_000)
+
+    # (a) plan level: timeMode lands in the analyzed plan
+    out = build(src.load(spark))
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == ["parity", "cnt"]
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "TransformWithState" in plan and "ProcessingTime" in plan
+
+    # (b) processor logic with fake handles
+    class FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+        def clear(self):
+            self.v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.ttl = None
+            self.vs = FakeValueState()
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            assert name == "cnts"
+            self.ttl = ttlDurationMs
+            return self.vs
+
+        def registerTimer(self, ts):
+            armed.append(ts)
+
+    class FakeTimerValues:
+        def getCurrentProcessingTimeInMs(self):
+            return 1_000_000
+
+    proc = build.processor_cls()
+    handle = FakeHandle()
+    proc.init(handle)
+    assert handle.ttl == 60_000, "ttl_ms must reach getValueState"
+
+    batches = list(
+        proc.handleInputRows(("odd",), iter([pd.DataFrame({"event_id": [1, 3, 5]})]), FakeTimerValues())
+    )
+    assert len(batches) == 1 and batches[0]["cnt"].tolist() == [3]
+    assert handle.vs.v == (3,), "state must hold the accumulated count"
+    assert armed == [1_005_000], "set_timeout_ms arms now+5s"
+
+    # second batch accumulates on existing state
+    batches = list(
+        proc.handleInputRows(("odd",), iter([pd.DataFrame({"event_id": [7]})]), FakeTimerValues())
+    )
+    assert batches[0]["cnt"].tolist() == [4]
+
+    # timer expiry: closure sees timed_out=True, clears state, emits -1
+    expired = list(proc.handleExpiredTimer(("odd",), FakeTimerValues(), None))
+    assert expired[0]["cnt"].tolist() == [-1]
+    assert handle.vs.v is None, "closure's delete() must clear the value state"
+
+
 @pytest.mark.skipif(
     not _has_protobuf(),
     reason="transformWithState's Python runner requires google.protobuf, "
