@@ -127,16 +127,39 @@ class MemTopicSink(Sink):
 
 @dataclass
 class JdbcSink(Sink):
-    """JDBC append sink (reference Postgres sink `sinks/postgres.rs`):
-    pooled prepared statements → Spark's JDBC writer (per-partition
-    batched inserts; `batchsize` option is the pool/buffer knob)."""
+    """JDBC append sink (reference Postgres sink `sinks/postgres.rs:24-150`:
+    pooled prepared statements → batched inserts).
+
+    Engines:
+    - ``'jdbc'``: Spark's JDBC writer (per-partition batched inserts;
+      `batchsize` option is the buffer knob). Needs the driver jar.
+    - ``'psycopg2'``: jar-free per-partition fallback — each executor
+      task opens a connection and executes batched INSERTs (the same
+      shape as the reference's prepared-statement loop). Needs the
+      psycopg2 package on the executors (not shipped in the test image —
+      env-gated with a clear error, like the connector jars).
+    - ``'auto'`` (default): jdbc, falling back to psycopg2 when the jar
+      path fails at setup.
+
+    ``connection_factory`` (picklable, executor-side) overrides how the
+    psycopg2 engine obtains connections — the test seam, and the hook
+    for pgbouncer-style pooling at scale.
+
+    Exactly-once stance: inserts are at-least-once on task retry (same
+    as the reference's sink); wrap with `sinks/exactly_once.py` or key
+    the table for idempotent upserts when the guarantee matters.
+    """
 
     url: str
     table: str
     mode: str = "append"
     options: dict[str, str] = field(default_factory=dict)
+    engine: str = "auto"
+    connection_factory: Callable[[], Any] | None = None
 
     def write(self, df: DataFrame, batch_id: int = 0) -> None:
+        if self.engine == "psycopg2":
+            return self._write_psycopg2(df)
         try:
             (
                 df.write.mode(self.mode)
@@ -147,9 +170,81 @@ class JdbcSink(Sink):
                 .save()
             )
         except Exception as exc:
+            if self.engine == "auto" and (self.connection_factory or _psycopg2_available()):
+                return self._write_psycopg2(df)
             raise RuntimeError(
-                "JDBC sink requires the database driver jar (e.g. postgresql.jar) on the classpath"
+                "JDBC sink requires the database driver jar (e.g. postgresql.jar) "
+                "on the classpath, or the psycopg2 package for the jar-free engine"
             ) from exc
+
+    # ----------------------------------------------------- psycopg2 path
+    def _connect(self) -> Any:
+        if self.connection_factory is not None:
+            return self.connection_factory()
+        try:
+            import psycopg2
+        except ImportError as exc:  # pragma: no cover - env-gated
+            raise RuntimeError(
+                "JdbcSink engine='psycopg2' requires the psycopg2 package on the "
+                "executors (pip install psycopg2-binary); not shipped in this image"
+            ) from exc
+        # accept both jdbc:postgresql://... and postgresql://... URLs
+        dsn = self.url.removeprefix("jdbc:")
+        kwargs = {k: self.options[k] for k in ("user", "password") if k in self.options}
+        return psycopg2.connect(dsn, **kwargs)
+
+    def _write_psycopg2(self, df: DataFrame) -> None:
+        table, mode = self.table, self.mode
+        batch_size = int(self.options.get("batchsize", 1000))
+        cols = df.columns
+        quoted = ", ".join('"' + c.replace('"', '""') + '"' for c in cols)
+        placeholders = ", ".join(["%s"] * len(cols))
+        sql = f'INSERT INTO {table} ({quoted}) VALUES ({placeholders})'
+        connect = self._connect
+
+        if mode == "overwrite":
+            conn = connect()
+            try:
+                conn.cursor().execute(f"TRUNCATE TABLE {table}")
+                conn.commit()
+            finally:
+                conn.close()
+        elif mode != "append":
+            raise ValueError(f"psycopg2 engine supports append/overwrite, not {mode!r}")
+
+        def insert_partition(rows) -> None:
+            conn = connect()
+            try:
+                cur = conn.cursor()
+                buf: list[tuple] = []
+
+                def flush() -> None:
+                    if buf:
+                        cur.executemany(sql, buf)
+                        buf.clear()
+
+                for row in rows:
+                    buf.append(tuple(row))
+                    if len(buf) >= batch_size:
+                        flush()
+                flush()
+                conn.commit()
+            finally:
+                conn.close()
+
+        # foreachPartition: rows never funnel through the driver; one
+        # connection + batched prepared inserts per task, the executor-
+        # parallel equivalent of the reference's pooled statement loop
+        df.foreachPartition(insert_partition)
+
+
+def _psycopg2_available() -> bool:
+    try:
+        import psycopg2  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
 
 
 @dataclass

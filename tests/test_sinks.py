@@ -73,3 +73,73 @@ def test_idempotent_foreach_batch(spark, tmp_path):
     w(df, 0)  # replay → skipped
     w(df, 1)
     assert calls == [0, 1]
+
+
+def test_jdbc_sink_psycopg2_engine_batched_inserts(spark, tmp_path):
+    """S9 jar-free engine: per-partition batched INSERTs through the
+    connection factory seam — statement shape, batch splitting
+    (batchsize), overwrite TRUNCATE, and per-partition COMMIT. The fake
+    connection classes are function-local so cloudpickle ships them to
+    executors by value."""
+    from callysto_spark.sinks import JdbcSink
+
+    class _FileLoggingConn:
+        """psycopg2-like connection recording executed statements to a
+        JSONL file (executors share the FS in local mode)."""
+
+        def __init__(self, path: str) -> None:
+            self.path = path
+
+        def cursor(self):
+            return self
+
+        def execute(self, sql, params=None):
+            self._log({"sql": sql, "rows": [list(params)] if params else []})
+
+        def executemany(self, sql, rows):
+            self._log({"sql": sql, "rows": [list(r) for r in rows]})
+
+        def _log(self, rec):
+            import fcntl
+
+            with open(self.path, "a", encoding="utf-8") as fh:
+                fcntl.flock(fh, fcntl.LOCK_EX)
+                fh.write(json.dumps(rec) + "\n")
+                fcntl.flock(fh, fcntl.LOCK_UN)
+
+        def commit(self):
+            self._log({"sql": "COMMIT", "rows": []})
+
+        def close(self):
+            pass
+
+    class _Factory:
+        def __init__(self, path: str) -> None:
+            self.path = path
+
+        def __call__(self):
+            return _FileLoggingConn(self.path)
+
+    log = str(tmp_path / "stmts.jsonl")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id long, val string").coalesce(2)
+    sink = JdbcSink(
+        url="jdbc:postgresql://localhost/db",
+        table="t",
+        mode="overwrite",
+        options={"batchsize": "3"},
+        engine="psycopg2",
+        connection_factory=_Factory(log),
+    )
+    sink.write(df)
+
+    recs = [json.loads(line) for line in open(log)]
+    sqls = [r["sql"] for r in recs]
+    assert sqls[0].startswith("TRUNCATE TABLE t")
+    inserts = [r for r in recs if r["sql"].startswith("INSERT")]
+    assert all(r["sql"] == 'INSERT INTO t ("id", "val") VALUES (%s, %s)' for r in inserts)
+    got = sorted(tuple(row) for r in inserts for row in r["rows"])
+    assert got == [(i, f"v{i}") for i in range(10)]
+    # batchsize=3 honored: no executemany carries more than 3 rows
+    assert max(len(r["rows"]) for r in inserts) <= 3
+    # one COMMIT per connection (1 truncate + 2 partitions)
+    assert sqls.count("COMMIT") == 3
