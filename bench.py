@@ -33,6 +33,22 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+
+    def settle(pause: float = 0.75) -> None:
+        # Force the deferred JVM cleanup (ContextCleaner shuffle-file
+        # deletes, dropped cache blocks, old-gen garbage from the
+        # PREVIOUS query) to land OUTSIDE the next timed region. Without
+        # this, a heavy query's cleanup fires lazily on the next driver
+        # GC and stalls the following query's tasks — measured 1.2s →
+        # 14.8s on the query after the shingle join. Single-JVM-local
+        # artifact: on a real cluster cleanup runs on executors
+        # concurrently with unrelated stages.
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(pause)
+
     timings: dict[str, float] = {}
     for name in names:
         # steady-state measurement: first execution pays whole-stage
@@ -43,6 +59,7 @@ def main() -> None:
         # round-over-round deltas to exceed scheduler/GC noise).
         run(registry[name].fn(spark, sf_dir))
         spark.catalog.clearCache()
+        settle()
         best = float("inf")
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -51,6 +68,7 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s (min of {n_runs})", file=sys.stderr)
+        settle()
     ingest = ingest_bench(spark)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
