@@ -39,10 +39,10 @@ def tokens_col(text: Column) -> Column:
 def word_shingles(toks: Column, n: int) -> Column:
     """Distinct word n-gram shingles from a MATERIALIZED tokens column.
 
-    The tokens argument must be a plain column reference (use
-    ``with_shingles``): a lambda that references an inline expression
-    (e.g. the regex split itself) re-evaluates it per element — measured
-    12× slower on the documents table.
+    The tokens argument must be a genuine attribute (use
+    ``shingle_arrays`` / ``with_shingles``): a lambda that references an
+    inline expression (e.g. the regex split itself) re-evaluates it per
+    element — measured 12× slower on the documents table.
     """
     # Unrolled element_at instead of slice(): per-element array slicing
     # measured ~50× slower than n direct element accesses. try_element_at
@@ -60,45 +60,50 @@ def word_shingles(toks: Column, n: int) -> Column:
 
 def with_shingles(df: DataFrame, text_col: str, n: int, out: str = "gs") -> DataFrame:
     """df + distinct word-n-gram shingle array column (tokens
-    materialized first; input re-parallelized if under-partitioned)."""
+    materialized through a Generate barrier — see ``shingle_arrays``;
+    input re-parallelized if under-partitioned)."""
     from callysto_spark.operators.util import ensure_parallelism
 
+    cols = df.columns
     return (
         ensure_parallelism(df)
-        .withColumn("__toks", tokens_col(F.col(text_col)))
-        .withColumn(out, word_shingles(F.col("__toks"), n))
-        .drop("__toks")
+        .select("*", F.explode(F.array(tokens_col(F.col(text_col)))).alias("__toks"))
+        .select(*cols, word_shingles(F.col("__toks"), n).alias(out))
     )
+
+
+def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, gs): DISTINCT word n-gram shingles as an IN-ROW array —
+    fully narrow, no shuffle, no window.
+
+    The tokens array is materialized through an ``explode(array(...))``
+    Generate barrier: CollapseProject cannot inline an expression
+    through Generate, so the regex split runs ONCE per document. (A
+    ``withColumn`` "materialization" gets collapsed back into every
+    per-element lambda — measured 12× slower; the earlier alternative,
+    posexplode → window lead → distinct, was correct but paid two extra
+    exchanges (window on doc, distinct on (doc, g)) and was measured
+    2.5× slower end-to-end on the capped-Jaccard pipeline.)
+
+    Docs shorter than n tokens yield one truncated shingle (the
+    ``try_element_at`` + ``concat_ws`` NULL-skip path in
+    ``word_shingles``), matching the oracle definition.
+    """
+    from callysto_spark.operators.util import ensure_parallelism
+
+    staged = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array(tokens_col(F.col(text_col)))).alias("__toks"),
+    )
+    return staged.select("doc", word_shingles(F.col("__toks"), n).alias("gs"))
 
 
 def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """DISTINCT (doc, g) word-n-gram shingle rows, built relationally:
-    posexplode tokens → window lead(k) → concat → distinct.
-
-    Why not the array-lambda path: CollapseProject inlines a
-    "materialized" tokens column back into per-element lambdas (the
-    regex split then re-runs per shingle — measured 10-100× slower).
-    A Generate (explode) node is a real materialization barrier, and
-    window lead + concat are whole-stage-codegen kernels. Shuffles: one
-    hash partition on doc (window) + one for distinct — both tiny
-    relative to the later pair join, and both AQE-coalesced.
-    """
-    from pyspark.sql import Window
-
-    toks = (
-        df.select(F.col(id_col).alias("doc"), F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok"))
-    )
-    w = Window.partitionBy("doc").orderBy("pos")
-    leads = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
-    cnt = F.count("*").over(Window.partitionBy("doc"))
-    # valid start positions: 1..max(len-n+1, 1) (1-based) — docs shorter
-    # than n yield one truncated shingle, matching the oracle definition
-    return (
-        toks.withColumn("g", F.concat_ws(" ", *leads))
-        .withColumn("__cnt", cnt)
-        .filter(F.col("pos") + 1 <= F.greatest(F.col("__cnt") - (n - 1), F.lit(1)))
-        .select("doc", "g")
-        .distinct()
+    """DISTINCT (doc, g) word-n-gram shingle rows (one explode over the
+    in-row shingle arrays — see ``shingle_arrays`` for the plan
+    rationale)."""
+    return shingle_arrays(df, id_col, text_col, n).select(
+        "doc", F.explode("gs").alias("g")
     )
 
 
@@ -112,55 +117,85 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs above ``threshold``.
 
-    Plan shape: shingle (narrow) → explode → self-join on shingle →
-    count intersections → join sizes → ratio filter. ``max_doc_freq``
-    drops stop-shingles (appearing in more than that many docs) before
-    the pair join — at 100 TB this is what keeps the candidate-pair
-    count near-linear instead of quadratic. ALWAYS set it at scale; the
-    uncapped form is a small-corpus exactness baseline. For the full
-    100 TB near-dup pipeline prefer ``minhash_signatures`` →
-    ``minhash_lsh_candidates`` → ``verify_candidate_pairs``: the corpus
-    then never self-joins at all.
+    Two physical strategies behind one result contract:
+
+    - ``max_doc_freq`` set (the 100 TB path): the document-frequency cap
+      bounds every shingle bucket at ``max_doc_freq`` docs, so pairs are
+      generated IN-ROW — ``groupBy(g).collect_list`` then a bounded
+      combinations expansion (≤ C(cap, 2) pairs per bucket). No
+      self-join, no cache, one aggregation pass over the shingle table.
+      ALWAYS set the cap at scale: it is simultaneously what keeps the
+      pair count near-linear AND what makes the in-row expansion safe.
+    - ``max_doc_freq`` unset (small-corpus exactness baseline): a hot
+      shingle bucket is unbounded, so pairs come from a self-join on g
+      (AQE splits skewed buckets) over a persisted shingle table.
+
+    For the full 100 TB near-dup pipeline prefer ``minhash_signatures``
+    → ``minhash_lsh_candidates`` → ``verify_candidate_pairs``: the
+    corpus then never self-joins at all.
 
     Output: (doc_a, doc_b, inter, union_sz, jaccard) with doc_a < doc_b.
     jaccard is an int/int division — bit-deterministic, no rounding.
     """
-    # Shingle rows once (see shingle_rows for the plan rationale), attach
-    # set sizes via a window (no join), persist for the two-sided reuse.
-    from pyspark.sql import Window
-
-    from callysto_spark.operators.util import ensure_parallelism
-
-    g_rows = shingle_rows(ensure_parallelism(df), id_col, text_col, n)
-    sh = g_rows.withColumn("n_sh", F.count("*").over(Window.partitionBy("doc")))
+    # In-row shingle arrays (see shingle_arrays): set size is just
+    # size(gs) — no window, no distinct exchange; the explode to
+    # (doc, n_sh, g) rows is narrow.
+    arr = shingle_arrays(df, id_col, text_col, n)
+    sh = arr.select("doc", F.size("gs").alias("n_sh"), F.explode("gs").alias("g"))
     if max_doc_freq is not None:
-        # Document-frequency prune as a WINDOW over the shingle key: the
-        # pair join shuffles on g anyway, so the df count rides the same
-        # partitioning (measured faster than a groupBy+broadcast-join
-        # prune, which pays a separate aggregation job). Drops
-        # stop-shingles (> max_doc_freq — the near-linear scale path)
-        # AND df==1 shingles, which cannot produce a pair (that part is
-        # result-identical). n_sh stays the FULL set size — standard
-        # filtered-candidate jaccard divides by the true union.
-        df_g = F.count("*").over(Window.partitionBy("g"))
-        sh = (
-            sh.withColumn("__df", df_g)
-            .filter((F.col("__df") >= 2) & (F.col("__df") <= max_doc_freq))
-            .drop("__df")
+        # One aggregation on g replaces the window-prune AND the
+        # self-join: the bucket member list is capped at max_doc_freq
+        # (stop-shingles above the cap are dropped — the near-linear
+        # scale path; df==1 buckets cannot pair — result-identical),
+        # so combinations expand to ≤ C(cap, 2) structs per row.
+        # array_sort INSIDE the agg: collect_list order is partition-
+        # dependent, and sorting there yields a materialized attribute
+        # (the Aggregate is a projection barrier — an outer array_sort
+        # would be CollapseProject-inlined into every element_at).
+        # n_sh stays the FULL set size — standard filtered-candidate
+        # jaccard divides by the true union.
+        buckets = (
+            sh.groupBy("g")
+            .agg(F.array_sort(F.collect_list(F.struct("doc", "n_sh"))).alias("ds"))
+            .filter((F.size("ds") >= 2) & (F.size("ds") <= max_doc_freq))
         )
-    sh = transient_persist(sh)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
+        ds = F.col("ds")
+        combos = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ds) - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.size(ds)),
+                    lambda j: F.struct(
+                        F.element_at(ds, i).alias("a"), F.element_at(ds, j).alias("b")
+                    ),
+                ),
+            )
         )
-        .agg(F.count("*").alias("inter"))
-    )
+        pairs = (
+            buckets.select(F.explode(combos).alias("p"))
+            .select(
+                F.col("p.a.doc").alias("doc_a"),
+                F.col("p.b.doc").alias("doc_b"),
+                F.col("p.a.n_sh").alias("na"),
+                F.col("p.b.n_sh").alias("nb"),
+            )
+            .groupBy("doc_a", "doc_b", "na", "nb")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        sh = transient_persist(sh)
+        a = sh.alias("a")
+        b = sh.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc") < F.col("b.doc")))
+            .groupBy(
+                F.col("a.doc").alias("doc_a"),
+                F.col("b.doc").alias("doc_b"),
+                F.col("a.n_sh").alias("na"),
+                F.col("b.n_sh").alias("nb"),
+            )
+            .agg(F.count("*").alias("inter"))
+        )
     return (
         pairs.withColumn("union_sz", F.col("na") + F.col("nb") - F.col("inter"))
         .withColumn("jaccard", F.col("inter") / F.col("union_sz"))
@@ -196,9 +231,8 @@ def verify_candidate_pairs(
     narrowed = df.join(
         touched.withColumnRenamed("doc", id_col), id_col, "left_semi"
     )
-    sh = shingle_rows(narrowed, id_col, text_col, n).withColumn(
-        "n_sh", F.count("*").over(Window.partitionBy("doc"))
-    )
+    arr = shingle_arrays(narrowed, id_col, text_col, n)
+    sh = arr.select("doc", F.size("gs").alias("n_sh"), F.explode("gs").alias("g"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -242,27 +276,32 @@ def minhash_signatures(
     Shingles are hashed with ``xxhash64`` (JVM built-in, engine-specific
     ⇒ no SQL oracle; driver records rows-only) then permuted with
     ``(a_i*h + b_i) mod 2^31-1``; the signature is the per-permutation
-    minimum. All array math is higher-order functions — zero Python in
-    the data path, embarrassingly parallel, no shuffle.
+    minimum, computed ENTIRELY in-row over the document's shingle-hash
+    array (``array_min`` over a ``transform`` per permutation): zero
+    Python in the data path, embarrassingly parallel, ZERO shuffle —
+    the whole signature stage is a narrow map at any corpus size. The
+    hash array is materialized through a second Generate barrier so the
+    xxhash64 pass runs once, not once per permutation.
     """
-    from callysto_spark.operators.util import ensure_parallelism
-
     params = _hash_params(num_hashes, seed)
-    exploded = shingle_rows(ensure_parallelism(df), id_col, text_col, n).withColumn(
-        "h", F.pmod(F.xxhash64("g"), F.lit(_MERSENNE_P))
+    arr = shingle_arrays(df, id_col, text_col, n)
+    hashed = arr.select(
+        "doc",
+        F.explode(
+            F.array(F.transform(F.col("gs"), lambda g: F.pmod(F.xxhash64(g), F.lit(_MERSENNE_P))))
+        ).alias("hs"),
     )
-    # One shuffle on doc; partial (map-side) min aggregation makes the
-    # exchange carry one 64-long row per doc per partition — this is the
-    # plan shape that survives a 100 TB corpus.
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE_P))).alias(f"_h{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    return (
-        exploded.groupBy("doc")
-        .agg(*aggs)
-        .select("doc", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("signature"))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("hs"), lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_P))
+                )
+            )
+            for a, b in params
+        ]
     )
+    return hashed.select("doc", sig.alias("signature"))
 
 
 def minhash_lsh_candidates(
