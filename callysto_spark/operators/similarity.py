@@ -90,19 +90,29 @@ def _cell_structs(vec_col: str, centroids: list[tuple[int, list[float]]]) -> Col
     (The unrolled per-centroid expression alternative grows the plan
     linearly in k: slow to analyze at k=8, impossible at the k≈4096 a
     100 TB index wants.)
+
+    The whole expression is built as a single SQL string parsed
+    JVM-side: constructing the nested array literal + lambdas through
+    the Python Column API costs hundreds of py4j round-trips PER QUERY
+    INVOCATION (~0.5s at k=8·dim=64 — pure driver overhead, paid again
+    every time a serving layer builds the probe plan). ``repr(float)``
+    is shortest-round-trip, so the parsed doubles are bit-identical to
+    the Python values.
     """
-    matrix = F.lit([[float(x) for x in cv] for _, cv in centroids])
-    cids = F.lit([int(cid) for cid, _ in centroids])
-    return F.transform(
-        matrix,
-        lambda cv, i: F.struct(
-            F.aggregate(
-                F.zip_with(F.col(vec_col), cv, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("dist"),
-            F.element_at(cids, i + 1).alias("cid"),
-        ),
+    matrix = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in cv) + ")" for _, cv in centroids
+        )
+        + ")"
+    )
+    cids = "array(" + ",".join(str(int(cid)) for cid, _ in centroids) + ")"
+    return F.expr(
+        f"""transform({matrix}, (cv, i) -> struct(
+              aggregate(zip_with(`{vec_col}`, cv,
+                                 (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+                        0.0D, (acc, v) -> acc + v) AS dist,
+              element_at({cids}, i + 1) AS cid))"""
     )
 
 
