@@ -145,3 +145,32 @@ def test_jaccard_capped_prunes_candidate_pairs(spark, sf_dir):
         .collect()[0]["p"]
     ) or 0
     assert capped < uncapped, "cap must drop hot-shingle pair work"
+
+
+def test_jaccard_capped_plan_joins_nothing(spark, sf_dir):
+    """The capped path generates pairs in-row from collect_list buckets:
+    the physical plan must contain NO join operator of any kind, and at
+    most three exchanges (parallelize repartition, groupBy g, groupBy
+    pair) — the shape that stays near-linear at 100 TB."""
+    from callysto_spark.plans import exchange_count, physical_plan
+
+    df = q("doc_ngram_jaccard_capped", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan, "capped Jaccard must not join"
+    n_ex = exchange_count(df)
+    assert n_ex <= 3, f"expected <=3 exchanges, saw {n_ex}:\n{plan}"
+
+
+def test_minhash_signatures_no_hash_exchange(spark, sf_dir):
+    """Signatures are computed in-row (array_min over per-permutation
+    transforms): no hash-partition exchange anywhere — the signature
+    stage must stay a narrow map at any corpus size (only the
+    small-input parallelize repartition is allowed)."""
+    from callysto_spark.operators.dedup import minhash_signatures
+    from callysto_spark.plans import physical_plan
+    from callysto_spark.tables import load as load_tables
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    plan = physical_plan(minhash_signatures(d, "doc_id", "text", num_hashes=16, n=4))
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert "Window" not in plan, "no window in the shingle pipeline"
