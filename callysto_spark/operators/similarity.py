@@ -62,13 +62,20 @@ def cosine_topk(
     from callysto_spark.operators.util import ensure_parallelism
 
     q = corpus.filter(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn")
     )
-    c = ensure_parallelism(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # corpus norm hoisted below the join: once per vector, not once per
+    # (vector × query) scored row — bit-identical arithmetic
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), norm(F.col(vec_col)).alias("cn")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", _maybe_round(cosine(F.col("qv"), F.col("cv")), round_ndigits))
+        .withColumn(
+            "cosine_sim",
+            _maybe_round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_ndigits),
+        )
         .select("query_id", "neighbor_id", "cosine_sim")
     )
     return top_k_per_group(
@@ -215,16 +222,23 @@ def ivf_topk(
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col)).alias("qn"),
             F.explode(nearest_cells(vec_col, centroids, nprobe)).alias("qcell"),
         )
     )
     c = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), F.col("cell")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("cell"),
+        norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("cell") == F.col("qcell"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", _maybe_round(cosine(F.col("qv"), F.col("cv")), round_ndigits))
+        .withColumn(
+            "cosine_sim",
+            _maybe_round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_ndigits),
+        )
         .select("query_id", "neighbor_id", "cosine_sim")
     )
     return top_k_per_group(
@@ -283,14 +297,22 @@ def ivf_topk_stored(
         probe_cells.update(cells)
         rows.append((qid, [float(x) for x in qv], cells))
     q = spark.createDataFrame(rows, f"query_id long, qv array<double>, qcells array<int>").select(
-        "query_id", "qv", F.explode("qcells").alias("qcell")
+        "query_id", "qv", norm(F.col("qv")).alias("qn"), F.explode("qcells").alias("qcell")
     )
     index = spark.read.parquet(path).filter(F.col("cell").isin(sorted(probe_cells)))
-    c = index.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell")
+    c = index.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "cell",
+        norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("cell") == F.col("qcell"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", _maybe_round(cosine(F.col("qv"), F.col("cv")), round_ndigits))
+        .withColumn(
+            "cosine_sim",
+            _maybe_round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_ndigits),
+        )
         .select("query_id", "neighbor_id", "cosine_sim")
     )
     return top_k_per_group(
@@ -314,17 +336,29 @@ def cosine_pairs_blocked(
     sharing ``block_col`` (the IVF-style blocking key). The self-join
     shuffles on the block key only; within-block pair count is what the
     blocking scheme controls.
+
+    Norms are hoisted BELOW the join — computed once per vector (n
+    rows) instead of twice per candidate pair (O(n²/blocks) rows); the
+    join then carries a scalar per side. Bit-identical to the per-pair
+    form: same IEEE operations on the same values, so the ≥ threshold
+    boundary and the oracle hash are unaffected.
     """
-    a = corpus.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(block_col).alias("blk")
+    base = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.col(block_col).alias("blk"),
+        norm(F.col(vec_col)).alias("__nrm"),
     )
-    b = corpus.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(block_col).alias("blk")
+    a = base.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("va"), "blk", F.col("__nrm").alias("na")
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("vb"), "blk", F.col("__nrm").alias("nb")
     )
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cosine_sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine_sim") >= threshold)
         .select("blk", "id_a", "id_b", "cosine_sim")
     )
