@@ -1,0 +1,40 @@
+"""Table loader: per-session DataFrame cache + temp-view ownership."""
+
+from __future__ import annotations
+
+import os
+
+from callysto_spark.tables import load
+
+SF_A = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_B = "/root/testdata/sf0.01"
+
+
+def test_load_caches_dataframe_per_sf(spark):
+    a1 = load(spark, SF_A, "orders")["orders"]
+    a2 = load(spark, SF_A, "orders")["orders"]
+    assert a1 is a2, "repeat load must return the cached DataFrame object"
+    b = load(spark, SF_B, "orders")["orders"]
+    assert b is not a1, "different sf_dir must not share cache entries"
+
+
+def test_temp_view_follows_latest_sf(spark):
+    """spark.sql over a table name must always see the most recently
+    loaded sf_dir, even though earlier loads are cached."""
+    load(spark, SF_A, "orders")
+    n_a = spark.sql("SELECT count(*) AS n FROM orders").collect()[0]["n"]
+    load(spark, SF_B, "orders")
+    n_b = spark.sql("SELECT count(*) AS n FROM orders").collect()[0]["n"]
+    load(spark, SF_A, "orders")
+    n_a2 = spark.sql("SELECT count(*) AS n FROM orders").collect()[0]["n"]
+    assert n_a != n_b, "test needs two sf dirs of different size"
+    assert n_a2 == n_a, "view must re-register when an earlier sf reclaims the name"
+
+
+def test_events_timestamp_conversion_cached(spark):
+    """The cached events DataFrame must carry the ns→µs timestamp
+    conversion (not the raw bigint column)."""
+    e1 = load(spark, SF_A, "events")["events"]
+    assert dict(e1.dtypes)["ts"] == "timestamp"
+    e2 = load(spark, SF_A, "events")["events"]
+    assert e2 is e1
