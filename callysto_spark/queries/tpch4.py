@@ -313,9 +313,19 @@ LIMIT 20
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the SOLE late supplier on
     multi-supplier orders ('late' = shipped >90 days after the order —
-    this schema carries no commit/receipt dates). The double-correlated
-    EXISTS / NOT EXISTS compiles to a semi join + an anti join on
-    (orderkey, suppkey-inequality), both plain shuffled hash joins."""
+    this schema carries no commit/receipt dates).
+
+    The double-correlated EXISTS / NOT EXISTS decorrelates to COUNTS
+    over distinct (order, supplier) pairs: NOT EXISTS(other late
+    supplier) ⟺ the order has exactly one late supplier; EXISTS(other
+    member) ⟺ the order has ≥2 distinct suppliers. That computes the
+    expensive lineitem⨝orders 'late' set ONCE (the naive semi+anti
+    form re-derives it for the anti side) and replaces both
+    inequality joins with a window count riding the join's orderkey
+    partitioning plus one aggregate semi join.
+    """
+    from pyspark.sql import Window
+
     t = load(spark, sf_dir, "lineitem", "orders", "supplier")
     late = (
         t["lineitem"]
@@ -324,23 +334,23 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
-    members = t["lineitem"].select("l_orderkey", "l_suppkey").distinct()
-    l1 = late.alias("l1")
-    other_member = members.alias("m2")
-    other_late = late.alias("l3")
-    waiting = (
-        l1.join(
-            other_member,
-            (F.col("l1.l_orderkey") == F.col("m2.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("m2.l_suppkey")),
-            "left_semi",
-        ).join(
-            other_late,
-            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-            "left_anti",
-        )
+    # late is distinct pairs ⇒ count per order = distinct late suppliers;
+    # the window reuses the l_orderkey hash partitioning already in place
+    sole_late = (
+        late.withColumn("__n_late", F.count("*").over(Window.partitionBy("l_orderkey")))
+        .filter(F.col("__n_late") == 1)
+        .drop("__n_late")
     )
+    multi_supplier_orders = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__n_supp"))
+        .filter(F.col("__n_supp") >= 2)
+        .select("l_orderkey")
+    )
+    waiting = sole_late.join(multi_supplier_orders, "l_orderkey", "left_semi")
     return (
         waiting.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
