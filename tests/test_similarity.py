@@ -71,3 +71,31 @@ def test_ivf_nprobe_monotone_and_exact_at_full_probe(spark, sf_dir):
     r8 = _recall(exact, _topk_ids(ivf_topk(e, "vec_id", "embedding", qids, cents, k=10, nprobe=8)))
     assert r1 <= r2 <= r8
     assert r8 == 1.0, "probing every cell must reproduce the exact baseline"
+
+
+def test_ivf_scoring_scales_to_large_k(spark, sf_dir):
+    """The k≈4096 contract: centroid scoring is O(1) plan nodes however
+    many centroids there are (one JVM-parsed 2-D literal + one indexed
+    transform), so a large-k index must BUILD fast (plan construction +
+    analysis bounded) and still assign correctly. Pins the regression
+    where per-centroid unrolled expressions made k=256 take tens of
+    seconds of driver time."""
+    import random
+    import time
+
+    from callysto_spark.operators.similarity import ivf_assign
+    from callysto_spark.tables import load as load_tables
+
+    e = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    dim = len(e.first()["embedding"])
+    rng = random.Random(11)
+    cents = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(256)]
+    t0 = time.perf_counter()
+    assigned = ivf_assign(e, "vec_id", "embedding", cents)
+    assigned.schema  # force analysis
+    build = time.perf_counter() - t0
+    assert build < 5.0, f"k=256 plan build+analysis took {build:.1f}s"
+    cells = assigned.select("cell").distinct().count()
+    n = assigned.count()
+    assert n == e.count()
+    assert 1 <= cells <= 256
