@@ -8,11 +8,17 @@ Partitioning discipline: media rows are large → size partitions by
 ``spark.sql.files.maxPartitionBytes``, never groupBy on raw bytes (hash
 the metadata key instead).
 
-The actual codec calls (PIL/ffmpeg/soundfile) are NOT in this
-container; ``decoder='stub'`` raises NotImplementedError at the exact
-seam a codec plugs into, and ``decoder='fake'`` derives deterministic
-pseudo-features from the bytes so the Spark-side plumbing (schema,
-batch shape, partitioning) is fully testable.
+Codec status by modality:
+
+- **audio/WAV is REAL and dependency-free**: ``wav_features`` /
+  ``audio_segments`` decode PCM WAV with the stdlib ``wave`` module +
+  numpy — actual sample rates, durations, RMS/peak, amplitude
+  envelopes, and real PCM slicing, runnable in any Python environment.
+- image/video codec calls (PIL/ffmpeg) are NOT in this container;
+  ``decoder='stub'`` raises NotImplementedError at the exact seam a
+  codec plugs into, and ``decoder='fake'`` derives deterministic
+  pseudo-features from the bytes so the Spark-side plumbing (schema,
+  batch shape, partitioning) is fully testable.
 """
 
 from __future__ import annotations
@@ -161,3 +167,124 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+WAV_FEATURE_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, n_samples int, "
+    "duration_ms int, rms double, peak double, envelope array<float>"
+)
+
+
+def _decode_wav(payload: bytes):
+    """bytes → (sample_rate, n_channels, mono float64 samples in [-1,1]).
+
+    Pure stdlib: ``wave`` parses the RIFF container, numpy converts the
+    PCM frames. Supports 8/16/32-bit integer PCM (the wave module's
+    surface); multi-channel audio is mean-downmixed to mono.
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload)) as w:
+        nch, sw, fr, nf = w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+        pcm = w.readframes(nf)
+    if sw == 2:
+        x = np.frombuffer(pcm, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(pcm, dtype="u1").astype(np.float64) - 128.0) / 128.0
+    elif sw == 4:
+        x = np.frombuffer(pcm, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width: {sw}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return fr, nch, x
+
+
+def wav_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """REAL audio decode + feature extraction for PCM WAV payloads —
+    no external codec, runnable anywhere (stdlib ``wave`` + numpy).
+
+    Emits per-row: sample rate, channel count, sample count, duration,
+    RMS energy, peak amplitude, and a fixed-``dim`` mean-absolute
+    amplitude envelope (the downsampled loudness contour — the audio
+    analog of a thumbnail). One Arrow crossing; bytes never hit the
+    driver; output is fixed-schema relational columns.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_ms", "rms", "peak", "envelope",
+                )
+            }
+            for _, row in pdf.iterrows():
+                fr, nch, x = _decode_wav(row["content"])
+                n = len(x)
+                rows["media_id"].append(row["media_id"])
+                rows["sample_rate"].append(fr)
+                rows["n_channels"].append(nch)
+                rows["n_samples"].append(n)
+                rows["duration_ms"].append(int(n * 1000 / fr) if fr else 0)
+                rows["rms"].append(float(np.sqrt(np.mean(x**2))) if n else 0.0)
+                rows["peak"].append(float(np.max(np.abs(x))) if n else 0.0)
+                segs = np.array_split(np.abs(x), dim) if n else [np.zeros(0)] * dim
+                rows["envelope"].append(
+                    [float(s.mean()) if len(s) else 0.0 for s in segs]
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)
+
+
+AUDIO_SEGMENT_SCHEMA = (
+    "media_id long, segment_idx int, ts_ms int, content binary, sample_rate int, n_samples int"
+)
+
+
+def audio_segments(media: DataFrame, every_ms: int = 1000, max_segments: int = 32) -> DataFrame:
+    """REAL audio frame-sampling: slice WAV payloads into fixed-period
+    PCM segments, each re-encoded as a standalone WAV (1→N row
+    expansion inside the Arrow batch — distributed, no shuffle, no
+    driver involvement). The audio counterpart of ``sample_frames``,
+    with an actual codec instead of a seam.
+    """
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in ("media_id", "segment_idx", "ts_ms", "content", "sample_rate", "n_samples")
+            }
+            for _, row in pdf.iterrows():
+                fr, _nch, x = _decode_wav(row["content"])
+                step = max(1, int(fr * every_ms / 1000))
+                n_seg = max(1, min((len(x) + step - 1) // step, max_segments))
+                for i in range(n_seg):
+                    seg = x[i * step : (i + 1) * step]
+                    pcm = (np.clip(seg, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+                    buf = io.BytesIO()
+                    with wave_mod.open(buf, "wb") as w:
+                        w.setnchannels(1)
+                        w.setsampwidth(2)
+                        w.setframerate(fr)
+                        w.writeframes(pcm)
+                    out["media_id"].append(row["media_id"])
+                    out["segment_idx"].append(i)
+                    out["ts_ms"].append(int(i * every_ms))
+                    out["content"].append(buf.getvalue())
+                    out["sample_rate"].append(fr)
+                    out["n_samples"].append(len(seg))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=AUDIO_SEGMENT_SCHEMA)

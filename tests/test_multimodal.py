@@ -69,3 +69,84 @@ def test_frame_sampling_explodes_within_batches(spark):
     # frame payloads are deterministic content digests
     again = sample_frames(df, every_ms=300, max_frames=3).collect()
     assert sorted(map(str, frames)) == sorted(map(str, again))
+
+
+def _make_wav(freq_hz: float, seconds: float, rate: int = 8000, amp: float = 0.5,
+              channels: int = 1, sampwidth: int = 2) -> bytes:
+    """Real PCM WAV bytes via the stdlib writer (no codec libs)."""
+    import io
+    import math
+    import wave
+
+    n = int(rate * seconds)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        frames = bytearray()
+        for i in range(n):
+            v = amp * math.sin(2 * math.pi * freq_hz * i / rate)
+            if sampwidth == 2:
+                s = int(v * 32767)
+                for _ in range(channels):
+                    frames += s.to_bytes(2, "little", signed=True)
+            else:  # 8-bit unsigned
+                s = int(v * 127) + 128
+                for _ in range(channels):
+                    frames += bytes([s])
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_wav_features_real_decode(spark):
+    """REAL audio decode: a 440 Hz sine at amplitude 0.5 must yield its
+    true sample rate, duration, RMS ≈ 0.5/√2 and peak ≈ 0.5 — values
+    only an actual PCM decode can produce."""
+    from callysto_spark.operators.multimodal import wav_features
+
+    rows = [
+        (1, "audio", _make_wav(440, 1.0), "audio/wav", None, None, 1000),
+        (2, "audio", _make_wav(880, 0.5, channels=2), "audio/wav", None, None, 500),
+        (3, "audio", _make_wav(220, 0.25, sampwidth=1), "audio/wav", None, None, 250),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in wav_features(media, dim=8).collect()}
+    assert got[1]["sample_rate"] == 8000 and got[1]["n_samples"] == 8000
+    assert got[1]["duration_ms"] == 1000
+    assert abs(got[1]["rms"] - 0.5 / 2**0.5) < 0.01
+    assert abs(got[1]["peak"] - 0.5) < 0.01
+    assert len(got[1]["envelope"]) == 8
+    # a sine's mean-abs envelope is flat at 2A/π across segments
+    env = got[1]["envelope"]
+    assert all(abs(e - 2 * 0.5 / 3.14159) < 0.02 for e in env)
+    assert got[2]["n_channels"] == 2 and got[2]["duration_ms"] == 500
+    assert got[3]["duration_ms"] == 250  # 8-bit path
+
+
+def test_audio_segments_real_slicing(spark):
+    """Real 1→N PCM slicing: a 2 s clip at 250 ms periods must produce 8
+    standalone WAV segments of 2000 samples each, and every segment must
+    itself re-decode (round-trippable WAV bytes)."""
+    from callysto_spark.operators.multimodal import _decode_wav, audio_segments
+
+    media = spark.createDataFrame(
+        [(7, "audio", _make_wav(440, 2.0), "audio/wav", None, None, 2000)], MEDIA_SCHEMA
+    )
+    segs = audio_segments(media, every_ms=250).orderBy("segment_idx").collect()
+    assert len(segs) == 8
+    assert [s["segment_idx"] for s in segs] == list(range(8))
+    assert all(s["n_samples"] == 2000 for s in segs)
+    assert segs[3]["ts_ms"] == 750
+    fr, nch, x = _decode_wav(segs[0]["content"])
+    assert fr == 8000 and nch == 1 and len(x) == 2000
+
+
+def test_audio_segments_cap(spark):
+    from callysto_spark.operators.multimodal import audio_segments
+
+    media = spark.createDataFrame(
+        [(9, "audio", _make_wav(100, 3.0), "audio/wav", None, None, 3000)], MEDIA_SCHEMA
+    )
+    segs = audio_segments(media, every_ms=100, max_segments=5).collect()
+    assert len(segs) == 5
