@@ -14,7 +14,11 @@ Codec status by modality:
   ``audio_segments`` decode PCM WAV with the stdlib ``wave`` module +
   numpy — actual sample rates, durations, RMS/peak, amplitude
   envelopes, and real PCM slicing, runnable in any Python environment.
-- image/video codec calls (PIL/ffmpeg) are NOT in this container;
+- **image/PNG is REAL and dependency-free**: ``png_features`` and
+  ``resize_media(decoder='png')`` run on the stdlib-zlib PNG codec in
+  ``operators/png_py.py`` (all five scanline filters on decode,
+  nearest-neighbor resample, valid re-encode).
+- JPEG/video codec calls (PIL/ffmpeg) are NOT in this container;
   ``decoder='stub'`` raises NotImplementedError at the exact seam a
   codec plugs into, and ``decoder='fake'`` derives deterministic
   pseudo-features from the bytes so the Spark-side plumbing (schema,
@@ -94,29 +98,44 @@ def resize_media(
 ) -> DataFrame:
     """Resize the image payloads, preserving the media schema (1→1 rows).
 
-    'stub' marks the decode→resize→re-encode codec seam; 'fake' emits a
-    deterministic payload of the target dimensions' byte budget so batch
-    shape and schema round-trip is testable. Output schema == input
-    MEDIA_SCHEMA with width/height updated — resize composes with any
-    downstream media operator.
+    ``decoder='png'`` is a REAL dependency-free codec path: stdlib-zlib
+    PNG decode → nearest-neighbor resample → PNG re-encode
+    (``operators/png_py.py``). 'stub' marks the decode→resize→re-encode
+    seam for formats needing PIL (JPEG etc); 'fake' emits a
+    deterministic payload of the target dimensions' byte budget so
+    batch shape and schema round-trip is testable. Output schema ==
+    input MEDIA_SCHEMA with width/height updated — resize composes with
+    any downstream media operator.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "stub":
                 raise NotImplementedError(
-                    "real resize requires an image codec; plug PIL here "
-                    "(decode → resize((w,h)) → encode)"
+                    "real resize of non-PNG formats requires an image codec; "
+                    "plug PIL here (decode → resize((w,h)) → encode); PNG is "
+                    "handled dependency-free by decoder='png'"
                 )
             out = pdf.copy()
+            if decoder == "png":
+                from callysto_spark.operators.png_py import (
+                    decode_png,
+                    encode_png,
+                    resize_nearest,
+                )
 
-            def fake_resize(b: bytes | None) -> bytes:
-                # deterministic stand-in sized ~ w*h: digest-tiled bytes
-                seed = hashlib.sha256((b or b"") + f"{width}x{height}".encode()).digest()
-                need = min(width * height, 4096)
-                return (seed * (need // len(seed) + 1))[:need]
+                out["content"] = pdf["content"].map(
+                    lambda b: encode_png(resize_nearest(decode_png(b), width, height))
+                )
+            else:
 
-            out["content"] = pdf["content"].map(fake_resize)
+                def fake_resize(b: bytes | None) -> bytes:
+                    # deterministic stand-in sized ~ w*h: digest-tiled bytes
+                    seed = hashlib.sha256((b or b"") + f"{width}x{height}".encode()).digest()
+                    need = min(width * height, 4096)
+                    return (seed * (need // len(seed) + 1))[:need]
+
+                out["content"] = pdf["content"].map(fake_resize)
             out["width"] = width
             out["height"] = height
             yield out
@@ -288,3 +307,47 @@ def audio_segments(media: DataFrame, every_ms: int = 1000, max_segments: int = 3
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=AUDIO_SEGMENT_SCHEMA)
+
+
+PNG_FEATURE_SCHEMA = (
+    "media_id long, width int, height int, channels int, "
+    "mean double, std double, luma array<float>"
+)
+
+
+def png_features(media: DataFrame, grid: int = 4) -> DataFrame:
+    """REAL image decode + feature extraction for PNG payloads —
+    dependency-free (stdlib zlib codec, ``operators/png_py.py``).
+
+    Emits true dimensions/channel counts, global pixel mean/std, and a
+    ``grid×grid`` average-pooled luminance thumbnail (flattened
+    row-major) — the image analog of ``wav_features``' envelope. One
+    Arrow crossing, bytes stay on the executor.
+    """
+    import numpy as np
+
+    from callysto_spark.operators.png_py import decode_png, resize_nearest
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: [] for k in ("media_id", "width", "height", "channels", "mean", "std", "luma")
+            }
+            for _, row in pdf.iterrows():
+                arr = decode_png(row["content"])
+                h, w, ch = arr.shape
+                x = arr.astype(np.float64) / 255.0
+                # luminance: mean over color channels (alpha excluded)
+                color = x[:, :, : 3 if ch >= 3 else 1]
+                luma = color.mean(axis=2)
+                pooled = resize_nearest(luma[:, :, None], grid, grid)[:, :, 0]
+                rows["media_id"].append(row["media_id"])
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(ch)
+                rows["mean"].append(float(x.mean()))
+                rows["std"].append(float(x.std()))
+                rows["luma"].append([float(v) for v in pooled.reshape(-1)])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=PNG_FEATURE_SCHEMA)

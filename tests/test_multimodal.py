@@ -150,3 +150,112 @@ def test_audio_segments_cap(spark):
     )
     segs = audio_segments(media, every_ms=100, max_segments=5).collect()
     assert len(segs) == 5
+
+
+def test_png_codec_round_trip():
+    """encode→decode identity on random RGB/RGBA/grey images."""
+    import numpy as np
+
+    from callysto_spark.operators.png_py import decode_png, encode_png
+
+    rng = np.random.RandomState(3)
+    for ch in (1, 2, 3, 4):
+        arr = rng.randint(0, 256, size=(13, 17, ch), dtype=np.uint8)
+        out = decode_png(encode_png(arr))
+        assert out.shape == (13, 17, ch)
+        assert (out == arr).all()
+
+
+def test_png_decode_all_filter_types():
+    """Hand-built IDAT exercising filters Sub/Up/Average/Paeth: the
+    unfiltered pixels must match the spec recurrences computed by an
+    independent reference implementation."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from callysto_spark.operators.png_py import decode_png
+
+    w, h, ch = 4, 5, 3
+    rng = np.random.RandomState(9)
+    raw_rows = [rng.randint(0, 256, size=w * ch).astype(np.int64) for _ in range(h)]
+
+    # reference decode state
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    filters = [0, 1, 2, 3, 4]
+    recon = []
+    stream = bytearray()
+    for y, f in enumerate(filters):
+        line = raw_rows[y]
+        prev = recon[y - 1] if y else np.zeros(w * ch, dtype=np.int64)
+        cur = np.zeros(w * ch, dtype=np.int64)
+        for i in range(w * ch):
+            a = cur[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[f]
+            cur[i] = (line[i] + pred) % 256
+        recon.append(cur)
+        stream.append(f)
+        stream.extend(int(v) for v in line % 256)
+
+    def chunk(ctype, body):
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(
+            ">I", zlib.crc32(ctype + body) & 0xFFFFFFFF
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png(png)
+    want = np.stack(recon).reshape(h, w, ch).astype(np.uint8)
+    assert (got == want).all()
+
+
+def test_resize_media_png_real(spark):
+    """decoder='png' must really resample: a 2x2 checkerboard scaled to
+    8x8 keeps exact quadrant colors (nearest neighbor), and the output
+    payload is a valid PNG of the target size."""
+    import numpy as np
+
+    from callysto_spark.operators.multimodal import resize_media
+    from callysto_spark.operators.png_py import decode_png, encode_png
+
+    checker = np.zeros((2, 2, 3), dtype=np.uint8)
+    checker[0, 1] = checker[1, 0] = 255
+    media = spark.createDataFrame(
+        [(1, "image", encode_png(checker), "image/png", 2, 2, None)], MEDIA_SCHEMA
+    )
+    out = resize_media(media, 8, 8, decoder="png").collect()[0]
+    assert out["width"] == 8 and out["height"] == 8
+    arr = decode_png(out["content"])
+    assert arr.shape == (8, 8, 3)
+    assert (arr[:4, :4] == 0).all() and (arr[:4, 4:] == 255).all()
+    assert (arr[4:, :4] == 255).all() and (arr[4:, 4:] == 0).all()
+
+
+def test_png_features_real(spark):
+    """Real PNG feature extraction: known half-black/half-white image →
+    mean 0.5, luma grid split exactly."""
+    import numpy as np
+
+    from callysto_spark.operators.multimodal import png_features
+    from callysto_spark.operators.png_py import encode_png
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[:, 4:] = 255
+    media = spark.createDataFrame(
+        [(5, "image", encode_png(img), "image/png", 8, 8, None)], MEDIA_SCHEMA
+    )
+    row = png_features(media, grid=2).collect()[0]
+    assert row["width"] == 8 and row["height"] == 8 and row["channels"] == 3
+    assert abs(row["mean"] - 0.5) < 1e-9
+    assert row["luma"] == [0.0, 1.0, 0.0, 1.0]
