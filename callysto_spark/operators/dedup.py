@@ -88,6 +88,17 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     Docs shorter than n tokens yield one truncated shingle (the
     ``try_element_at`` + ``concat_ws`` NULL-skip path in
     ``word_shingles``), matching the oracle definition.
+
+    Memory note at scale: the shingle set lives in one row, so a
+    pathological document costs its full shingle array in executor
+    memory (a 10 MB doc ≈ tens of MB in-row). Real pipelines length-cap
+    documents upstream (see ``doc_pipeline_clean_corpus``'s token
+    filter); both the old exploded form and this one keep a document
+    inside a single task either way.
+
+    Because the whole pipeline is narrow (no shuffle, no window), it is
+    also STREAMING-LEGAL: the same operator runs unchanged on a
+    readStream DataFrame (see tests/test_streaming.py).
     """
     from callysto_spark.operators.util import ensure_parallelism
 

@@ -202,3 +202,47 @@ def test_running_aggregate_update_mode(spark, tmp_path):
         .collect()
     )
     assert {r["user_id"]: r["n"] for r in latest} == {0: 8, 1: 8}
+
+
+def test_minhash_on_stream_matches_batch(spark, tmp_path):
+    """Batch/stream unification for the dedup pipeline: minhash
+    signatures are a fully narrow map (in-row shingles, in-row
+    permutation minima — no shuffle, no window), so the SAME operator
+    runs unchanged on a readStream DataFrame and must produce exactly
+    the batch signatures."""
+    from callysto_spark.operators.dedup import minhash_signatures
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text with other tokens entirely"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+    ]
+    d = tmp_path / "mh_docs"
+    d.mkdir()
+    batch_df = spark.createDataFrame(docs, "doc_id long, text string")
+    batch_df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "mh_scratch"))
+    import shutil
+
+    for f in (tmp_path / "mh_scratch").iterdir():
+        if f.name.endswith(".parquet"):
+            shutil.copy(f, d / "0000.parquet")
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(d))
+    sig_stream = minhash_signatures(stream, "doc_id", "text", num_hashes=16, n=3)
+    assert sig_stream.isStreaming
+    q = (
+        sig_stream.writeStream.format("memory")
+        .queryName("mh_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc"]: list(r["signature"]) for r in spark.table("mh_stream_out").collect()}
+    want = {
+        r["doc"]: list(r["signature"])
+        for r in minhash_signatures(batch_df, "doc_id", "text", num_hashes=16, n=3).collect()
+    }
+    assert got == want
+    assert got[1] == got[4], "identical docs must share a signature"
+    assert got[1] != got[3]
