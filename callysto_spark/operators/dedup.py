@@ -225,14 +225,18 @@ def verify_candidate_pairs(
 ) -> DataFrame:
     """Exact Jaccard verification restricted to CANDIDATE pairs — stage
     two of the canonical 100 TB near-dup pipeline (stage one:
-    minhash_lsh_candidates). The full corpus never self-joins: shingles
-    are built only for docs appearing in a candidate pair (semi join),
-    and intersections are counted via the candidate-pair join, so total
-    work is O(|candidates| · shingles/doc) instead of O(corpus²).
+    minhash_lsh_candidates). The full corpus never self-joins: shingle
+    ARRAYS are built only for docs appearing in a candidate pair (semi
+    join), each candidate pair picks up both docs' arrays via two
+    key-equi joins, and the intersection is computed IN-ROW with
+    ``array_intersect`` — no shingle explode, no pair join on the
+    shingle key, total work O(|candidates| · shingles/doc).
 
     ``candidates``: (doc_a, doc_b) with doc_a < doc_b. Output matches
     ngram_jaccard_pairs' schema, filtered to candidates ∩ threshold.
     """
+    # candidates is typically a full LSH pipeline — persist: it feeds the
+    # touched-docs semi join AND both sides of the pair assembly
     cand = transient_persist(candidates.select("doc_a", "doc_b").distinct())
     touched = (
         cand.select(F.col("doc_a").alias("doc"))
@@ -242,27 +246,18 @@ def verify_candidate_pairs(
     narrowed = df.join(
         touched.withColumnRenamed("doc", id_col), id_col, "left_semi"
     )
-    arr = shingle_arrays(narrowed, id_col, text_col, n)
-    sh = arr.select("doc", F.size("gs").alias("n_sh"), F.explode("gs").alias("g"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc") < F.col("b.doc")))
-        .join(
-            cand,
-            (F.col("a.doc") == F.col("doc_a")) & (F.col("b.doc") == F.col("doc_b")),
-            "left_semi",
-        )
-        .groupBy(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .agg(F.count("*").alias("inter"))
-    )
+    arr = transient_persist(shingle_arrays(narrowed, id_col, text_col, n))
+    a = arr.select(F.col("doc").alias("doc_a"), F.col("gs").alias("gs_a"))
+    b = arr.select(F.col("doc").alias("doc_b"), F.col("gs").alias("gs_b"))
+    paired = cand.join(a, "doc_a").join(b, "doc_b")
     return (
-        inter.withColumn("union_sz", F.col("na") + F.col("nb") - F.col("inter"))
+        paired.select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("gs_a", "gs_b")).alias("inter"),
+            (F.size("gs_a") + F.size("gs_b")).alias("__sz"),
+        )
+        .withColumn("union_sz", F.col("__sz") - F.col("inter"))
         .withColumn("jaccard", F.col("inter") / F.col("union_sz"))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "union_sz", "jaccard")
