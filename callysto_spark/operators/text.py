@@ -110,35 +110,44 @@ def winnow_fingerprints(df, id_col: str, text_col: str, k: int = 3, w: int = 4):
     Cross-engine determinism: the gram "hash" is the first 16 hex chars
     of sha256(gram) compared LEXICOGRAPHICALLY — identical in any engine
     (vs xxhash64, which is engine-specific), so this operator is fully
-    oracle-checkable. Plan shape: posexplode → window lead (one shuffle
-    on doc) → sliding-window min over the SAME partitioning (no second
-    exchange) → distinct. Docs with fewer than ``w`` grams keep their
-    single global minimum, so every non-empty doc fingerprints.
+    oracle-checkable.
+
+    Plan shape: fully IN-ROW — positional grams, hashes, and sliding
+    minima are array expressions over Generate-barrier-materialized
+    attributes (each pipeline stage's array must be a real attribute:
+    an expression referenced inside a ``transform`` lambda re-evaluates
+    per element), and the distinct-minima step is ``array_distinct``
+    within the document. ZERO shuffle at any corpus size (the earlier
+    posexplode → window-lead → distinct form paid two exchanges). Docs
+    with fewer than ``w`` grams keep their single global minimum, so
+    every non-empty doc fingerprints.
 
     Returns distinct (doc, fp) rows.
     """
-    from pyspark.sql import Window
-
     from callysto_spark.operators.dedup import tokens_col
+    from callysto_spark.operators.util import ensure_parallelism
 
-    toks = df.select(
-        F.col(id_col).alias("doc"), F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok")
+    staged = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array(tokens_col(F.col(text_col)))).alias("__toks"),
     )
-    wo = Window.partitionBy("doc").orderBy("pos")
-    leads = [F.col("tok")] + [F.lead("tok", i).over(wo) for i in range(1, k)]
-    n_tok = F.count("*").over(Window.partitionBy("doc"))
-    grams = (
-        toks.withColumn("gram", F.concat_ws(" ", *leads))
-        .withColumn("__n", n_tok)
-        .filter(F.col("pos") + 1 <= F.greatest(F.col("__n") - (k - 1), F.lit(1)))
-        .withColumn("h", F.substring(F.sha2(F.col("gram"), 256), 1, 16))
+    toks = F.col("__toks")
+    # positional k-grams, in order (NO distinct — winnowing is positional);
+    # short docs (< k tokens) yield one truncated gram via try_element_at
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j) for j in range(k)]),
     )
-    n_grams = F.count("*").over(Window.partitionBy("doc"))
-    win_min = F.min("h").over(wo.rowsBetween(-(w - 1), 0))
-    return (
-        grams.withColumn("__g", n_grams)
-        .withColumn("fp", win_min)
-        .filter((F.col("pos") + 1 >= w) | ((F.col("__g") < w) & (F.col("pos") + 1 == F.col("__g"))))
-        .select("doc", "fp")
-        .distinct()
+    hashed = staged.select(
+        "doc",
+        F.explode(
+            F.array(F.transform(grams, lambda g: F.substring(F.sha2(g, 256), 1, 16)))
+        ).alias("hs"),
     )
+    hs = F.col("hs")
+    n = F.size(hs)
+    sliding = F.transform(
+        F.sequence(F.lit(w), n), lambda p: F.array_min(F.slice(hs, p - (w - 1), w))
+    )
+    fps = F.when(n >= w, sliding).otherwise(F.array(F.array_min(hs)))
+    return hashed.select("doc", F.explode(F.array_distinct(fps)).alias("fp"))

@@ -174,3 +174,18 @@ def test_minhash_signatures_no_hash_exchange(spark, sf_dir):
     plan = physical_plan(minhash_signatures(d, "doc_id", "text", num_hashes=16, n=4))
     assert "hashpartitioning" not in plan.lower(), plan
     assert "Window" not in plan, "no window in the shingle pipeline"
+
+
+def test_winnow_operator_no_shuffle(spark, sf_dir):
+    """Winnowing fingerprints are computed fully in-row: the operator's
+    plan has no window and no hash-partition exchange (only the
+    small-input parallelize repartition is allowed) — a narrow map at
+    any corpus size."""
+    from callysto_spark.operators.text import winnow_fingerprints
+    from callysto_spark.plans import physical_plan
+    from callysto_spark.tables import load as load_tables
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    plan = physical_plan(winnow_fingerprints(d, "doc_id", "text", k=3, w=4))
+    assert "Window" not in plan
+    assert "hashpartitioning" not in plan.lower(), plan
