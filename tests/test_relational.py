@@ -185,3 +185,30 @@ def test_word_shingles_short_doc_no_ansi_crash(spark):
     assert rows[1] == ["two tokens"]
     assert rows[2] == ["a"]
     assert rows[3][0] == "four small word doc"
+
+
+def test_shingle_arrays_edge_cases(spark):
+    """In-row shingle construction must match the relational/oracle
+    definition on edge inputs: empty text (one empty-string token from
+    the regex-split convention, shared with DuckDB string_split_regex),
+    repeated tokens (distinct shingles), multi-whitespace runs, and the
+    Generate-barrier path evaluating the split once per doc."""
+    from callysto_spark.operators.dedup import shingle_arrays, shingle_rows
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "a a a a a a"),
+            (3, "x \t  y \n z  w q"),
+            (4, "one two three four five"),
+        ],
+        ["doc_id", "text"],
+    )
+    arr = {r["doc"]: r["gs"] for r in shingle_arrays(df, "doc_id", "text", 4).collect()}
+    assert arr[1] == [""]
+    assert arr[2] == ["a a a a"]  # repeated tokens collapse to one distinct shingle
+    assert arr[3] == ["x y z w", "y z w q"]  # whitespace runs = single separators
+    assert arr[4] == ["one two three four", "two three four five"]
+    # rows form matches arrays form exactly
+    rows = {(r["doc"], r["g"]) for r in shingle_rows(df, "doc_id", "text", 4).collect()}
+    assert rows == {(d, g) for d, gs in arr.items() for g in gs}
