@@ -377,3 +377,71 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     )
     sim = F.lpad(F.conv(bitstr, 2, 16), bits // 4, "0")
     return staged.select(F.col(id_col).alias("doc"), sim.alias("simhash"))
+
+
+def simhash_candidates(
+    sim_df: DataFrame,
+    bands: int = 4,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs from SimHash hex signatures by banded
+    blocking — the pigeonhole principle: two signatures within Hamming
+    distance ``bands − 1`` MUST agree exactly on at least one of
+    ``bands`` equal slices, so bucketing each slice and joining on
+    (band, slice) finds every such pair without a corpus self-join.
+    Same shuffle shape as ``minhash_lsh_candidates``: a high-cardinality
+    (band, slice) bucket join AQE can split on skew.
+
+    ``sim_df``: (doc, simhash) as produced by :func:`simhash`.
+    ``max_hamming`` (≤ bands−1, default bands−1) additionally verifies
+    the exact Hamming distance in-row on the candidate pair — still no
+    extra shuffle. Output: (doc_a, doc_b, hamming) with doc_a < doc_b.
+    """
+    if max_hamming is None:
+        max_hamming = bands - 1
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banded blocking with {bands} bands only guarantees recall up to "
+            f"hamming {bands - 1}; raise bands or lower max_hamming"
+        )
+    width = (F.length("simhash") / bands).cast("int")  # bits/4 hex chars, divisible for pow-2 bands
+    banded = sim_df.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.substr("simhash", b * width + 1, width).alias("slice"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc", "simhash", F.col("bk.band").alias("band"), F.col("bk.slice").alias("slice"))
+    banded = transient_persist(banded)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    # exact Hamming distance between hex strings, in-row: per hex digit,
+    # popcount of xor — conv to int then bit_count
+    ham = F.aggregate(
+        F.zip_with(
+            F.split(F.col("a.simhash"), ""),
+            F.split(F.col("b.simhash"), ""),
+            lambda x, y: F.bit_count(
+                F.conv(x, 16, 10).cast("long").bitwiseXOR(F.conv(y, 16, 10).cast("long"))
+            ),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"), ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -56,3 +56,35 @@ def test_verified_pairs_agree_with_exact(spark, sf_dir):
     expected = {p: v for p, v in exact.items() if p in cand_set}
     assert verified == expected
     assert len(verified) >= 25, "planted twins must survive verification"
+
+
+def test_simhash_candidates_banded_hamming(spark):
+    """Pigeonhole recall: near-identical docs (small Hamming distance
+    between simhashes) must surface as candidates with their EXACT
+    hamming distance; unrelated docs must not pair at a tight
+    max_hamming. Identical docs pair at hamming 0."""
+    from callysto_spark.operators.dedup import simhash, simhash_candidates
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "the quick brown fox jumps over the lazy dog again and again tonight"),
+        (3, "an entirely different document about database engines and shuffles"),
+        (4, "the quick brown fox jumps over the lazy dog again and again today"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"]).repartition(4)
+    sims = simhash(df, "doc_id", "text")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_candidates(sims, bands=4, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 4)) == 0, f"identical docs must pair at hamming 0: {pairs}"
+    # hamming values are exact: recompute driver-side from the signatures
+    sig = {r["doc"]: r["simhash"] for r in sims.collect()}
+
+    def ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    for (x, y), h in pairs.items():
+        assert h == ham(sig[x], sig[y]), f"pair ({x},{y}) hamming mismatch"
+    for (x, y), h in pairs.items():
+        assert h <= 3
