@@ -49,7 +49,8 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         time.sleep(pause)
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name in names:
         # steady-state measurement: first execution pays whole-stage
         # codegen JIT (~10s of generated-class compilation per complex
@@ -57,27 +58,42 @@ def main() -> None:
         # run once to warm, then time n_runs and report the MIN (the
         # steady-state convention — sub-second queries need n≥5 for
         # round-over-round deltas to exceed scheduler/GC noise).
-        run(registry[name].fn(spark, sf_dir))
-        spark.catalog.clearCache()
-        settle()
-        best = float("inf")
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
+        # Per-query isolation: one broken query must cost ONLY its own
+        # entry, never the whole bench line (r3 lost all signal to one
+        # plan-time AnalysisException).
+        try:
             run(registry[name].fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s (min of {n_runs})", file=sys.stderr)
+            settle()
+            best = float("inf")
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                run(registry[name].fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            timings[name] = round(best, 3)
+            print(f"# {name}: {timings[name]:.3f}s (min of {n_runs})", file=sys.stderr)
+        except Exception as exc:
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+            spark.catalog.clearCache()
         settle()
-    ingest = ingest_bench(spark)
+    try:
+        ingest = ingest_bench(spark)
+    except Exception as exc:  # ingest_bench guards internally; belt+braces
+        print(f"# ingest bench failed: {exc}", file=sys.stderr)
+        ingest = None
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(v for v in timings.values() if v is not None), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        out["errors"] = errors
     if ingest is not None:
         out["ingest_mbps"] = ingest
     print(json.dumps(out))

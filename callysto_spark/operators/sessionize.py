@@ -23,7 +23,11 @@ def sessionize(
     equal timestamps fall in the same session either way.
     """
     w = Window.partitionBy(key).orderBy(F.col(ts))
-    gap = F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w)
+    # TIMESTAMP_NTZ has no direct →long cast; bouncing through timestamp
+    # is identity for LTZ input and instant-preserving for NTZ under a
+    # UTC session, so the operator accepts either encoding.
+    epoch = F.col(ts).cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     return df.withColumn(
         session_col,

@@ -68,13 +68,16 @@ def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = 
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: registration) and return REGISTRY.
 
-    Import order is deliberate: the correctness driver samples the FIRST 50
-    registry entries in registration order, so the LLM-data-pipeline ops
-    (``doc_*``/``emb_*``), array/JSON funcs, message codecs, and streaming
-    event queries register first — they are the engine's north-star surface
-    and must carry hard driver-verified rows. The TPC-H relational suite
-    registers last; it has two full rounds of green driver rows already.
+    Import order is deliberate: the correctness driver samples the FIRST ~48
+    registry entries in registration order. The LLM-data-pipeline ops
+    (``doc_*``/``emb_*``) register first every round — they are the engine's
+    north-star surface and must always carry hard driver-verified rows. The
+    rest rotates round-by-round so every module accumulates driver rows:
+    r1-r3 sampled arrays/messages/events/tpch; r4 puts the tpch2/3/4 tail
+    (q2, q8, q9, q15, q18, q20-q22, set ops, subqueries — including the
+    newly decorrelated q21) next in line, since it had only pytest-oracle
+    coverage so far.
     """
-    from callysto_spark.queries import llm_ops, arrays, messages, events, tpch, tpch2, tpch3, tpch4  # noqa: F401
+    from callysto_spark.queries import llm_ops, tpch2, tpch3, tpch4, events, arrays, messages, tpch  # noqa: F401
 
     return REGISTRY

@@ -671,7 +671,7 @@ deduped AS (
     FROM filtered
   ) WHERE rn = 1
 )
-SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
 FROM deduped GROUP BY lang
 """,

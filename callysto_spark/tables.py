@@ -26,9 +26,12 @@ TABLES = [
 BROADCAST_DIMS = {"region", "nation", "supplier"}
 
 
-# Columns written as parquet TIMESTAMP(NANOS), which Spark's vectorized
-# reader rejects: read ns-as-long, convert to µs timestamps (lossless for
-# this data; DuckDB performs the same ns→µs coercion on read).
+# The driver testdata's timestamp encoding has varied across rounds:
+# TIMESTAMP(NANOS) (Spark's vectorized reader rejects it → read ns-as-long
+# and convert) in early rounds, plain timestamp[us] without isAdjustedToUTC
+# (Spark 4 reads it as TIMESTAMP_NTZ) later. The loader normalizes BOTH to
+# session-zone ``timestamp`` so every downstream consumer sees one dtype
+# (DuckDB performs the same coercions on read; session zone is UTC).
 _NANOS_TS_COLS = {"events": ["ts"]}
 
 
@@ -58,6 +61,11 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
                     df = df.withColumn(
                         col, F.expr(f"timestamp_micros(CAST({col} DIV 1000 AS LONG))")
                     )
+            for col, dtype in df.dtypes:
+                if dtype == "timestamp_ntz":
+                    # same instant under the UTC session zone; restores the
+                    # LTZ dtype every consumer (and DuckDB) expects
+                    df = df.withColumn(col, F.col(col).cast("timestamp"))
             cache[(sf_dir, name)] = df
         if views.get(name) != sf_dir:
             df.createOrReplaceTempView(name)

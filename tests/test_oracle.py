@@ -18,6 +18,93 @@ from callysto_spark.queries import load_all
 REGISTRY = load_all()
 
 
+def _arrow_category(t) -> str:
+    """Coarse arrow-type category for dtype parity. Distinguishes the
+    classes the driver's type-sensitive hash distinguishes (int widths,
+    float widths, DuckDB HUGEINT→decimal128) while collapsing what it
+    does not (string encodings, timestamp unit/zone, dictionary)."""
+    import pyarrow as pa
+
+    if pa.types.is_dictionary(t):
+        return _arrow_category(t.value_type)
+    if pa.types.is_integer(t):
+        # widths collapse: int32 vs int64 hash identically (both become
+        # Python int) — proven by driver-green rows with Spark INT vs
+        # DuckDB BIGINT (rank/year columns, r1-r3)
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_arrow_category(t.value_type)}>"
+    return str(t)
+
+
+_SPARK_CATEGORY = {
+    "tinyint": "int",
+    "smallint": "int",
+    "int": "int",
+    "bigint": "int",
+    "float": "float",
+    "double": "float",
+    "boolean": "bool",
+    "string": "string",
+    "binary": "binary",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+}
+
+
+def spark_dtype_category(dtype: str) -> str:
+    if dtype.startswith("decimal("):
+        return "decimal(" + dtype[len("decimal(") :]
+    if dtype.startswith("array<") and dtype.endswith(">"):
+        return f"list<{spark_dtype_category(dtype[6:-1])}>"
+    return _SPARK_CATEGORY.get(dtype, dtype)
+
+
+def assert_dtype_parity(name, sdf, ddb, oracle_sql):
+    """The driver's value hash is TYPE-sensitive: DuckDB sum(BIGINT) →
+    HUGEINT (arrow decimal128(38,0)) hash-differs from Spark BIGINT even
+    when every value is equal — this burned rounds 1 and 3. Compare the
+    oracle's arrow schema against Spark dtypes so the class fails
+    locally."""
+    oschema = ddb.execute(oracle_sql).fetch_arrow_table().schema
+    otypes = {f.name: _arrow_category(f.type) for f in oschema}
+    stypes = {c: spark_dtype_category(d) for c, d in sdf.dtypes}
+    diffs = {
+        c: (stypes[c], otypes[c])
+        for c in stypes
+        if c in otypes and stypes[c] != otypes[c]
+    }
+    assert not diffs, (
+        f"{name}: dtype mismatch spark vs oracle (add CAST in the oracle "
+        f"or align the Spark side): {diffs}"
+    )
+
+
+def test_dtype_parity_catches_hugeint(ddb):
+    """Harness self-test: an uncast DuckDB sum over BIGINT must be flagged."""
+    import pyarrow as pa
+
+    t = ddb.execute("SELECT sum(n_chars) AS s FROM documents").fetch_arrow_table()
+    cat = _arrow_category(t.schema.field("s").type)
+    assert cat != "int", "expected HUGEINT/decimal128 from uncast sum"
+    assert cat.startswith("decimal") or pa.types.is_decimal(t.schema.field("s").type)
+
+
 def normalize(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -45,6 +132,7 @@ def test_query_matches_oracle(name, spark, ddb, sf_dir):
         assert len(srows) == len(again)
         assert sorted(map(str, srows)) == sorted(map(str, again))
         return
+    assert_dtype_parity(name, sdf, ddb, q.oracle)
     cur = ddb.execute(q.oracle)
     ocols = [d[0] for d in cur.description]
     orows = [tuple(r) for r in cur.fetchall()]

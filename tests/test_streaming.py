@@ -246,3 +246,29 @@ def test_minhash_on_stream_matches_batch(spark, tmp_path):
     assert got == want
     assert got[1] == got[4], "identical docs must share a signature"
     assert got[1] != got[3]
+
+
+def test_sessionize_accepts_ntz_and_ltz_timestamps(spark):
+    """The operator must produce identical sessions whether ``ts`` is
+    TIMESTAMP (LTZ) or TIMESTAMP_NTZ — driver testdata has shipped both
+    encodings across rounds, and TIMESTAMP_NTZ has no direct long cast."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=5)),
+        (1, base + dt.timedelta(minutes=90)),  # new session (gap > 30 min)
+        (2, base),
+    ]
+    expected = {(1, base): 1, (1, base + dt.timedelta(minutes=5)): 1,
+                (1, base + dt.timedelta(minutes=90)): 2, (2, base): 1}
+    for spark_type in ("timestamp", "timestamp_ntz"):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp").withColumn(
+            "ts", F.col("ts").cast(spark_type)
+        )
+        assert dict(df.dtypes)["ts"] == spark_type
+        out = sessionize(df, "user_id", "ts", gap_seconds=1800)
+        got = {(r["user_id"], r["ts"].replace(tzinfo=None)): r["session_id"]
+               for r in out.collect()}
+        assert got == expected, f"wrong sessions for {spark_type}"
