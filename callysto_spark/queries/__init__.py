@@ -68,16 +68,38 @@ def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = 
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: registration) and return REGISTRY.
 
-    Import order is deliberate: the correctness driver samples the FIRST ~48
-    registry entries in registration order. The LLM-data-pipeline ops
-    (``doc_*``/``emb_*``) register first every round — they are the engine's
-    north-star surface and must always carry hard driver-verified rows. The
-    rest rotates round-by-round so every module accumulates driver rows:
-    r1-r3 sampled arrays/messages/events/tpch; r4 puts the tpch2/3/4 tail
-    (q2, q8, q9, q15, q18, q20-q22, set ops, subqueries — including the
-    newly decorrelated q21) next in line, since it had only pytest-oracle
-    coverage so far.
+    Registry ORDER is deliberate: the correctness driver samples the FIRST
+    ~48 entries in iteration order. The LLM-data-pipeline ops
+    (``doc_*``/``emb_*``) stay first every round — they are the engine's
+    north-star surface and must always carry hard driver-verified rows.
+    The remaining window rotates round-by-round so every module accumulates
+    driver rows: r1-r3 sampled arrays/messages/events/tpch; r4 promotes
+    ``events_sessionize`` (this round's NTZ fix needs a driver-green row as
+    proof) plus the tpch2/3/4 tail (decorrelated q21, q2, q8, q9, q15, q22,
+    subqueries, set ops), which so far had only pytest-oracle coverage.
     """
     from callysto_spark.queries import llm_ops, tpch2, tpch3, tpch4, events, arrays, messages, tpch  # noqa: F401
 
+    promoted = [
+        "events_sessionize",
+        "q21_waiting_suppliers",
+        "q2_cheapest_supplier",
+        "q8_market_share",
+        "q9_profit_by_nation_year",
+        "q15_top_supplier",
+        "q22_idle_rich_customers",
+        "q11_important_parts",
+        "q13_customer_order_distribution",
+        "customer_balance_distribution",
+    ]
+    n_llm = sum(1 for n in REGISTRY if n.startswith(("doc_", "emb_")))
+    names = list(REGISTRY)
+    order = (
+        names[:n_llm]
+        + promoted
+        + [n for n in names[n_llm:] if n not in promoted]
+    )
+    reordered = {n: REGISTRY[n] for n in order}
+    REGISTRY.clear()
+    REGISTRY.update(reordered)
     return REGISTRY
