@@ -449,3 +449,112 @@ def test_table_agent_processing_time_timeout(spark, tmp_path, sf_dir):
     assert ("even", -1) in rows and ("odd", -1) in rows
     n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert ("even", n // 2) in rows  # run 1
+
+
+def test_tws_timer_firing_order_and_ttl_eviction(spark):
+    """Runner-less semantics check for the tws binding: (a) expired
+    timers fire in timestamp order across keys (Spark's documented timer
+    contract); (b) TTL-evicted state reads as absent in the next batch
+    (ValueState ttl expires per-update), and a post-eviction write
+    re-arms the TTL clock. Simulated with a deterministic fake runtime —
+    the real runner needs google.protobuf, absent in this image."""
+    from callysto_spark.streaming.state import CTable
+    from callysto_spark.streaming.state_v2 import bind_table_processor
+
+    table = CTable(name="t", key_schema="k string", value_schema="cnt long")
+    table.output_schema = "k string, cnt long"
+
+    def closure(key, pdf, state):
+        if state.timed_out:
+            return pd.DataFrame({"k": [key[0]], "cnt": [-1]})
+        prev = state.get()
+        cnt = (prev[0] if prev else 0) + len(pdf)
+        state.set(cnt)
+        state.set_timeout_ms(1_000 if key[0] == "b" else 3_000)
+        return pd.DataFrame({"k": [key[0]], "cnt": [cnt]})
+
+    build = bind_table_processor(table, closure, timeout="ProcessingTimeTimeout", ttl_ms=2_000)
+
+    class FakeRuntime:
+        """Per-key ValueState with TTL + a global timer queue, modeled on
+        the documented transformWithState semantics: ttl measured from
+        the last update; expired timers delivered oldest-first."""
+
+        def __init__(self, ttl_ms):
+            self.now = 0
+            self.ttl = ttl_ms
+            self.values: dict[str, tuple] = {}
+            self.written: dict[str, int] = {}
+            self.timers: list[tuple[int, str]] = []
+            self.current_key = None
+
+        def handle_for(self, proc):
+            rt = self
+
+            class VS:
+                def exists(self):
+                    k = rt.current_key
+                    return k in rt.values and rt.now - rt.written[k] < rt.ttl
+
+                def get(self):
+                    return rt.values[rt.current_key]
+
+                def update(self, v):
+                    rt.values[rt.current_key] = v
+                    rt.written[rt.current_key] = rt.now
+
+                def clear(self):
+                    rt.values.pop(rt.current_key, None)
+
+            class Handle:
+                def getValueState(self, name, schema, ttlDurationMs=None):
+                    assert ttlDurationMs == rt.ttl
+                    return VS()
+
+                def registerTimer(self, ts):
+                    rt.timers.append((ts, rt.current_key))
+
+            return Handle()
+
+        class TV:
+            def __init__(self, now):
+                self._n = now
+
+            def getCurrentProcessingTimeInMs(self):
+                return self._n
+
+        def feed(self, proc, key, n_rows):
+            self.current_key = key
+            return list(
+                proc.handleInputRows((key,), iter([pd.DataFrame({"x": range(n_rows)})]), self.TV(self.now))
+            )
+
+        def advance_and_fire(self, proc, to_ms):
+            self.now = to_ms
+            due = sorted(t for t in self.timers if t[0] <= to_ms)
+            self.timers = [t for t in self.timers if t[0] > to_ms]
+            fired = []
+            for ts, key in due:  # oldest-first, the documented order
+                self.current_key = key
+                for out in proc.handleExpiredTimer((key,), self.TV(self.now), None):
+                    fired.append((key, out["cnt"].tolist()))
+            return fired
+
+    rt = FakeRuntime(ttl_ms=2_000)
+    proc = build.processor_cls()
+    proc.init(rt.handle_for(proc))
+
+    rt.feed(proc, "a", 2)   # arms timer at 3000
+    rt.feed(proc, "b", 1)   # arms timer at 1000
+    # (a) firing order: b's 1000 precedes a's 3000 even though a armed first
+    fired = rt.advance_and_fire(proc, 3_500)
+    assert [k for k, _ in fired] == ["b", "a"], "timers must fire in timestamp order"
+
+    # (b) TTL eviction: at t=3500, a's state (written t=0, ttl 2000) has
+    # expired — the next batch must see a fresh counter, not 2+1
+    out = rt.feed(proc, "a", 1)
+    assert out[0]["cnt"].tolist() == [1], "TTL-evicted state must read as absent"
+    # the re-write re-arms the ttl clock: still live inside the window
+    rt.now = 4_500
+    out = rt.feed(proc, "a", 1)
+    assert out[0]["cnt"].tolist() == [2], "post-eviction write restarts the TTL window"
