@@ -189,3 +189,16 @@ def test_winnow_operator_no_shuffle(spark, sf_dir):
     plan = physical_plan(winnow_fingerprints(d, "doc_id", "text", k=3, w=4))
     assert "Window" not in plan
     assert "hashpartitioning" not in plan.lower(), plan
+
+
+def test_q21_decorrelated_no_correlated_rescan(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS must stay decorrelated: the supplier dim
+    broadcasts, and the plan contains no cartesian/nested-loop join (the
+    shape a correlated rewrite degenerates to). Exchange budget: late-set
+    build + distinct member count + final agg/sort — the expensive
+    lineitem x orders join happens once, not once per EXISTS."""
+    df = q("q21_waiting_suppliers", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert broadcast_join_count(df) >= 1, "supplier dim must broadcast"
+    assert exchange_count(df) <= 6, f"decorrelated q21 grew extra shuffles:\n{plan}"

@@ -38,3 +38,28 @@ def test_events_timestamp_conversion_cached(spark):
     assert dict(e1.dtypes)["ts"] == "timestamp"
     e2 = load(spark, SF_A, "events")["events"]
     assert e2 is e1
+
+
+def test_loader_normalizes_all_timestamps_at_every_sf():
+    """Drift guard (r3 lesson: testdata timestamp encoding changed
+    between rounds and broke consumers): whatever parquet encoding the
+    driver writes — TIMESTAMP(NANOS) read as bigint, or plain micros
+    read as TIMESTAMP_NTZ — the loader must surface session-zone
+    ``timestamp`` columns, never timestamp_ntz and never a leftover
+    bigint epoch, at every shipped scale factor."""
+    import os
+
+    from callysto_spark.session import get_spark
+
+    spark = get_spark("drift-guard", cpus=4)
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        if not os.path.isdir(sf_dir):
+            continue
+        for name, df in load(spark, sf_dir).items():
+            for col, dtype in df.dtypes:
+                assert dtype != "timestamp_ntz", f"{sf}/{name}.{col} leaked NTZ"
+                if col in ("ts",) or col.endswith("date"):
+                    assert dtype in ("timestamp", "date"), (
+                        f"{sf}/{name}.{col} unexpected dtype {dtype}"
+                    )
