@@ -128,22 +128,61 @@ def ivf_assign(
     id_col: str,
     vec_col: str,
     centroids: list[tuple[int, list[float]]],
+    engine: str = "expr",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid cell (IVF coarse
     quantization). Centroids are a driver-side list (id, vector) —
-    broadcast as literals into one narrow projection; ties break on the
-    lower centroid id. No shuffle: assignment is embarrassingly parallel.
+    broadcast into one narrow projection; ties break on the lower
+    centroid id. No shuffle: assignment is embarrassingly parallel.
 
     Centroid selection is pluggable (:func:`kmeans_centroids` fits them
     on a sample; any deterministic list works — the search path only
     needs *some* partition of the space).
+
+    ``engine`` picks the scoring kernel:
+
+    - ``'expr'`` (default): one JVM-parsed higher-order expression —
+      zero Python, bit-deterministic sequential folds. Spark evaluates
+      array lambdas interpreted (not codegen), so cost grows k·dim per
+      row; right up to a few dozen centroids.
+    - ``'pandas'``: Arrow-batched ``mapInPandas`` scoring the batch with
+      one BLAS matmul (argmin over |c|²−2x·C — row-constant |x|² can't
+      change the argmin). The k≈4096, dim≈768 index build a 100 TB
+      corpus wants: per-row cost is a matrix row product, not k·dim
+      interpreted lambda calls. Assignment agrees with 'expr' except on
+      exact distance ties between DIFFERENT centroids closer than float
+      summation-order error (duplicated centroids still tie-break
+      identically — distances are bit-equal in both kernels).
     """
     from callysto_spark.operators.util import ensure_parallelism
 
+    narrow = ensure_parallelism(corpus).select(id_col, vec_col)
+    if engine == "pandas":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        cents = sorted(centroids)  # ascending cid ⇒ np.argmin's
+        C = np.asarray([cv for _, cv in cents], dtype=np.float64)  # k×dim
+        cids = np.asarray([cid for cid, _ in cents], dtype=np.int64)
+        cnorm2 = (C * C).sum(axis=1)
+
+        out_schema = StructType(
+            list(narrow.schema.fields) + [StructField("cell", IntegerType(), False)]
+        )
+
+        def score(batches):
+            for pdf in batches:
+                X = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+                # first-min index on ascending cids = lower-cid tie-break
+                best = np.argmin(cnorm2[None, :] - 2.0 * (X @ C.T), axis=1)
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], vec_col: pdf[vec_col], "cell": cids[best]}
+                )
+
+        return narrow.mapInPandas(score, out_schema)
     best = F.array_min(_cell_structs(vec_col, centroids))
-    return ensure_parallelism(corpus).select(
-        F.col(id_col), F.col(vec_col), best.getField("cid").alias("cell")
-    )
+    return narrow.select(F.col(id_col), F.col(vec_col), best.getField("cid").alias("cell"))
 
 
 def nearest_cells(vec_col: str, centroids: list[tuple[int, list[float]]], nprobe: int) -> Column:
@@ -258,13 +297,16 @@ def ivf_write(
     centroids: list[tuple[int, list[float]]],
     path: str,
     mode: str = "overwrite",
+    engine: str = "expr",
 ) -> None:
     """Persist the corpus as an IVF index: cell-assigned and
     ``partitionBy(cell)``-partitioned parquet. At 100 TB this is the
     storage half of the ANN story — a probe reads only its cells'
     directories (partition pruning), so serving cost is
-    ``nprobe/n_cells`` of the corpus in IO, not just in compute."""
-    assigned = ivf_assign(corpus, id_col, vec_col, centroids)
+    ``nprobe/n_cells`` of the corpus in IO, not just in compute.
+    ``engine='pandas'`` scores assignment with BLAS — the right kernel
+    for a large-k index build (see :func:`ivf_assign`)."""
+    assigned = ivf_assign(corpus, id_col, vec_col, centroids, engine=engine)
     assigned.write.mode(mode).partitionBy("cell").parquet(path)
 
 

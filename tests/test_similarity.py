@@ -99,3 +99,50 @@ def test_ivf_scoring_scales_to_large_k(spark, sf_dir):
     n = assigned.count()
     assert n == e.count()
     assert 1 <= cells <= 256
+
+
+def test_ivf_assign_pandas_engine_matches_expr(spark, sf_dir):
+    """The BLAS mapInPandas assignment kernel must agree with the
+    expression kernel on real embeddings, and both must tie-break to the
+    lower centroid id when centroid vectors are duplicated (distances
+    bit-equal in either arithmetic)."""
+    from callysto_spark.operators.similarity import ivf_assign
+    from callysto_spark.queries.llm_ops import _centroids
+    from callysto_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    cents = _centroids(spark, sf_dir)
+    expr = {r["vec_id"]: r["cell"] for r in ivf_assign(e, "vec_id", "embedding", cents).collect()}
+    blas = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(e, "vec_id", "embedding", cents, engine="pandas").collect()
+    }
+    assert expr == blas
+
+    # duplicated centroid vectors: exact tie, both engines pick cid=1
+    dup = [(1, cents[0][1]), (7, cents[0][1])]
+    one_vec = e.filter("vec_id = 0")
+    for eng in ("expr", "pandas"):
+        got = ivf_assign(one_vec, "vec_id", "embedding", dup, engine=eng).collect()
+        assert got[0]["cell"] == 1, f"{eng} must tie-break to the lower centroid id"
+
+
+def test_ivf_assign_pandas_engine_large_k_plan_builds_fast(spark, sf_dir):
+    """At index-build scale (k=512) the pandas kernel's plan is a single
+    narrow mapInPandas — constant plan size in k, no per-centroid
+    expression growth, no shuffle."""
+    import time
+
+    from callysto_spark.operators.similarity import ivf_assign
+    from callysto_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    rows = e.limit(512).collect()
+    cents = [(i, list(r["embedding"])) for i, r in enumerate(rows)]
+    t0 = time.perf_counter()
+    df = ivf_assign(e, "vec_id", "embedding", cents, engine="pandas")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert time.perf_counter() - t0 < 10.0, "plan build must not grow with k"
+    assert "Exchange" not in plan or "REPARTITION" in plan, f"assignment must not shuffle:\n{plan}"
+    n = df.count()
+    assert n == e.count()
