@@ -49,6 +49,7 @@ def cosine_topk(
     query_ids: Sequence[int],
     k: int = 10,
     round_ndigits: int | None = None,
+    engine: str = "expr",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for the given query ids.
 
@@ -58,26 +59,73 @@ def cosine_topk(
     ranking). Ties break on neighbor id, making results total-ordered.
     ``round_ndigits`` rounds the similarity BEFORE ranking, so a
     fixed-precision oracle orders identically at tie boundaries.
+
+    ``engine='expr'`` (default) scores with JVM higher-order folds —
+    bit-deterministic, oracle-matched. ``engine='pandas'`` is the
+    throughput kernel for wide embeddings / many queries: one BLAS
+    matmul per Arrow batch scores every (row × query) pair, prunes to
+    the batch-local top-k per query IN the kernel (Arrow output is
+    ≤ k·|Q| rows per batch, not n·|Q|), and the global top-k merges the
+    survivors. Pruning on the rounded value keeps the tie boundary
+    aligned with the final ranking; numpy rounds half-even where Spark
+    rounds half-up — indistinguishable on real-valued similarities, so
+    the pandas engine is for serving throughput, not oracle replay.
     """
     from callysto_spark.operators.util import ensure_parallelism
 
-    q = corpus.filter(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn")
-    )
-    # corpus norm hoisted below the join: once per vector, not once per
-    # (vector × query) scored row — bit-identical arithmetic
-    c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), norm(F.col(vec_col)).alias("cn")
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine_sim",
-            _maybe_round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_ndigits),
+    if engine == "pandas":
+        import numpy as np
+        import pandas as pd
+
+        qrows = (
+            corpus.filter(F.col(id_col).isin(list(query_ids)))
+            .select(id_col, vec_col)
+            .collect()
         )
-        .select("query_id", "neighbor_id", "cosine_sim")
-    )
+        Q = np.asarray([list(r[vec_col]) for r in qrows], dtype=np.float64)
+        qids = np.asarray([r[id_col] for r in qrows], dtype=np.int64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+        def score(batches):
+            for pdf in batches:
+                X = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+                ids = pdf[id_col].to_numpy()
+                S = (X / np.linalg.norm(X, axis=1, keepdims=True)) @ Qn.T  # n×|Q|
+                if round_ndigits is not None:
+                    S = np.round(S, round_ndigits)
+                S[ids[:, None] == qids[None, :]] = -np.inf  # self-pairs out
+                take = min(k, len(ids))
+                # batch-local top-k per query: rank desc-sim, asc-neighbor
+                order = np.lexsort((ids[:, None].repeat(len(qids), 1), -S), axis=0)[:take]
+                out_q = np.broadcast_to(qids, (take, len(qids))).ravel()
+                out_n = ids[order].ravel()
+                out_s = np.take_along_axis(S, order, axis=0).ravel()
+                keep = np.isfinite(out_s)
+                yield pd.DataFrame(
+                    {"query_id": out_q[keep], "neighbor_id": out_n[keep], "cosine_sim": out_s[keep]}
+                )
+
+        scored = ensure_parallelism(corpus).select(id_col, vec_col).mapInPandas(
+            score, "query_id long, neighbor_id long, cosine_sim double"
+        )
+    else:
+        q = corpus.filter(F.col(id_col).isin(list(query_ids))).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn")
+        )
+        # corpus norm hoisted below the join: once per vector, not once per
+        # (vector × query) scored row — bit-identical arithmetic
+        c = ensure_parallelism(corpus).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), norm(F.col(vec_col)).alias("cn")
+        )
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn(
+                "cosine_sim",
+                _maybe_round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_ndigits),
+            )
+            .select("query_id", "neighbor_id", "cosine_sim")
+        )
     return top_k_per_group(
         scored,
         ["query_id"],

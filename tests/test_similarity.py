@@ -146,3 +146,22 @@ def test_ivf_assign_pandas_engine_large_k_plan_builds_fast(spark, sf_dir):
     assert "Exchange" not in plan or "REPARTITION" in plan, f"assignment must not shuffle:\n{plan}"
     n = df.count()
     assert n == e.count()
+
+
+def test_cosine_topk_pandas_engine_matches_expr(spark, sf_dir):
+    """The BLAS cosine kernel (batch matmul + in-kernel batch-local
+    top-k pruning) must return the same neighbors in the same order as
+    the expression engine, with similarities equal to rounding
+    precision."""
+    from callysto_spark.operators.similarity import cosine_topk
+    from callysto_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    kw = dict(query_ids=[0, 1, 2, 3, 4], k=10, round_ndigits=6)
+    expr = cosine_topk(e, "vec_id", "embedding", **kw).collect()
+    blas = cosine_topk(e, "vec_id", "embedding", engine="pandas", **kw).collect()
+    assert [(r["query_id"], r["neighbor_id"], r["rank"]) for r in expr] == [
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in blas
+    ]
+    for a, b in zip(expr, blas):
+        assert abs(a["cosine_sim"] - b["cosine_sim"]) < 1e-6
