@@ -202,3 +202,11 @@ def test_q21_decorrelated_no_correlated_rescan(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert broadcast_join_count(df) >= 1, "supplier dim must broadcast"
     assert exchange_count(df) <= 6, f"decorrelated q21 grew extra shuffles:\n{plan}"
+
+
+def test_supplier_daily_running_single_exchange(spark, sf_dir):
+    """Agg + window must ride ONE l_suppkey exchange (rows-per-group ~1
+    in this schema, so partial aggregation buys nothing — see the query
+    docstring)."""
+    df = q("supplier_daily_running", spark, sf_dir)
+    assert exchange_count(df) <= 1, "agg+window should share the suppkey exchange"
