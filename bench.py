@@ -62,6 +62,8 @@ def main() -> None:
         # entry, never the whole bench line (r3 lost all signal to one
         # plan-time AnalysisException).
         try:
+            if name in os.environ.get("SPARK_GRAFT_BENCH_FAIL", "").split(","):
+                raise RuntimeError("injected failure (SPARK_GRAFT_BENCH_FAIL)")
             run(registry[name].fn(spark, sf_dir))
             spark.catalog.clearCache()
             settle()
