@@ -197,10 +197,13 @@ def ivf_assign(
       one BLAS matmul (argmin over |c|²−2x·C — row-constant |x|² can't
       change the argmin). The k≈4096, dim≈768 index build a 100 TB
       corpus wants: per-row cost is a matrix row product, not k·dim
-      interpreted lambda calls. Assignment agrees with 'expr' except on
-      exact distance ties between DIFFERENT centroids closer than float
-      summation-order error (duplicated centroids still tie-break
-      identically — distances are bit-equal in both kernels).
+      interpreted lambda calls. Measured at sf0.1 (120k × dim 64,
+      local[32], min-of-3): expr 0.34s/0.48s/1.50s at k=8/64/256 —
+      linear in k — vs pandas flat at ~0.38s for all three. Assignment
+      agrees with 'expr' except on exact distance ties between
+      DIFFERENT centroids closer than float summation-order error
+      (duplicated centroids still tie-break identically — distances are
+      bit-equal in both kernels).
     """
     from callysto_spark.operators.util import ensure_parallelism
 
