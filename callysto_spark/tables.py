@@ -57,10 +57,24 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
             for col in _NANOS_TS_COLS.get(name, []):
                 if dict(df.dtypes).get(col) == "bigint":
-                    # integer division: ns epoch values exceed double precision
-                    df = df.withColumn(
-                        col, F.expr(f"timestamp_micros(CAST({col} DIV 1000 AS LONG))")
-                    )
+                    # Infer the epoch unit from magnitude (2000-2100 era:
+                    # s≈1e9, ms≈1e12, µs≈1e15, ns≈1e18) on ONE probed row —
+                    # a tiny cached-per-session job — so a future encoding
+                    # shift (ns→ms/µs as plain int64) can't silently
+                    # mis-scale every timestamp. Integer division: ns epoch
+                    # values exceed double precision.
+                    probe = df.select(col).first()
+                    v = abs(probe[0]) if probe and probe[0] is not None else 0
+                    div = 1_000 if v > 1e17 else 1 if v > 1e14 else None
+                    if div is not None:
+                        df = df.withColumn(
+                            col, F.expr(f"timestamp_micros(CAST({col} DIV {div} AS LONG))")
+                        )
+                    else:
+                        mul = 1_000 if v > 1e11 else 1_000_000
+                        df = df.withColumn(
+                            col, F.expr(f"timestamp_micros(CAST({col} * {mul} AS LONG))")
+                        )
             for col, dtype in df.dtypes:
                 if dtype == "timestamp_ntz":
                     # same instant under the UTC session zone; restores the

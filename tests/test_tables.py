@@ -63,3 +63,33 @@ def test_loader_normalizes_all_timestamps_at_every_sf():
                     assert dtype in ("timestamp", "date"), (
                         f"{sf}/{name}.{col} unexpected dtype {dtype}"
                     )
+
+
+def test_bigint_epoch_unit_inference(tmp_path):
+    """The ns-as-long branch must infer the epoch unit from magnitude:
+    ns, µs, ms, and s encodings of the same instant all load as the
+    same timestamp."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from callysto_spark.session import get_spark
+
+    spark = get_spark("unit-infer", cpus=2)
+    want = dt.datetime(2024, 3, 1, 12, 30, 45)
+    epoch_us = int(want.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    for unit, value in [
+        ("ns", epoch_us * 1_000),
+        ("us", epoch_us),
+        ("ms", epoch_us // 1_000),
+        ("s", epoch_us // 1_000_000),
+    ]:
+        d = tmp_path / unit
+        d.mkdir()
+        pq.write_table(
+            pa.table({"event_id": pa.array([1], pa.int64()), "ts": pa.array([value], pa.int64())}),
+            str(d / "events.parquet"),
+        )
+        got = load(spark, str(d), "events")["events"].collect()[0]["ts"]
+        assert got.replace(tzinfo=None) == want, f"{unit}: {got}"
