@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL for every SQL-expressible query; engine-specific
-    ops (xxhash-based MinHash/SimHash/LSH, HLL sketches) are omitted →
-    rows-only check, as documented in their docstrings."""
+    ops (HLL sketches and other engine-specific state) are omitted →
+    rows-only check; the MinHash/SimHash/LSH queries run on the portable
+    md5_60 spec hash and ARE fully oracle-checked."""
     return {name: q.oracle for name, q in load_all().items() if q.oracle is not None}

@@ -21,6 +21,32 @@ from callysto_spark.operators.util import transient_persist
 # h reduced mod P first.
 _MERSENNE_P = (1 << 31) - 1
 
+# Hash engines for the MinHash/SimHash/LSH family. ``xxhash64`` is the
+# production default — fastest, JVM-native — but engine-SPECIFIC: no
+# other system can recompute it, so cross-engine verification (the
+# DuckDB oracle) is impossible. ``md5_60`` is the spec-defined portable
+# engine: the first 15 hex chars (60 bits) of the standard MD5 digest
+# (RFC 1321) of the UTF-8 string, parsed as an integer — bit-identical
+# in ANY engine with an md5() builtin (DuckDB:
+# ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)``; 15 chars, not 16,
+# so the value always fits signed int64). Both run fully JVM-side.
+HASH_ENGINES = ("xxhash64", "md5_60")
+
+
+def string_hash(col: Column, engine: str = "xxhash64") -> Column:
+    """Deterministic int64 hash of a string column, per ``engine``.
+
+    ``xxhash64`` spans the full signed-64 range; ``md5_60`` is
+    nonnegative in [0, 2^60). Every consumer either reduces mod
+    ``_MERSENNE_P`` (MinHash) or tests bits 0..63 (SimHash), so the
+    range difference is semantics-neutral.
+    """
+    if engine == "xxhash64":
+        return F.xxhash64(col)
+    if engine == "md5_60":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash engine {engine!r}; expected one of {HASH_ENGINES}")
+
 
 def dedup_exact(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column]) -> DataFrame:
     """Keep exactly one row per key, chosen by ``order_by`` (must be a
@@ -276,25 +302,32 @@ def minhash_signatures(
     num_hashes: int = 64,
     n: int = 4,
     seed: int = 42,
+    hash_engine: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document over word n-gram shingles.
 
-    Shingles are hashed with ``xxhash64`` (JVM built-in, engine-specific
-    ⇒ no SQL oracle; driver records rows-only) then permuted with
+    Shingles are hashed with ``string_hash(…, hash_engine)`` — xxhash64
+    (production default) or the portable ``md5_60`` spec hash, which a
+    SQL oracle can recompute — then permuted with
     ``(a_i*h + b_i) mod 2^31-1``; the signature is the per-permutation
     minimum, computed ENTIRELY in-row over the document's shingle-hash
     array (``array_min`` over a ``transform`` per permutation): zero
     Python in the data path, embarrassingly parallel, ZERO shuffle —
     the whole signature stage is a narrow map at any corpus size. The
     hash array is materialized through a second Generate barrier so the
-    xxhash64 pass runs once, not once per permutation.
+    shingle-hash pass runs once, not once per permutation.
     """
     params = _hash_params(num_hashes, seed)
     arr = shingle_arrays(df, id_col, text_col, n)
     hashed = arr.select(
         "doc",
         F.explode(
-            F.array(F.transform(F.col("gs"), lambda g: F.pmod(F.xxhash64(g), F.lit(_MERSENNE_P))))
+            F.array(
+                F.transform(
+                    F.col("gs"),
+                    lambda g: F.pmod(string_hash(g, hash_engine), F.lit(_MERSENNE_P)),
+                )
+            )
         ).alias("hs"),
     )
     sig = F.array(
@@ -314,6 +347,7 @@ def minhash_lsh_candidates(
     sig_df: DataFrame,
     bands: int = 16,
     rows_per_band: int = 4,
+    hash_engine: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding over minhash signatures → candidate near-dup pairs.
 
@@ -321,7 +355,9 @@ def minhash_lsh_candidates(
     colliding on any whole band become a candidate pair. The join is on
     (band_idx, band_hash) — high-cardinality buckets, so the shuffle is
     balanced; a hot bucket (boilerplate docs) is exactly the skew AQE
-    splits. Output: distinct (doc_a, doc_b).
+    splits. The band hash runs through the same pluggable
+    ``string_hash`` engine as the signatures (comma-joined band values
+    as the input string). Output: distinct (doc_a, doc_b).
     """
     banded = sig_df.select(
         "doc",
@@ -330,8 +366,9 @@ def minhash_lsh_candidates(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.transform(F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")))
+                    string_hash(
+                        F.concat_ws(",", F.transform(F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string"))),
+                        hash_engine,
                     ).alias("bh"),
                 ),
             )
@@ -347,7 +384,13 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    hash_engine: str = "xxhash64",
+) -> DataFrame:
     """SimHash per document over whitespace tokens, as a hex string.
 
     Per-bit vote: +1 if the token hash has the bit set, −1 otherwise;
@@ -355,11 +398,16 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     token-hash array with a per-bit counter array (higher-order
     functions, per-row local — no shuffle at all). Output is a
     ``bits/4``-char hex string (avoids signed-64 overflow under ANSI).
+
+    Under ``hash_engine='md5_60'`` the token hash has 60 effective bits,
+    so with the default ``bits=64`` the top 4 output bits are always 0
+    (every token votes −1 there) — deterministic on both engines, with
+    band 0 of a 4-band blocking carrying 12 useful bits instead of 16.
     """
     from callysto_spark.operators.util import ensure_parallelism
 
     staged = ensure_parallelism(df).withColumn(
-        "__hashes", F.transform(tokens_col(F.col(text_col)), lambda t: F.xxhash64(t))
+        "__hashes", F.transform(tokens_col(F.col(text_col)), lambda t: string_hash(t, hash_engine))
     )
     hashes = F.col("__hashes")
     bit_idx = F.sequence(F.lit(bits - 1), F.lit(0))  # MSB first

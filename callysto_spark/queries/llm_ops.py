@@ -5,8 +5,10 @@ and embedding similarity search (brute-force top-k + blocked pairs).
 
 Oracle-parity notes: shingle construction, ratios and hashes are chosen
 so DuckDB can reproduce them bit-for-bit (int/int division, sha256,
-identical regex splits). xxhash64-based ops (MinHash/SimHash/LSH) are
-engine-specific by nature → rows-only checks.
+identical regex splits). The MinHash/SimHash/LSH registry queries run on
+the portable ``md5_60`` spec hash (operators/dedup.py ``string_hash``)
+so their DuckDB oracles can recompute every signature bit-for-bit;
+``xxhash64`` remains the production engine option on the same operators.
 """
 
 from __future__ import annotations
@@ -428,14 +430,62 @@ def doc_near_dup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_minhash_lsh_pairs", oracle=None)
+# ---------------------------------------------------------------------------
+# DuckDB oracle for the MinHash→LSH pipeline on the md5_60 spec hash.
+# The (a_i, b_i) permutation params come from the SAME generator as the
+# Spark side (operators/dedup.py _hash_params, seed 42) and are inlined
+# as a VALUES list, so both engines run the identical affine permutations
+# over the identical 60-bit shingle hashes.
+from callysto_spark.operators.dedup import _MERSENNE_P, _hash_params
+
+_SPEC_HASH_SQL = "CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+_MINHASH_PARAMS_SQL = ",".join(
+    f"({i},{a},{b})" for i, (a, b) in enumerate(_hash_params(64))
+)
+
+# CTE chain computing LSH candidate pairs over {src}(doc_id, text):
+# tokens → distinct 4-gram shingles → 60-bit spec hash mod P → 64
+# affine-permutation minima (the signature) → 16 bands × 4 rows band
+# hash → bucket self-join. Mirrors minhash_signatures +
+# minhash_lsh_candidates exactly.
+_MINHASH_CAND_SQL = rf"""
+params(i, a, b) AS (VALUES {_MINHASH_PARAMS_SQL}),
+toks AS (SELECT doc_id AS doc, {{tokens}} AS toks FROM {{src}}),
+sh AS (SELECT doc, unnest(list_distinct(
+         [array_to_string(toks[i:i+3], ' ')
+          for i in range(1, greatest(length(toks) - 3, 1) + 1)])) AS g
+       FROM toks),
+hs AS (SELECT doc, {_SPEC_HASH_SQL.format(expr="g")} % {_MERSENNE_P} AS h FROM sh),
+mins AS (SELECT doc, p.i, min((p.a * h + p.b) % {_MERSENNE_P}) AS m
+         FROM hs CROSS JOIN params p GROUP BY doc, p.i),
+sig AS (SELECT doc, list(m ORDER BY i) AS signature FROM mins GROUP BY doc),
+banded AS (
+  SELECT doc, bands.b AS band,
+         {_SPEC_HASH_SQL.format(expr="array_to_string(signature[4*bands.b+1 : 4*bands.b+4], ',')")} AS bh
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bands
+),
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+)
+""".format(tokens=_TOKENS_SQL, src="{src}")
+
+
+@register(
+    "doc_minhash_lsh_pairs",
+    oracle="WITH " + _MINHASH_CAND_SQL.format(src="documents")
+    + "SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b",
+)
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64) + LSH(16 bands × 4 rows) candidate pairs. xxhash64 is
-    engine-specific ⇒ rows-only check; cross-engine validation comes from
-    doc_ngram_jaccard_pairs (the exact counterpart)."""
+    """MinHash(64) + LSH(16 bands × 4 rows) candidate pairs on the
+    portable md5_60 spec hash, so the DuckDB oracle recomputes every
+    signature and band bucket bit-for-bit (full hash-checked row; the
+    xxhash64 production engine stays available on the same operators)."""
     d = load(spark, sf_dir, "documents")["documents"]
-    sigs = minhash_signatures(d, "doc_id", "text", num_hashes=64, n=4)
-    return minhash_lsh_candidates(sigs, bands=16, rows_per_band=4).orderBy("doc_a", "doc_b")
+    sigs = minhash_signatures(d, "doc_id", "text", num_hashes=64, n=4, hash_engine="md5_60")
+    return minhash_lsh_candidates(
+        sigs, bands=16, rows_per_band=4, hash_engine="md5_60"
+    ).orderBy("doc_a", "doc_b")
 
 
 @register(
@@ -466,17 +516,44 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_lsh_verified_near_dups", oracle=None)
+@register(
+    "doc_lsh_verified_near_dups",
+    oracle="WITH corpus AS (\n"
+    "  SELECT doc_id, text FROM documents\n"
+    "  UNION ALL\n"
+    "  SELECT doc_id + 100000 AS doc_id, text || ' planted' AS text\n"
+    "  FROM documents WHERE doc_id < 50\n"
+    "),\n"
+    + _MINHASH_CAND_SQL.format(src="corpus").lstrip()
+    + """,
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+ipairs AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc = c.doc_a
+  JOIN sh b ON b.doc = c.doc_b AND b.g = a.g
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter,
+       na.n_sh + nb.n_sh - i.inter AS union_sz,
+       CAST(i.inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.inter) AS jaccard
+FROM ipairs i
+JOIN sizes na ON i.doc_a = na.doc
+JOIN sizes nb ON i.doc_b = nb.doc
+WHERE CAST(i.inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.inter) >= 0.6
+ORDER BY doc_a, doc_b
+""",
+)
 def doc_lsh_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical two-stage near-dup pipeline at 100 TB scale:
     MinHash-LSH candidates (cheap, hash-bucketed — never a corpus²
     join) → EXACT Jaccard verification on candidates only
     (operators/dedup.py verify_candidate_pairs). Run on a planted
     corpus (every doc_id < 50 gets a one-token-appended twin at
-    id+100000) so the pipeline has real near-dups to find; xxhash-based
-    candidates ⇒ rows-only check (deterministic: fixed hash params).
-    The exact stage's correctness is separately oracle-verified by
-    doc_ngram_jaccard_pairs."""
+    id+100000) so the pipeline has real near-dups to find. On the
+    md5_60 spec hash the DuckDB oracle reproduces the ENTIRE pipeline —
+    signatures, band buckets, candidate set, exact verification — so
+    the driver hash-checks it end to end."""
     from callysto_spark.operators.dedup import verify_candidate_pairs
 
     d = load(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
@@ -485,19 +562,43 @@ def doc_lsh_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("doc_id") + 100000).alias("doc_id"), F.concat("text", F.lit(" planted")).alias("text"))
     )
     corpus = d.unionByName(twins)
-    sigs = minhash_signatures(corpus, "doc_id", "text", num_hashes=64, n=4)
-    cands = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+    sigs = minhash_signatures(corpus, "doc_id", "text", num_hashes=64, n=4, hash_engine="md5_60")
+    cands = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4, hash_engine="md5_60")
     verified = verify_candidate_pairs(corpus, cands, "doc_id", "text", n=4, threshold=0.6)
     return verified.select("doc_a", "doc_b", "inter", "union_sz", "jaccard").orderBy(
         "doc_a", "doc_b"
     )
 
 
-@register("doc_simhash", oracle=None)
+@register(
+    "doc_simhash",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest({_TOKENS_SQL}) AS t FROM documents
+),
+th AS (SELECT doc, {_SPEC_HASH_SQL.format(expr="t")} AS h FROM toks),
+votes AS (
+  SELECT doc, bs.bit,
+         sum(CASE WHEN (h >> bs.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) bs
+  GROUP BY doc, bs.bit
+),
+nibs AS (
+  SELECT doc, bit // 4 AS nb,
+         sum(CASE WHEN v > 0 THEN 1 << (bit % 4) ELSE 0 END) AS val
+  FROM votes GROUP BY doc, nb
+)
+SELECT doc,
+       string_agg(substr('0123456789ABCDEF', CAST(val AS INT) + 1, 1), '' ORDER BY nb DESC) AS simhash
+FROM nibs GROUP BY doc
+""",
+)
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (rows-only: engine-specific hash)."""
+    """64-bit SimHash per document on the md5_60 spec hash (60 effective
+    bits — top nibble constant 0), fully recomputed by the DuckDB
+    oracle: identical token hashes, per-bit votes, and hex encoding."""
     d = load(spark, sf_dir, "documents")["documents"]
-    return simhash(d, "doc_id", "text")
+    return simhash(d, "doc_id", "text", hash_engine="md5_60")
 
 
 @register(

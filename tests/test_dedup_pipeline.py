@@ -88,3 +88,33 @@ def test_simhash_candidates_banded_hamming(spark):
         assert h == ham(sig[x], sig[y]), f"pair ({x},{y}) hamming mismatch"
     for (x, y), h in pairs.items():
         assert h <= 3
+
+
+def test_md5_60_spec_hash_matches_hashlib(spark):
+    """The portable md5_60 engine (string_hash) is spec-defined: first
+    15 hex chars of the standard MD5 digest parsed as an int. Pin the
+    Spark expression against Python's hashlib so the DuckDB oracle, the
+    Spark side, and the written spec can never drift independently."""
+    import hashlib
+
+    from callysto_spark.operators.dedup import string_hash
+
+    vals = ["hello world", "", "a b c", "ünïcode tøkens", "planted"]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = {r["s"]: r["h"] for r in df.select("s", string_hash(F.col("s"), "md5_60").alias("h")).collect()}
+    for v in vals:
+        expect = int(hashlib.md5(v.encode("utf-8")).hexdigest()[:15], 16)
+        assert got[v] == expect, f"md5_60({v!r}): {got[v]} != {expect}"
+
+
+def test_lsh_recall_planted_md5_60_engine(spark, sf_dir):
+    """The md5_60 engine (the registry/oracle default) must keep the
+    same recall contract as xxhash64: every planted one-token twin is a
+    candidate pair."""
+    corpus, n_twins = _planted_corpus(spark, sf_dir)
+    sigs = minhash_signatures(corpus, "doc_id", "text", num_hashes=64, n=4, hash_engine="md5_60")
+    cands = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4, hash_engine="md5_60")
+    planted = {(i, i + 100000) for i in range(n_twins)}
+    got = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+    recall = len(planted & got) / len(planted)
+    assert recall >= 0.9, f"md5_60 LSH recall {recall} below contract"
