@@ -71,33 +71,65 @@ def load_all() -> dict[str, Query]:
     Registry ORDER is deliberate: the correctness driver samples the FIRST
     ~48 entries in iteration order. The LLM-data-pipeline ops
     (``doc_*``/``emb_*``) stay first every round — they are the engine's
-    north-star surface and must always carry hard driver-verified rows.
-    The remaining window rotates round-by-round so every module accumulates
-    driver rows: r1-r3 sampled arrays/messages/events/tpch; r4 promotes
-    ``events_sessionize`` (this round's NTZ fix needs a driver-green row as
-    proof) plus the tpch2/3/4 tail (decorrelated q21, q2, q8, q9, q15, q22,
-    subqueries, set ops), which so far had only pytest-oracle coverage.
+    north-star surface and must always carry hard driver-verified rows —
+    and are selected by MEMBERSHIP over the whole registry (not a head
+    slice), so a reordering or interleaved registration can never silently
+    evict one from the always-sampled block.
+
+    The remaining ~30-slot window rotates round-by-round so no query's
+    driver row ages more than ~2 rounds: r1-r3 sampled
+    arrays/messages/events/tpch head; r4 rotated to the tpch2/3/4 tail
+    (q21, q2, q8, q9, subqueries, set ops — all green in
+    CORRECTNESS_r04); r5 rotates BACK to the 30 head queries whose last
+    driver row predates the round-4 loader timestamp change (events_*,
+    q1/q3/q5/q6, rollup/cube/grouping-sets/pivot, arrays/JSON,
+    avro/raw-message decode). Left out, by coverage elsewhere: the two
+    rows-only sketches (driver can't hash-check them) and three queries
+    the r4/r5 bench already proves on the new loader
+    (events_asof_purchase_click, supplier_daily_running, part_type_topk).
     """
     from callysto_spark.queries import llm_ops, tpch2, tpch3, tpch4, events, arrays, messages, tpch  # noqa: F401
 
     promoted = [
-        "events_sessionize",
-        "q21_waiting_suppliers",
-        "q2_cheapest_supplier",
-        "q8_market_share",
-        "q9_profit_by_nation_year",
-        "q15_top_supplier",
-        "q22_idle_rich_customers",
-        "q11_important_parts",
-        "q13_customer_order_distribution",
-        "customer_balance_distribution",
+        "events_json_kv",
+        "events_type_stats",
+        "events_hourly_tumbling",
+        "events_sliding_1h_30m",
+        "events_dedup_latest",
+        "user_spend_deciles",
+        "events_interval_join_clicks",
+        "events_user_salted_counts",
+        "events_changelog_materialize",
+        "user_event_type_sets",
+        "token_top20",
+        "embedding_array_stats",
+        "user_type_count_map",
+        "avro_roundtrip_stats",
+        "raw_message_decode_stats",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_supplier_volume",
+        "q6_forecast_revenue",
+        "top3_orders_per_customer",
+        "rollup_revenue",
+        "cube_status_priority",
+        "grouping_sets_order_stats",
+        "setop_customers_96_97",
+        "semi_anti_customers",
+        "case_bucket_orders",
+        "order_month_stats",
+        "pivot_linestatus",
+        "string_funcs_parts",
+        "distinct_counts_by_flag",
     ]
-    n_llm = sum(1 for n in REGISTRY if n.startswith(("doc_", "emb_")))
+    missing = [n for n in promoted if n not in REGISTRY]
+    assert not missing, f"promoted queries not in registry: {missing}"
     names = list(REGISTRY)
+    llm_head = [n for n in names if n.startswith(("doc_", "emb_"))]
     order = (
-        names[:n_llm]
+        llm_head
         + promoted
-        + [n for n in names[n_llm:] if n not in promoted]
+        + [n for n in names if n not in llm_head and n not in promoted]
     )
     reordered = {n: REGISTRY[n] for n in order}
     REGISTRY.clear()
