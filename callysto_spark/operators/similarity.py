@@ -82,6 +82,12 @@ def cosine_topk(
             .select(id_col, vec_col)
             .collect()
         )
+        if not qrows:
+            # degrade identically to the expr engine: no query vectors ⇒
+            # empty result (an empty Q would be 1-D and crash norm(axis=1))
+            return corpus.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, cosine_sim double, rank int"
+            )
         Q = np.asarray([list(r[vec_col]) for r in qrows], dtype=np.float64)
         qids = np.asarray([r[id_col] for r in qrows], dtype=np.int64)
         Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)

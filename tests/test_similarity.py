@@ -142,7 +142,18 @@ def test_ivf_assign_pandas_engine_large_k_plan_builds_fast(spark, sf_dir):
     t0 = time.perf_counter()
     df = ivf_assign(e, "vec_id", "embedding", cents, engine="pandas")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert time.perf_counter() - t0 < 10.0, "plan build must not grow with k"
+    build = time.perf_counter() - t0
+    print(f"k=512 pandas plan build: {build:.2f}s (advisory)")
+    # STRUCTURAL constant-size-in-k check (a wall-clock bound flakes on
+    # contended CI): the centroid matrix lives in the Python kernel, not
+    # the plan, so the k=512 plan must be the same size/shape as k=2's —
+    # no per-centroid expression growth.
+    small = ivf_assign(e, "vec_id", "embedding", cents[:2], engine="pandas")
+    small_plan = small._jdf.queryExecution().executedPlan().toString()
+    assert len(plan.splitlines()) == len(small_plan.splitlines()), (
+        f"plan node count grew with k:\nk=512:\n{plan}\nk=2:\n{small_plan}"
+    )
+    assert len(plan) < 2 * len(small_plan) + 500, "plan text grew with k"
     assert "Exchange" not in plan or "REPARTITION" in plan, f"assignment must not shuffle:\n{plan}"
     n = df.count()
     assert n == e.count()
@@ -165,3 +176,19 @@ def test_cosine_topk_pandas_engine_matches_expr(spark, sf_dir):
     ]
     for a, b in zip(expr, blas):
         assert abs(a["cosine_sim"] - b["cosine_sim"]) < 1e-6
+
+
+def test_cosine_topk_engines_degrade_identically_on_missing_queries(spark, sf_dir):
+    """When none of the query ids exist in the corpus, both engines must
+    return the same EMPTY result with the same schema (the pandas kernel
+    would otherwise crash on a 1-D empty query matrix driver-side)."""
+    from callysto_spark.operators.similarity import cosine_topk
+    from callysto_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    kw = dict(query_ids=[10**12, 10**12 + 1], k=5, round_ndigits=6)
+    expr = cosine_topk(e, "vec_id", "embedding", **kw)
+    blas = cosine_topk(e, "vec_id", "embedding", engine="pandas", **kw)
+    assert expr.collect() == [] and blas.collect() == []
+    assert expr.columns == blas.columns
+    assert dict(expr.dtypes) == dict(blas.dtypes)

@@ -93,3 +93,34 @@ def test_bigint_epoch_unit_inference(tmp_path):
         )
         got = load(spark, str(d), "events")["events"].collect()[0]["ts"]
         assert got.replace(tzinfo=None) == want, f"{unit}: {got}"
+
+
+def test_bigint_epoch_unit_inference_null_first_row(tmp_path):
+    """A NULL leading value must not derail unit inference: the probe
+    aggregates max(abs()) over non-null rows, so the unit comes from the
+    real values (a first()-based probe read the NULL as 0 → 'seconds' →
+    ns values multiplied by 1e6, overflowing LONG)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from callysto_spark.session import get_spark
+
+    spark = get_spark("unit-infer-null", cpus=2)
+    want = dt.datetime(2024, 3, 1, 12, 30, 45)
+    epoch_ns = int(want.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) * 1_000
+    d = tmp_path / "ns_null"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array([None, epoch_ns], pa.int64()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    rows = {r["event_id"]: r["ts"] for r in load(spark, str(d), "events")["events"].collect()}
+    assert rows[1] is None
+    assert rows[2].replace(tzinfo=None) == want
