@@ -82,6 +82,10 @@ def main() -> None:
             spark.catalog.clearCache()
         settle()
     try:
+        engine_bench(spark, sf_dir)
+    except Exception as exc:  # stderr-only diagnostics must never fail the line
+        print(f"# engine bench failed: {exc}", file=sys.stderr)
+    try:
         ingest = ingest_bench(spark)
     except Exception as exc:  # ingest_bench guards internally; belt+braces
         print(f"# ingest bench failed: {exc}", file=sys.stderr)
@@ -95,14 +99,48 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
+        # the total above sums only SURVIVING queries — flag it so a
+        # partial round is never compared against a clean round's total
         out["errors"] = errors
+        out["partial"] = True
+        out["n_failed"] = len(errors)
     if ingest is not None:
-        out["ingest_mbps"] = ingest
+        out["ingest_mbps"] = ingest["best"]
+        out["ingest_mbps_median"] = ingest["median"]
+        out["ingest_mbps_trials"] = ingest["trials"]
     print(json.dumps(out))
     spark.stop()
 
 
-def ingest_bench(spark) -> float | None:
+def engine_bench(spark, sf_dir: str) -> None:
+    """Per-engine timings for the two dual-engine ANN kernels, to
+    STDERR only (the headline set times the default engines; these
+    lines make an engine-specific regression visible round-over-round
+    without changing the comparable headline total)."""
+    from callysto_spark.operators.similarity import cosine_topk, ivf_assign
+    from callysto_spark.queries.llm_ops import _centroids
+    from callysto_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    cents = _centroids(spark, sf_dir)
+    jobs = {
+        "emb_cosine_topk": lambda eng: cosine_topk(
+            e, "vec_id", "embedding", list(range(5)), k=10, round_ndigits=6, engine=eng
+        ),
+        "emb_ivf_assign": lambda eng: ivf_assign(e, "vec_id", "embedding", cents, engine=eng),
+    }
+    for name, build in jobs.items():
+        for eng in ("expr", "pandas"):
+            build(eng).write.format("noop").mode("overwrite").save()  # warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                build(eng).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            print(f"# engine {name}[{eng}]: {best:.3f}s (min of 3)", file=sys.stderr)
+
+
+def ingest_bench(spark) -> dict | None:
     """Streaming-agent ingest throughput, methodology-matched to the
     reference's only published number (BASELINE.md: 278.47 MB/s,
     double-agent, 74 KB repetitive payloads, timed IN-AGENT from first
@@ -113,12 +151,13 @@ def ingest_bench(spark) -> float | None:
     ×1000 — equally repetitive), staged as parquet ONCE, then drained
     through an App agent on the JVM file-stream path (fresh checkpoint
     per trial); MB/s = payload bytes / (last batch end − first batch
-    start). SPARK_GRAFT_INGEST_TRIALS (default 3) drains run and the
-    BEST is reported — the same steady-state convention as the query
-    timings' min-of-n: this box is a shared VM whose IO/CPU throughput
-    swings several-fold between runs, and the engine's capability is
-    the sustained figure, not the noisy-neighbor draw. Set the msgs env
-    var to 0 to skip.
+    start). SPARK_GRAFT_INGEST_TRIALS (default 5) drains run; the BEST
+    is the headline (the steady-state convention as the query timings'
+    min-of-n: this box is a shared VM whose IO/CPU throughput swings
+    several-fold between runs, and the engine's capability is the
+    sustained figure, not the noisy-neighbor draw) and the MEDIAN +
+    per-trial list ride along so the spread is always on record. Set
+    the msgs env var to 0 to skip.
     """
     import gc
     import shutil
@@ -132,7 +171,7 @@ def ingest_bench(spark) -> float | None:
     # 50k ≈ 3.5 GB: long enough (~10s+) that startup jitter stops moving
     # the MB/s figure, closer to the reference's 200k-message methodology
     n = int(os.environ.get("SPARK_GRAFT_INGEST_MSGS", "50000"))
-    trials = int(os.environ.get("SPARK_GRAFT_INGEST_TRIALS", "3"))
+    trials = int(os.environ.get("SPARK_GRAFT_INGEST_TRIALS", "5"))
     if n <= 0:
         return None
     base = tempfile.mkdtemp(prefix="callysto_ingest_")
@@ -165,7 +204,7 @@ def ingest_bench(spark) -> float | None:
         # one-file warm leaves the first trial running interpreted
         # code — measured 220 vs 580+ MB/s on the first timed drain.
         spark.read.parquet(f"{base}/stage").agg(F.sum(F.length("value"))).collect()
-        best = 0.0
+        results: list[float] = []
         for t in range(trials):
             settle()
             stats: dict = {"bytes": 0, "t0": None, "t1": None}
@@ -190,8 +229,20 @@ def ingest_bench(spark) -> float | None:
                 f"# ingest trial {t}: {stats['bytes']/1048576:.0f} MB in {dt:.2f}s = {mbps:.1f} MB/s",
                 file=sys.stderr,
             )
-            best = max(best, mbps)
-        return round(best, 1)
+            results.append(mbps)
+        import statistics
+
+        spread = (max(results) - min(results)) / max(results) * 100
+        print(
+            f"# ingest best={max(results):.1f} median={statistics.median(results):.1f} "
+            f"min={min(results):.1f} MB/s spread={spread:.0f}% over {trials} trials",
+            file=sys.stderr,
+        )
+        return {
+            "best": round(max(results), 1),
+            "median": round(statistics.median(results), 1),
+            "trials": [round(v, 1) for v in results],
+        }
     except Exception as exc:  # never fail the bench line on the extra metric
         print(f"# ingest bench failed: {exc}", file=sys.stderr)
         return None

@@ -36,3 +36,7 @@ def test_bench_survives_single_query_failure():
     others = {k: v for k, v in out["queries"].items() if k != "q3_shipping_priority"}
     assert others and all(isinstance(v, float) for v in others.values()), others
     assert out["value"] > 0
+    # a partial round must self-identify: its total sums only surviving
+    # queries and is NOT comparable to a clean round's total
+    assert out["partial"] is True
+    assert out["n_failed"] == 1
