@@ -1,0 +1,239 @@
+#!/usr/bin/env python
+"""Empirical scale-up measurement for the three headline scale paths.
+
+The 100 TB design claims (near-linear capped Jaccard, LSH→verify with
+no corpus self-join, IVF serving independent of corpus-quadratic work)
+are plan-shape-pinned in tests/test_plans.py; this script converts the
+"would survive 100×" judgment from plan-reading into measurement: it
+generates deterministic synthetic corpora with the same shape as
+TESTDATA.md's documents/embeddings at 1× (= sf0.1 row counts) and 10×,
+times each pipeline at both scales (steady-state min-of-N, same
+convention as bench.py), and reports the growth exponent
+``log(t10/t1) / log(10)`` — 1.0 is perfectly linear; fixed per-job
+overhead pulls it below 1. Exits nonzero if any pipeline exceeds
+EXPONENT_MAX (default 1.25), so a super-linear regression fails loudly.
+
+Generation is fully Spark-side (hash-derived word salad / vectors — no
+driver-side row building) and writes parquet once per scale; the timed
+region reads from parquet like every other bench. Results go to stderr
+plus ONE JSON line on stdout; run with --update-md to rewrite the
+measured table in SCALING.md.
+
+Usage: python scaling_bench.py [--update-md] [--scales 1,10]
+Env: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SCALE_RUNS (default 3),
+     SPARK_GRAFT_SCALE_BASE_DOCS (default 5000 — sf0.1's documents count).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+EXPONENT_MAX = float(os.environ.get("SPARK_GRAFT_SCALE_EXP_MAX", "1.25"))
+
+_VOCAB = (
+    "spark line column order small sort fast value scan hash slow group batch "
+    "part query agg table key stream filter customer window join vector the a "
+    "engine shuffle broadcast partition codec schema row plan stage task merge"
+).split()
+
+
+def gen_documents(spark, n_docs: int, out_dir: str) -> None:
+    """Word-salad documents shaped like testdata (20-100 words from a
+    ~40-word vocab ⇒ heavy shingle overlap), plus 1% planted near-dup
+    twins so LSH→verify has real positives at every scale. All
+    hash-derived: deterministic, embarrassingly parallel, no driver data."""
+    vocab = "array(" + ",".join(f"'{w}'" for w in _VOCAB) + ")"
+    base = (
+        spark.range(n_docs)
+        .repartition(32)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                f"""array_join(transform(sequence(1, 20 + pmod(xxhash64(id), 80)),
+                       i -> element_at({vocab}, CAST(pmod(xxhash64(id * 1000 + i), {len(_VOCAB)}) + 1 AS INT))), ' ')"""
+            ).alias("text"),
+            F.expr("element_at(array('en','de','fr','zh','es'), CAST(pmod(xxhash64(id + 7), 5) + 1 AS INT))").alias("lang"),
+        )
+    )
+    twins = (
+        base.filter(F.pmod(F.col("doc_id"), F.lit(100)) == 0)
+        .select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" planted")).alias("text"),
+            "lang",
+        )
+    )
+    docs = base.unionByName(twins).withColumn("n_chars", F.length("text"))
+    docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+
+def gen_embeddings(spark, n_vecs: int, out_dir: str) -> None:
+    """64-dim hash-derived vectors in [-1, 1), label in 0..9 — the
+    embeddings table's shape at any row count."""
+    (
+        spark.range(n_vecs)
+        .repartition(32)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 64), i -> CAST(pmod(xxhash64(id * 64 + i), 2000) / 1000.0 - 1.0 AS FLOAT))"
+            ).alias("embedding"),
+            F.expr("CAST(pmod(xxhash64(id + 3), 10) AS INT)").alias("label"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/embeddings.parquet")
+    )
+
+
+def pipelines(spark, data_dir: str):
+    """The three scale-path pipelines, built fresh per invocation over
+    the parquet at data_dir. Production engines (xxhash64 LSH — the
+    spec hash is for oracle parity, not throughput claims)."""
+    from callysto_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        verify_candidate_pairs,
+    )
+    from callysto_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    def ngram_capped():
+        d = spark.read.parquet(f"{data_dir}/documents.parquet")
+        return ngram_jaccard_pairs(d, "doc_id", "text", n=4, threshold=0.005, max_doc_freq=20)
+
+    def lsh_verify():
+        d = spark.read.parquet(f"{data_dir}/documents.parquet").select("doc_id", "text")
+        sigs = minhash_signatures(d, "doc_id", "text", num_hashes=64, n=4)
+        cands = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+        return verify_candidate_pairs(d, cands, "doc_id", "text", n=4, threshold=0.6)
+
+    def ivf_topk_pipeline():
+        e = spark.read.parquet(f"{data_dir}/embeddings.parquet")
+        cents = kmeans_centroids(e, "vec_id", "embedding", k=8, iters=5, sample=1024)
+        return ivf_topk(e, "vec_id", "embedding", list(range(5)), cents, k=10, nprobe=2)
+
+    return {
+        "doc_ngram_jaccard_capped": ngram_capped,
+        "lsh_candidates_verify": lsh_verify,
+        "emb_ivf_topk": ivf_topk_pipeline,
+    }
+
+
+def time_pipeline(spark, build, n_runs: int) -> tuple[float, int]:
+    from callysto_spark.operators.util import release_transient_persists
+
+    def run():
+        release_transient_persists()
+        df = build()
+        df.write.format("noop").mode("overwrite").save()
+        return df
+
+    run()  # codegen/JIT warm, untimed
+    spark.catalog.clearCache()
+    best = float("inf")
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    rows = run().count()
+    release_transient_persists()
+    return best, rows
+
+
+def main() -> None:
+    from callysto_spark.session import get_spark
+
+    scales = [1, 10]
+    if "--scales" in sys.argv:
+        scales = [int(s) for s in sys.argv[sys.argv.index("--scales") + 1].split(",")]
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
+    base_docs = int(os.environ.get("SPARK_GRAFT_SCALE_BASE_DOCS", "5000"))
+    base_vecs = int(os.environ.get("SPARK_GRAFT_SCALE_BASE_VECS", "2000"))
+    spark = get_spark("callysto-scaling", cpus=cpus)
+    root = tempfile.mkdtemp(prefix="callysto_scaling_")
+    results: dict[str, dict[int, tuple[float, int]]] = {}
+    try:
+        for s in scales:
+            d = f"{root}/x{s}"
+            gen_documents(spark, base_docs * s, d)
+            gen_embeddings(spark, base_vecs * s, d)
+            for name, build in pipelines(spark, d).items():
+                best, rows = time_pipeline(spark, build, n_runs)
+                results.setdefault(name, {})[s] = (best, rows)
+                print(f"# {name} @ {s}x: {best:.3f}s ({rows} rows)", file=sys.stderr)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    lo, hi = min(scales), max(scales)
+    report = {}
+    failed = []
+    for name, by_scale in results.items():
+        t_lo, t_hi = by_scale[lo][0], by_scale[hi][0]
+        exp = math.log(t_hi / t_lo) / math.log(hi / lo)
+        report[name] = {
+            "t_1x_sec": round(t_lo, 3),
+            f"t_{hi}x_sec": round(t_hi, 3),
+            "exponent": round(exp, 3),
+            "rows": {str(s): by_scale[s][1] for s in scales},
+        }
+        print(f"# {name}: exponent {exp:.3f}", file=sys.stderr)
+        if exp > EXPONENT_MAX:
+            failed.append(name)
+    print(json.dumps({"metric": "scaleup_exponents", "scales": scales, "pipelines": report}))
+    if "--update-md" in sys.argv:
+        update_md(report, scales, cpus, n_runs, base_docs, base_vecs)
+    spark.stop()
+    if failed:
+        print(f"# SUPER-LINEAR: {failed} exceeded exponent {EXPONENT_MAX}", file=sys.stderr)
+        sys.exit(1)
+
+
+def update_md(report, scales, cpus, n_runs, base_docs, base_vecs) -> None:
+    hi = max(scales)
+    lines = [
+        "# SCALING — measured scale-up of the three headline scale paths",
+        "",
+        "Produced by `python scaling_bench.py --update-md` (deterministic",
+        f"hash-derived corpora shaped like TESTDATA.md; 1x = {base_docs} docs /",
+        f"{base_vecs} vectors = sf0.1 row counts, {hi}x = tenfold; local[{cpus}],",
+        f"steady-state min-of-{n_runs} per point, per-query transient caches released",
+        "between runs). Exponent = log(t_hi/t_lo)/log(scale ratio): 1.0 is",
+        "perfectly linear; fixed per-job overhead (scheduling, plan setup)",
+        "pulls measured exponents BELOW 1 at these absolute sizes.",
+        "",
+        "| pipeline | t @1x (s) | t @10x (s) | exponent | rows 1x -> 10x |",
+        "|---|---|---|---|---|",
+    ]
+    for name, r in report.items():
+        rows = r["rows"]
+        lines.append(
+            f"| {name} | {r['t_1x_sec']} | {r[f't_{hi}x_sec']} | {r['exponent']} "
+            f"| {rows[str(min(scales))]} -> {rows[str(hi)]} |"
+        )
+    lines += [
+        "",
+        "Why these three: they are the operators whose naive formulations go",
+        "quadratic (all-pairs Jaccard, corpus self-join LSH, brute-force ANN);",
+        "the measured exponents certify the implemented formulations —",
+        "stop-shingle-capped in-row pairing, banded bucket join + candidate-only",
+        "verification, and cell-pruned IVF probing — stay near-linear through a",
+        "10x scale-up. The gate `exponent <= 1.25` runs in CI-style via",
+        "`python scaling_bench.py` (nonzero exit on super-linear growth).",
+        "",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.md"), "w") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
