@@ -18,10 +18,18 @@ The user closure keeps the `(key, pandas-batch, TableState)` shape, so
 an agent written against the v1 binding runs unchanged on v2 via
 ``App.table_agent(..., api="tws")``.
 
-Environment gate: executing (not building) a transformWithState plan
-needs ``google.protobuf`` for Spark's streaming Python runner; images
-without it can still build/validate plans, and the GroupState binding
-(`streaming/state.py`) remains the dependency-free default.
+Environment gate (TERMINAL for this image): executing (not building) a
+transformWithState plan needs ``google.protobuf`` — the runner speaks
+a protobuf state-server protocol via the generated
+``pyspark/sql/streaming/proto/StateMessage_pb2.py``, which requires the
+full protobuf runtime. The image ships no protobuf wheel, pip has no
+network, and vendoring the multi-thousand-line runtime is out of scope,
+so the gate cannot be lifted here. Everything runner-independent IS
+covered runner-less (plan building + timeMode, processor init/TTL
+wiring, input handling, timer arming/firing order, TTL eviction
+semantics, state-value schema encoding round-trip — tests/test_app.py);
+the GroupState binding (`streaming/state.py`) remains the
+dependency-free default and carries the execution parity tests.
 """
 
 from __future__ import annotations

