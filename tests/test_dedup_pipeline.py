@@ -118,3 +118,65 @@ def test_lsh_recall_planted_md5_60_engine(spark, sf_dir):
     got = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
     recall = len(planted & got) / len(planted)
     assert recall >= 0.9, f"md5_60 LSH recall {recall} below contract"
+
+
+def test_md5_60_minhash_and_simhash_match_python_reference(spark):
+    """Third-implementation parity: recompute MinHash signatures and
+    SimHash hex digests in pure Python (hashlib + the published spec:
+    60-bit md5-prefix hash, (a*h+b) mod 2^31-1 permutations, per-bit
+    votes) and compare against the Spark operators. With the DuckDB
+    oracle this gives three independent implementations agreeing
+    bit-for-bit."""
+    import hashlib
+    import re
+
+    from callysto_spark.operators.dedup import (
+        _MERSENNE_P,
+        _hash_params,
+        minhash_signatures,
+        simhash,
+    )
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "spark line column order small sort column sort fast value"),
+        (2, "Short doc"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"]).repartition(2)
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def shingles(text: str, n: int = 4) -> list[str]:
+        toks = re.split(r"\s+", text.strip().lower())
+        upper = max(len(toks) - (n - 1), 1)
+        return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(upper)))
+
+    params = _hash_params(64)
+    want_sig = {}
+    for doc_id, text in docs:
+        hs = [h60(g) % _MERSENNE_P for g in shingles(text)]
+        want_sig[doc_id] = [min((a * h + b) % _MERSENNE_P for h in hs) for a, b in params]
+    got_sig = {
+        r["doc"]: list(r["signature"])
+        for r in minhash_signatures(df, "doc_id", "text", num_hashes=64, n=4, hash_engine="md5_60").collect()
+    }
+    assert got_sig == want_sig
+
+    def py_simhash(text: str, bits: int = 64) -> str:
+        toks = re.split(r"\s+", text.strip().lower())
+        votes = [0] * bits
+        for t in toks:
+            h = h60(t)
+            for i in range(bits):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        val = sum(1 << i for i in range(bits) if votes[i] > 0)
+        return format(val, "016X")
+
+    got_sim = {
+        r["doc"]: r["simhash"]
+        for r in simhash(df, "doc_id", "text", hash_engine="md5_60").collect()
+    }
+    want_sim = {doc_id: py_simhash(text) for doc_id, text in docs}
+    assert got_sim == want_sim

@@ -144,3 +144,19 @@ def test_query_matches_oracle(name, spark, ddb, sf_dir):
         (i, a, b) for i, (a, b) in enumerate(zip(s_norm, o_norm)) if a != b
     ]
     assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+
+
+def test_load_all_idempotent_and_windowed():
+    """The driver imports the registry via __spark_entry__ and samples
+    the first ~50 entries; load_all() must be idempotent (repeat calls
+    keep the same order), keep all 85 queries, and keep every north-star
+    doc_/emb_ query inside the sampled window."""
+    from callysto_spark.queries import load_all
+
+    first = list(load_all())
+    second = list(load_all())
+    assert first == second, "load_all must be order-stable across calls"
+    assert len(first) == len(set(first)) == 85
+    head = first[:50]
+    missing = [n for n in first if n.startswith(("doc_", "emb_")) and n not in head]
+    assert not missing, f"north-star queries fell out of the sampled window: {missing}"

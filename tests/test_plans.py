@@ -171,9 +171,12 @@ def test_minhash_signatures_no_hash_exchange(spark, sf_dir):
     from callysto_spark.tables import load as load_tables
 
     d = load_tables(spark, sf_dir, "documents")["documents"]
-    plan = physical_plan(minhash_signatures(d, "doc_id", "text", num_hashes=16, n=4))
-    assert "hashpartitioning" not in plan.lower(), plan
-    assert "Window" not in plan, "no window in the shingle pipeline"
+    for engine in ("xxhash64", "md5_60"):
+        plan = physical_plan(
+            minhash_signatures(d, "doc_id", "text", num_hashes=16, n=4, hash_engine=engine)
+        )
+        assert "hashpartitioning" not in plan.lower(), f"{engine}: {plan}"
+        assert "Window" not in plan, f"{engine}: no window in the shingle pipeline"
 
 
 def test_winnow_operator_no_shuffle(spark, sf_dir):
