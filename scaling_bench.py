@@ -174,15 +174,18 @@ def main() -> None:
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
-    lo, hi = min(scales), max(scales)
     report = {}
     failed = []
     for name, by_scale in results.items():
-        t_lo, t_hi = by_scale[lo][0], by_scale[hi][0]
-        exp = math.log(t_hi / t_lo) / math.log(hi / lo)
+        # least-squares slope of log(t) vs log(scale) over ALL points —
+        # with >2 scales this is the growth exponent of the fitted power
+        # law, strictly more informative than an endpoint ratio
+        xs = [math.log(s) for s in scales]
+        ys = [math.log(by_scale[s][0]) for s in scales]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        exp = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum((x - mx) ** 2 for x in xs)
         report[name] = {
-            "t_1x_sec": round(t_lo, 3),
-            f"t_{hi}x_sec": round(t_hi, 3),
+            "t_sec": {str(s): round(by_scale[s][0], 3) for s in scales},
             "exponent": round(exp, 3),
             "rows": {str(s): by_scale[s][1] for s in scales},
         }
@@ -205,19 +208,26 @@ def update_md(report, scales, cpus, n_runs, base_docs, base_vecs) -> None:
         "",
         "Produced by `python scaling_bench.py --update-md` (deterministic",
         f"hash-derived corpora shaped like TESTDATA.md; 1x = {base_docs} docs /",
-        f"{base_vecs} vectors = sf0.1 row counts, {hi}x = tenfold; local[{cpus}],",
+        f"{base_vecs} vectors = sf0.1 row counts, up to {hi}x; local[{cpus}],",
         f"steady-state min-of-{n_runs} per point, per-query transient caches released",
-        "between runs). Exponent = log(t_hi/t_lo)/log(scale ratio): 1.0 is",
-        "perfectly linear; fixed per-job overhead (scheduling, plan setup)",
-        "pulls measured exponents BELOW 1 at these absolute sizes.",
+        "between runs). Exponent = least-squares slope of log(t) vs",
+        "log(scale) over all points: 1.0 is perfectly linear; fixed per-job",
+        "overhead (scheduling, plan setup) pulls measured exponents BELOW 1",
+        "at these absolute sizes.",
         "",
-        "| pipeline | t @1x (s) | t @10x (s) | exponent | rows 1x -> 10x |",
-        "|---|---|---|---|---|",
+        "| pipeline | " + " | ".join(f"t @{s}x (s)" for s in scales)
+        + f" | exponent (fit) | exponent (tail segment) | rows 1x -> {hi}x |",
+        "|---|" + "---|" * (len(scales) + 3),
     ]
     for name, r in report.items():
         rows = r["rows"]
+        ts = " | ".join(str(r["t_sec"][str(s)]) for s in scales)
+        # tail segment (two largest scales): fixed overhead is most
+        # amortized there, so it is the asymptotically honest figure
+        s1, s2 = scales[-2], scales[-1]
+        tail = math.log(r["t_sec"][str(s2)] / r["t_sec"][str(s1)]) / math.log(s2 / s1)
         lines.append(
-            f"| {name} | {r['t_1x_sec']} | {r[f't_{hi}x_sec']} | {r['exponent']} "
+            f"| {name} | {ts} | {r['exponent']} | {tail:.3f} "
             f"| {rows[str(min(scales))]} -> {rows[str(hi)]} |"
         )
     lines += [
