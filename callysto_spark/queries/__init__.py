@@ -69,7 +69,8 @@ def load_all() -> dict[str, Query]:
     """Import every query module (side effect: registration) and return REGISTRY.
 
     Registry ORDER is deliberate: the correctness driver samples the FIRST
-    ~48 entries in iteration order. The LLM-data-pipeline ops
+    50 entries in iteration order (CORRECTNESS_r04 sampled exactly 50;
+    the head block is sized 20 + 30 to fill it). The LLM-data-pipeline ops
     (``doc_*``/``emb_*``) stay first every round — they are the engine's
     north-star surface and must always carry hard driver-verified rows —
     and are selected by MEMBERSHIP over the whole registry (not a head

@@ -58,16 +58,17 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
             for col in _NANOS_TS_COLS.get(name, []):
                 if dict(df.dtypes).get(col) == "bigint":
                     # Infer the epoch unit from magnitude (2000-2100 era:
-                    # s≈1e9, ms≈1e12, µs≈1e15, ns≈1e18) — a tiny
-                    # cached-per-session job — so a future encoding shift
-                    # (ns→ms/µs as plain int64) can't silently mis-scale
-                    # every timestamp. Probe with max(abs()) over the whole
-                    # column, not first(): a NULL or outlier first row must
-                    # not pick the wrong unit (nulls are ignored by max,
-                    # and the largest magnitude decides). Integer division:
-                    # ns epoch values exceed double precision.
-                    probe = df.select(F.max(F.abs(F.col(col))).alias("m")).first()
-                    v = probe["m"] if probe and probe["m"] is not None else 0
+                    # s≈1e9, ms≈1e12, µs≈1e15, ns≈1e18) so a future
+                    # encoding shift (ns→ms/µs as plain int64) can't
+                    # silently mis-scale every timestamp. Probe the FIRST
+                    # NON-NULL value: the IS NOT NULL filter pushes to the
+                    # scan and first() stops after one match — O(1) at any
+                    # table size (a max() aggregate would scan the whole
+                    # column at load time), and all non-null values of a
+                    # column share one encoding, so one probe decides.
+                    # Integer division: ns epochs exceed double precision.
+                    probe = df.select(col).where(F.col(col).isNotNull()).first()
+                    v = abs(probe[0]) if probe is not None else 0
                     div = 1_000 if v > 1e17 else 1 if v > 1e14 else None
                     if div is not None:
                         df = df.withColumn(

@@ -7,11 +7,15 @@ are plan-shape-pinned in tests/test_plans.py; this script converts the
 "would survive 100×" judgment from plan-reading into measurement: it
 generates deterministic synthetic corpora with the same shape as
 TESTDATA.md's documents/embeddings at 1× (= sf0.1 row counts) and 10×,
-times each pipeline at both scales (steady-state min-of-N, same
-convention as bench.py), and reports the growth exponent
-``log(t10/t1) / log(10)`` — 1.0 is perfectly linear; fixed per-job
-overhead pulls it below 1. Exits nonzero if any pipeline exceeds
-EXPONENT_MAX (default 1.25), so a super-linear regression fails loudly.
+times each pipeline at every scale (steady-state min-of-N, same
+convention as bench.py), and reports two growth exponents: the
+least-squares slope of log(t) vs log(scale) over all points (the
+fitted power law) and the TAIL-SEGMENT exponent between the two
+largest scales. 1.0 is perfectly linear; fixed per-job overhead pulls
+measurements below 1 — which is why the super-linearity gate tests the
+TAIL (overheads most amortized there; an all-points fit would dilute
+asymptotic growth with overhead-dominated small points). Exits nonzero
+if any pipeline's tail exponent exceeds EXPONENT_MAX (default 1.25).
 
 Generation is fully Spark-side (hash-derived word salad / vectors — no
 driver-side row building) and writes parquet once per scale; the timed
@@ -174,23 +178,39 @@ def main() -> None:
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
+    if len(scales) < 2:
+        # single point: report times, nothing to fit or gate
+        report = {
+            name: {"t_sec": {str(s): round(t, 3) for s, (t, _) in by_scale.items()},
+                   "rows": {str(s): r for s, (_, r) in by_scale.items()}}
+            for name, by_scale in results.items()
+        }
+        print(json.dumps({"metric": "scaleup_exponents", "scales": scales, "pipelines": report}))
+        spark.stop()
+        return
     report = {}
     failed = []
     for name, by_scale in results.items():
-        # least-squares slope of log(t) vs log(scale) over ALL points —
-        # with >2 scales this is the growth exponent of the fitted power
-        # law, strictly more informative than an endpoint ratio
+        # least-squares slope of log(t) vs log(scale) over ALL points
+        # (the fitted power law), PLUS the tail-segment exponent between
+        # the two largest scales — fixed per-job overhead is most
+        # amortized there, so the TAIL is what the super-linearity gate
+        # tests (the all-points fit systematically dilutes asymptotic
+        # growth with overhead-dominated small points).
         xs = [math.log(s) for s in scales]
         ys = [math.log(by_scale[s][0]) for s in scales]
         mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
         exp = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum((x - mx) ** 2 for x in xs)
+        s1, s2 = scales[-2], scales[-1]
+        tail = math.log(by_scale[s2][0] / by_scale[s1][0]) / math.log(s2 / s1)
         report[name] = {
             "t_sec": {str(s): round(by_scale[s][0], 3) for s in scales},
             "exponent": round(exp, 3),
+            "tail_exponent": round(tail, 3),
             "rows": {str(s): by_scale[s][1] for s in scales},
         }
-        print(f"# {name}: exponent {exp:.3f}", file=sys.stderr)
-        if exp > EXPONENT_MAX:
+        print(f"# {name}: exponent fit={exp:.3f} tail={tail:.3f}", file=sys.stderr)
+        if tail > EXPONENT_MAX:
             failed.append(name)
     print(json.dumps({"metric": "scaleup_exponents", "scales": scales, "pipelines": report}))
     if "--update-md" in sys.argv:
@@ -219,17 +239,16 @@ def update_md(report, scales, cpus, n_runs, base_docs, base_vecs) -> None:
         + f" | exponent (fit) | exponent (tail segment) | rows 1x -> {hi}x |",
         "|---|" + "---|" * (len(scales) + 3),
     ]
+    tails = {}
     for name, r in report.items():
         rows = r["rows"]
         ts = " | ".join(str(r["t_sec"][str(s)]) for s in scales)
-        # tail segment (two largest scales): fixed overhead is most
-        # amortized there, so it is the asymptotically honest figure
-        s1, s2 = scales[-2], scales[-1]
-        tail = math.log(r["t_sec"][str(s2)] / r["t_sec"][str(s1)]) / math.log(s2 / s1)
+        tails[name] = r["tail_exponent"]
         lines.append(
-            f"| {name} | {ts} | {r['exponent']} | {tail:.3f} "
+            f"| {name} | {ts} | {r['exponent']} | {r['tail_exponent']} "
             f"| {rows[str(min(scales))]} -> {rows[str(hi)]} |"
         )
+    s1, s2 = scales[-2], scales[-1]
     lines += [
         "",
         "Why these three: they are the operators whose naive formulations go",
@@ -237,8 +256,11 @@ def update_md(report, scales, cpus, n_runs, base_docs, base_vecs) -> None:
         "the measured exponents certify the implemented formulations —",
         "stop-shingle-capped in-row pairing, banded bucket join + candidate-only",
         "verification, and cell-pruned IVF probing — stay near-linear through a",
-        "10x scale-up. The gate `exponent <= 1.25` runs in CI-style via",
+        f"{hi}x scale-up. The tail-segment exponents ({s1}x -> {s2}x, fixed",
+        "overheads most amortized) are the asymptotically honest figures and",
+        f"are what the gate tests: `tail_exponent <= {EXPONENT_MAX}` via",
         "`python scaling_bench.py` (nonzero exit on super-linear growth).",
+        "Measured tails: " + ", ".join(f"{n} {t}" for n, t in tails.items()) + ".",
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.md"), "w") as f:

@@ -562,14 +562,33 @@ def test_tws_timer_firing_order_and_ttl_eviction(spark):
 
 def test_tws_state_value_schema_encoding_roundtrip(spark):
     """Runner-less closure of the tws gate: the one runner-dependent
-    surface not otherwise covered is the encoding of state tuples
-    against the declared value_schema (the runner serializes exactly
-    what TableStateV2.set() stored, per that schema). Round-trip every
-    schema shape the table API supports through Spark's own
-    schema-driven encoding and assert value identity, so a
-    schema/encoding mismatch fails here rather than only on a
+    surface not otherwise covered is the encoding of what
+    TableStateV2.set() actually STORES against the table's declared
+    value_schema (the runner serializes that stored tuple, per that
+    schema). Drive the real TableStateV2 set/get path into a recording
+    state handle, then push the STORED representation through Spark's
+    schema-driven encoding — a field-order/type/shape mismatch between
+    the shim and the declared schema fails here rather than only on a
     protobuf-enabled cluster."""
     import datetime as dt
+
+    from callysto_spark.streaming.state_v2 import TableStateV2
+
+    class RecordingValueState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+        def clear(self):
+            self.v = None
 
     cases = [
         ("cnt long", (42,)),
@@ -579,8 +598,16 @@ def test_tws_state_value_schema_encoding_roundtrip(spark):
         ("nested struct<a:long,b:string>", ((5, "in"),)),
     ]
     for schema, value in cases:
-        got = tuple(spark.createDataFrame([value], schema=schema).collect()[0])
-        norm = tuple(
-            tuple(v) if isinstance(v, tuple) else v for v in got
-        )
+        vs = RecordingValueState()
+        ts = TableStateV2(vs, handle=None, timer_values=None)
+        ts.set(*value)
+        stored = vs.v
+        assert isinstance(stored, tuple), "set() must store a positional tuple"
+        assert ts.get() == value, f"{schema}: get() must return what set() stored"
+        # the runner would serialize `stored` against the declared
+        # value_schema: prove that encoding round-trips value-identically
+        got = tuple(spark.createDataFrame([stored], schema=schema).collect()[0])
+        norm = tuple(tuple(v) if isinstance(v, tuple) else v for v in got)
         assert norm == value, f"{schema}: {norm} != {value}"
+        ts.delete()
+        assert not ts.exists and ts.get() is None
