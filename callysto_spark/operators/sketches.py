@@ -1,0 +1,185 @@
+"""Spec-defined, cross-engine-reproducible sketches.
+
+Spark's built-in sketch aggregates (``approx_count_distinct`` HLL++,
+``percentile_approx`` Greenwald-Khanna, DataSketches HLL) are the right
+production tools at 100 TB, but their outputs are engine-specific: no
+other SQL engine can recompute them bit-for-bit, so queries built on
+them can never be hash-checked against a DuckDB oracle. This module
+provides the portable twins — classic sketches whose definition is a
+pure function of the data and the ``md5_60`` spec hash
+(operators/dedup.py), so DuckDB reproduces every output bit:
+
+- **KMV (k-minimum-values) distinct-count sketch** [Bar-Yossef et al.,
+  RANDOM'02; Beyer et al., SIGMOD'07 "unbiased" (k-1)/F(h_k) estimator].
+  Keep the k smallest hash values of the key set per group; if fewer
+  than k survive the count is exact, else estimate (k-1) * 2^60 / h_k.
+  Mergeable: union two sketches = k smallest of the union.
+- **Bottom-k uniform sample** [Rosen'72 order sampling; the same
+  structure as KMV]. The k rows whose key-hash is smallest form a
+  deterministic uniform-without-replacement sample per group —
+  mergeable the same way — over which exact order statistics (type-1
+  quantiles: value at rank ceil(p*m)) give reproducible approximate
+  percentiles.
+
+Both run as a two-phase bounded top-k: a per-shuffle-partition prune to
+k rows FIRST (window over (group, spark_partition_id())), then the
+global per-group top-k over at most k * n_partitions survivors — so no
+single reducer ever sorts a full group. At 100 TB with 1e9 distinct
+keys per group, the final per-group sort input is 256 * shuffle
+partitions, not 1e9. Reference analog: the stats surface of
+`/root/reference/callysto/src/prelude.rs` agents computes running
+counts/aggregates per key; these sketches are the bounded-memory
+equivalents a 100 TB pipeline substitutes for exact distinct/quantile.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from callysto_spark.operators.dedup import string_hash
+
+# 2^60 — the exclusive upper bound of the md5_60 hash range. 255 * 2^60
+# is exactly representable as an IEEE double (8-bit mantissa, exponent
+# 60), so both engines compute the estimator with identical FP ops.
+HASH_SPACE = float(1 << 60)
+
+
+def spec_hash_sql(expr: str) -> str:
+    """DuckDB SQL for the md5_60 spec hash of a VARCHAR expression —
+    must stay in lockstep with operators/dedup.py string_hash."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def _bounded_topk(df: DataFrame, group: Sequence[str], order_col: str, k: int) -> DataFrame:
+    """Per-group k smallest rows by ``order_col``, two-phase.
+
+    Phase 1 prunes each shuffle partition to its local k smallest
+    (bounding the global phase's input at k * n_partitions); phase 2
+    ranks the survivors per group. Ties on ``order_col`` are broken
+    arbitrarily, which is deterministic *as a multiset*: the set of k
+    smallest VALUES is unique even when row identity at the boundary is
+    not, and every consumer aggregates over values only.
+    """
+    pruned = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lrn",
+            F.row_number().over(Window.partitionBy(*group, "__pid").orderBy(order_col)),
+        )
+        .filter(F.col("__lrn") <= k)
+        .drop("__pid", "__lrn")
+    )
+    return (
+        pruned.withColumn(
+            "__rn", F.row_number().over(Window.partitionBy(*group).orderBy(order_col))
+        )
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group: Sequence[str],
+    key: Column,
+    k: int = 256,
+    hash_engine: str = "md5_60",
+    out: str = "kmv_distinct",
+) -> DataFrame:
+    """KMV distinct-count estimate of ``key`` per ``group``.
+
+    Returns one row per group: ``out`` (BIGINT estimate — exact when the
+    group has fewer than k distinct hashes), ``{out}_kth_hash`` (the
+    sketch's defining statistic, NULL in the exact regime), ``{out}_k``
+    (survivor count = min(n_distinct, k)).
+
+    Estimator: floor((k-1) * 2^60 / h_k) — one FP multiply (exact),
+    one FP divide, one floor, so any engine hashing the same key set
+    lands on the same integer. Relative error ~ 1/sqrt(k-2) (6.3% at
+    k=256).
+    """
+    dh = df.select(*group, string_hash(key, hash_engine).alias("__h")).distinct()
+    topk = _bounded_topk(dh, group, "__h", k)
+    kth = F.max("__h")
+    est = F.when(F.count(F.lit(1)) < k, F.count(F.lit(1))).otherwise(
+        F.floor(F.lit((k - 1) * HASH_SPACE) / kth)
+    )
+    return topk.groupBy(*group).agg(
+        est.cast("long").alias(out),
+        F.when(F.count(F.lit(1)) >= k, kth).alias(f"{out}_kth_hash"),
+        F.count(F.lit(1)).alias(f"{out}_k"),
+    )
+
+
+def kmv_distinct_sql(
+    src: str, group_cols: str, key_expr: str, k: int = 256, out: str = "kmv_distinct"
+) -> str:
+    """DuckDB oracle computing exactly ``kmv_distinct`` over ``src``
+    (a table name or parenthesized subquery). The single-pass
+    row_number ranking is the semantic spec the two-phase Spark plan
+    must (and does) coincide with."""
+    return f"""
+WITH __dh AS (
+  SELECT DISTINCT {group_cols}, {spec_hash_sql(key_expr)} AS __h FROM {src}
+), __ranked AS (
+  SELECT {group_cols}, __h,
+         row_number() OVER (PARTITION BY {group_cols} ORDER BY __h) AS __rn
+  FROM __dh
+)
+SELECT {group_cols},
+       CAST(CASE WHEN count(*) < {k} THEN count(*)
+                 ELSE floor({float(k - 1)} * {float(1 << 60)} / max(__h)) END AS BIGINT)
+         AS {out},
+       CASE WHEN count(*) >= {k} THEN max(__h) END AS {out}_kth_hash,
+       count(*) AS {out}_k
+FROM __ranked WHERE __rn <= {k}
+GROUP BY {group_cols}
+"""
+
+
+def bottom_k_sample(
+    df: DataFrame,
+    group: Sequence[str],
+    key: Column,
+    k: int = 1024,
+    hash_engine: str = "md5_60",
+) -> DataFrame:
+    """Deterministic uniform sample: the k rows per group whose
+    ``key``-hash is smallest. ``key`` must be row-unique (e.g. a
+    primary key) so the hash order is a total order and both engines
+    select the identical row set. Adds column ``__h`` (the sample
+    ranks by it); caller drops it."""
+    withh = df.withColumn("__h", string_hash(key, hash_engine))
+    return _bounded_topk(withh, group, "__h", k)
+
+
+def type1_quantiles(
+    sampled: DataFrame,
+    group: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[tuple[str, int, int]],
+) -> DataFrame:
+    """Exact type-1 (no-interpolation) quantiles over a (sampled)
+    DataFrame: for each ``(name, num, den)`` emit the value at rank
+    ceil(num*m/den) of the per-group sort by ``value_col`` (m = group
+    row count). Selection, not arithmetic — the output is always an
+    actual data value, so engines agree bit-for-bit. The integer-ceil
+    rank floor((num*m + den - 1)/den) keeps the rank computation out
+    of decimal-vs-double literal territory."""
+    w = Window.partitionBy(*group)
+    ranked = sampled.withColumn(
+        "__vrn", F.row_number().over(w.orderBy(value_col))
+    ).withColumn("__m", F.count(F.lit(1)).over(w))
+    aggs = [
+        F.max(
+            F.when(
+                F.col("__vrn")
+                == F.floor((F.lit(num) * F.col("__m") + F.lit(den - 1)) / F.lit(den)),
+                F.col(value_col),
+            )
+        ).alias(name)
+        for (name, num, den) in quantiles
+    ]
+    return ranked.groupBy(*group).agg(*aggs)

@@ -288,31 +288,80 @@ def events_user_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count(e, ["user_id"], salt=16)
 
 
-@register("events_value_quantile_sketch", oracle=None)
+@register(
+    "events_value_quantile_sketch",
+    oracle="""
+WITH hs AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+             ORDER BY CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)
+         ) AS hrn
+  FROM events
+), ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS vrn,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM hs WHERE hrn <= 1024
+), q AS (
+  SELECT event_type,
+         max(CASE WHEN vrn = floor((m + 1) / 2) THEN value END) AS p50,
+         max(CASE WHEN vrn = floor((9 * m + 9) / 10) THEN value END) AS p90,
+         max(CASE WHEN vrn = floor((99 * m + 99) / 100) THEN value END) AS p99
+  FROM ranked GROUP BY event_type
+), uh AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events
+), ur AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM uh
+), u AS (
+  SELECT event_type,
+         CAST(CASE WHEN count(*) < 256 THEN count(*)
+                   ELSE floor(255.0 * 1152921504606846976 / max(h)) END AS BIGINT)
+           AS kmv_users
+  FROM ur WHERE rn <= 256 GROUP BY event_type
+), c AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+)
+SELECT q.event_type, p50, p90, p99, kmv_users, n
+FROM q JOIN u USING (event_type) JOIN c USING (event_type)
+ORDER BY event_type
+""",
+)
 def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-family aggregates per event type: approx_percentile
-    (Greenwald-Khanna) + approx_count_distinct (HLL++). Deterministic
-    for a fixed dataset but engine-specific in boundary choices ⇒
-    rows-only check (like approx_distinct_parts); the exact-percentile
-    twin is price_quartiles_by_segment."""
-    e = load(spark, sf_dir, "events")["events"]
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("value_q"),
-            F.approx_count_distinct("user_id").alias("approx_users"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            "event_type",
-            F.col("value_q")[0].alias("p50"),
-            F.col("value_q")[1].alias("p90"),
-            F.col("value_q")[2].alias("p99"),
-            "approx_users",
-            "n",
-        )
-        .orderBy("event_type")
+    """Sketch-family aggregates per event type, on spec-defined sketches
+    (operators/sketches.py) so every output is hash-checkable: p50/p90/
+    p99 as type-1 quantiles over a deterministic bottom-k-by-hash
+    uniform sample (k=1024, the mergeable order-sample twin of
+    percentile_approx), approximate distinct users via the KMV sketch
+    (k=256, the twin of approx_count_distinct), and an exact row count.
+    Was rows-only when built on GK/HLL++ (engine-specific boundary
+    choices); pytest pins sample-quantile error vs the exact
+    percentiles (tests/test_relational.py). Exact-percentile twin:
+    price_quartiles_by_segment."""
+    from callysto_spark.operators.sketches import (
+        bottom_k_sample,
+        kmv_distinct,
+        type1_quantiles,
     )
+
+    e = load(spark, sf_dir, "events")["events"]
+    samp = bottom_k_sample(
+        e.select("event_type", "event_id", "value"),
+        ["event_type"],
+        F.col("event_id").cast("string"),
+        k=1024,
+    )
+    q = type1_quantiles(
+        samp, ["event_type"], "value", [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+    )
+    users = kmv_distinct(
+        e, ["event_type"], F.col("user_id").cast("string"), k=256, out="kmv_users"
+    ).select("event_type", "kmv_users")
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return q.join(users, "event_type").join(counts, "event_type").orderBy("event_type")
 
 
 @register(

@@ -80,12 +80,33 @@ def avro_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("raw_message_decode_stats", oracle=None)
+@register(
+    "raw_message_decode_stats",
+    oracle="""
+WITH seq AS (
+  SELECT CAST(user_id % 4 AS INT) AS part, event_type, user_id,
+         row_number() OVER (PARTITION BY user_id % 4 ORDER BY ts, event_id) - 1
+           AS offs
+  FROM events
+)
+SELECT part AS "partition", event_type,
+       count(*) AS n,
+       max(offs) AS max_offset,
+       count(DISTINCT user_id) AS n_users
+FROM seq GROUP BY part, event_type
+ORDER BY part, event_type
+""",
+)
 def raw_message_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The basic.rs agent shape, declaratively: consume opaque messages,
     decode payloads (schema from the Avro definition), count + aggregate
-    per (partition, event_type). Rows-only check (payload bytes are
-    engine-encoded)."""
+    per (partition, event_type). Fully oracle-checked (was rows-only):
+    every synthesized message field is a pure function of events —
+    partition = pmod(user_id, 4), offset = per-partition (ts, event_id)
+    row_number, and the JSON encode∘decode of the payload is the
+    identity — so DuckDB reproduces the whole wire path without ever
+    seeing the bytes. Any defect in partition routing, offset
+    sequencing, or the serde round-trip breaks the hash."""
     msg = raw_messages(spark, sf_dir)
     decoded = msg.select(
         "partition",

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from callysto_spark.operators import top_k_per_group, pivot_on
+from callysto_spark.operators.sketches import kmv_distinct, kmv_distinct_sql
 from callysto_spark.functions import fixed_sum, rnd
 from callysto_spark.queries import register
 from callysto_spark.tables import load
@@ -517,12 +518,32 @@ def distinct_counts_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_parts",
-    oracle=None,  # HLL++ sketch is engine-specific — rows-only check.
+    oracle=kmv_distinct_sql(
+        "lineitem", "l_returnflag", "CAST(l_partkey AS VARCHAR)", k=256, out="kmv_parts"
+    )
+    + "ORDER BY l_returnflag",
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) + approx percentile — the sketches a
-    100 TB pipeline uses instead of exact distinct. No SQL oracle: sketch
-    results are engine-specific by design."""
+    """Approximate distinct parts per return flag via the KMV
+    (k-minimum-values) sketch on the md5_60 spec hash
+    (operators/sketches.py) — the mergeable bounded-memory
+    distinct-count a 100 TB pipeline uses instead of exact distinct,
+    but spec-defined, so the DuckDB oracle recomputes the estimate
+    bit-for-bit and the driver hash-checks it (was rows-only when built
+    on engine-specific HLL++; that production variant moved to
+    approx_distinct_parts_hll, error-bound-tested in pytest)."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return kmv_distinct(
+        li, ["l_returnflag"], F.col("l_partkey").cast("string"), k=256, out="kmv_parts"
+    ).orderBy("l_returnflag")
+
+
+def approx_distinct_parts_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-native production variant: HLL++ approx_count_distinct,
+    GK percentile_approx, and a mergeable DataSketches HLL union — the
+    right tools at 100 TB, but engine-specific outputs no other engine
+    can recompute, so this runs under pytest error bounds
+    (tests/test_relational.py) rather than the registry's hash gate."""
     li = load(spark, sf_dir, "lineitem")["lineitem"]
     agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),

@@ -94,7 +94,17 @@ def test_ivf_scoring_scales_to_large_k(spark, sf_dir):
     assigned = ivf_assign(e, "vec_id", "embedding", cents)
     assigned.schema  # force analysis
     build = time.perf_counter() - t0
-    assert build < 5.0, f"k=256 plan build+analysis took {build:.1f}s"
+    print(f"k=256 expr plan build+analysis: {build:.2f}s (advisory)")
+    # STRUCTURAL constant-size-in-k check (wall-clock bounds flake under
+    # suite-wide JVM contention — this one did in round 6's baseline
+    # run): the centroids ride in ONE 2-D array literal, so the k=256
+    # analyzed plan must have the same node count as k=2's.
+    small = ivf_assign(e, "vec_id", "embedding", cents[:2])
+    plan = assigned._jdf.queryExecution().analyzed().toString()
+    small_plan = small._jdf.queryExecution().analyzed().toString()
+    assert len(plan.splitlines()) == len(small_plan.splitlines()), (
+        f"plan node count grew with k:\nk=256:\n{plan}\nk=2:\n{small_plan}"
+    )
     cells = assigned.select("cell").distinct().count()
     n = assigned.count()
     assert n == e.count()

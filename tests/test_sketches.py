@@ -1,0 +1,177 @@
+"""Spec-defined sketches (operators/sketches.py): KMV distinct-count,
+bottom-k uniform sample + type-1 quantiles — estimator accuracy,
+exact-small-group regime, mergeability, plan shape — plus the
+engine-native HLL/GK variant's error bounds (it left the registry when
+approx_distinct_parts moved to the hash-checkable KMV; the production
+sketch path stays covered here)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from callysto_spark.operators.sketches import (
+    HASH_SPACE,
+    _bounded_topk,
+    bottom_k_sample,
+    kmv_distinct,
+    type1_quantiles,
+)
+from callysto_spark.tables import load
+
+
+def test_kmv_sketch_regime_error_bound(spark):
+    """5000 distinct keys through a k=256 sketch: estimate within 4
+    standard errors (4/sqrt(k-2) ≈ 25%) — deterministic, not flaky:
+    the hash is fixed, so this pins one concrete draw forever."""
+    df = spark.range(5000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("key")
+    )
+    out = kmv_distinct(df, ["g"], F.col("key"), k=256, out="est").first()
+    assert out["est_k"] == 256
+    assert out["est_kth_hash"] is not None
+    assert abs(out["est"] - 5000) / 5000 < 0.25, out["est"]
+
+
+def test_kmv_exact_regime(spark, sf_dir):
+    """Groups with fewer than k distinct keys report the EXACT count
+    (kth hash NULL = sketch never engaged)."""
+    e = load(spark, sf_dir, "events")["events"]
+    exact = {
+        r["event_type"]: r["d"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    got = kmv_distinct(
+        e, ["event_type"], F.col("user_id").cast("string"), k=256, out="u"
+    ).collect()
+    for r in got:
+        if r["u_k"] < 256:
+            assert r["u"] == exact[r["event_type"]]
+            assert r["u_kth_hash"] is None
+
+
+def test_kmv_mergeable(spark):
+    """KMV's defining property: sketch(A ∪ B) = merge(sketch(A),
+    sketch(B)) where merge = k smallest of the union of survivors. The
+    100 TB story — per-day sketches union into a monthly estimate
+    without re-scanning — depends on exactly this."""
+    df = spark.range(4000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("key")
+    )
+    a = df.filter(F.col("id") < 2500)  # overlapping halves
+    b = df.filter(F.col("id") >= 1500)
+    whole = kmv_distinct(df, ["g"], F.col("key"), k=128, out="est").first()
+
+    def survivors(part):
+        dh = part.select("g", F.col("key")).select(
+            "g",
+            F.conv(F.substring(F.md5("key"), 1, 15), 16, 10).cast("long").alias("__h"),
+        ).distinct()
+        return _bounded_topk(dh, ["g"], "__h", 128)
+
+    merged = _bounded_topk(
+        survivors(a).union(survivors(b)).distinct(), ["g"], "__h", 128
+    )
+    kth = merged.groupBy("g").agg(F.max("__h").alias("h"), F.count(F.lit(1)).alias("k")).first()
+    assert kth["k"] == 128
+    assert kth["h"] == whole["est_kth_hash"]
+    import math
+
+    assert math.floor(127 * HASH_SPACE / kth["h"]) == whole["est"]
+
+
+def test_bottom_k_sample_quantile_accuracy(spark, sf_dir):
+    """Sample quantiles vs exact: with k=1024 over the events table the
+    type-1 sample p50/p90 must land within 10% relative error of the
+    exact percentile (deterministic draw — fixed hash)."""
+    e = load(spark, sf_dir, "events")["events"]
+    samp = bottom_k_sample(
+        e.select("event_type", "event_id", "value"),
+        ["event_type"],
+        F.col("event_id").cast("string"),
+        k=1024,
+    )
+    q = type1_quantiles(
+        samp, ["event_type"], "value", [("p50", 1, 2), ("p90", 9, 10)]
+    ).collect()
+    exact = {
+        r["event_type"]: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    assert len(q) > 0
+    for r in q:
+        ex = exact[r["event_type"]]
+        assert abs(r["p50"] - ex["p50"]) / max(ex["p50"], 1e-9) < 0.10
+        assert abs(r["p90"] - ex["p90"]) / max(ex["p90"], 1e-9) < 0.10
+
+
+def test_bottom_k_sample_is_true_subset_and_bounded(spark, sf_dir):
+    e = load(spark, sf_dir, "events")["events"]
+    per_type = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    samp = bottom_k_sample(
+        e.select("event_type", "event_id", "value"),
+        ["event_type"],
+        F.col("event_id").cast("string"),
+        k=64,
+    )
+    got = {
+        r["event_type"]: r["n"]
+        for r in samp.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for t, n in per_type.items():
+        assert got[t] == min(n, 64)
+    # sampled values exist in the source (anti-join must be empty)
+    assert (
+        samp.select("event_type", "event_id").exceptAll(
+            e.select("event_type", "event_id")
+        ).count()
+        == 0
+    )
+
+
+def test_kmv_plan_bounded_exchanges(spark, sf_dir):
+    """The two-phase bounded top-k must cost at most 3 exchanges
+    (distinct + partition-local prune + per-group rank) — the shape
+    that keeps a 1e9-distinct-keys group off a single reducer."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    df = kmv_distinct(li, ["l_returnflag"], F.col("l_partkey").cast("string"), k=256)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_ex = plan.count("Exchange")
+    assert n_ex <= 4, f"{n_ex} exchanges:\n{plan}"
+    assert "CollectLimit" not in plan
+
+
+def test_hll_gk_variant_error_bounds(spark, sf_dir):
+    """The engine-native production variant (HLL++ / GK / DataSketches
+    HLL union): rsd=0.01 HLL within 5% of exact, GK median within the
+    exact p40–p60 band. These are the sketches the registry query
+    traded for hash-checkability; their accuracy contract lives here."""
+    from callysto_spark.queries.tpch import approx_distinct_parts_hll
+
+    got = {r["l_returnflag"]: r for r in approx_distinct_parts_hll(spark, sf_dir).collect()}
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("d"),
+            F.expr("percentile(l_extendedprice, 0.4)").alias("p40"),
+            F.expr("percentile(l_extendedprice, 0.6)").alias("p60"),
+        )
+        .collect()
+    }
+    for flag, r in got.items():
+        ex = exact[flag]
+        assert abs(r["approx_parts"] - ex["d"]) / ex["d"] < 0.05
+        assert abs(r["hll_estimate"] - ex["d"]) / ex["d"] < 0.05
+        assert ex["p40"] <= r["approx_median_price"] <= ex["p60"]
