@@ -21,12 +21,15 @@ pure function of the data and the ``md5_60`` spec hash
   quantiles: value at rank ceil(p*m)) give reproducible approximate
   percentiles.
 
-Both run as a two-phase bounded top-k: a per-shuffle-partition prune to
-k rows FIRST (window over (group, spark_partition_id())), then the
-global per-group top-k over at most k * n_partitions survivors — so no
-single reducer ever sorts a full group. At 100 TB with 1e9 distinct
-keys per group, the final per-group sort input is 256 * shuffle
-partitions, not 1e9. Reference analog: the stats surface of
+Both run as a bounded top-k whose physical plan is two-phase: Spark's
+InferWindowGroupLimit rule (3.5+) turns the ``row_number() <= k``
+filter into a map-side ``WindowGroupLimit Partial`` BEFORE the
+exchange, so each input partition forwards at most k rows and no
+reducer ever sorts a full group — the plan shape a hand-written
+per-partition prune would produce, with one fewer shuffle (pinned by
+tests/test_sketches.py::test_kmv_plan_bounded_exchanges). At 100 TB
+with 1e9 distinct keys per group, the per-group reduce input is
+k * map partitions, not 1e9. Reference analog: the stats surface of
 `/root/reference/callysto/src/prelude.rs` agents computes running
 counts/aggregates per key; these sketches are the bounded-memory
 equivalents a 100 TB pipeline substitutes for exact distinct/quantile.
@@ -53,26 +56,19 @@ def spec_hash_sql(expr: str) -> str:
 
 
 def _bounded_topk(df: DataFrame, group: Sequence[str], order_col: str, k: int) -> DataFrame:
-    """Per-group k smallest rows by ``order_col``, two-phase.
+    """Per-group k smallest rows by ``order_col``.
 
-    Phase 1 prunes each shuffle partition to its local k smallest
-    (bounding the global phase's input at k * n_partitions); phase 2
-    ranks the survivors per group. Ties on ``order_col`` are broken
-    arbitrarily, which is deterministic *as a multiset*: the set of k
-    smallest VALUES is unique even when row identity at the boundary is
-    not, and every consumer aggregates over values only.
+    Declared as one window + filter; the optimizer's
+    InferWindowGroupLimit turns it into map-side Partial + reduce-side
+    Final group limits, so the exchange carries at most k rows per
+    (group, map partition) — the two-phase bounded shape, declaratively.
+    Ties on ``order_col`` are broken arbitrarily, which is deterministic
+    *as a multiset*: the set of k smallest VALUES is unique even when
+    row identity at the boundary is not, and every consumer aggregates
+    over values only.
     """
-    pruned = (
-        df.withColumn("__pid", F.spark_partition_id())
-        .withColumn(
-            "__lrn",
-            F.row_number().over(Window.partitionBy(*group, "__pid").orderBy(order_col)),
-        )
-        .filter(F.col("__lrn") <= k)
-        .drop("__pid", "__lrn")
-    )
     return (
-        pruned.withColumn(
+        df.withColumn(
             "__rn", F.row_number().over(Window.partitionBy(*group).orderBy(order_col))
         )
         .filter(F.col("__rn") <= k)

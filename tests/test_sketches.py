@@ -140,15 +140,21 @@ def test_bottom_k_sample_is_true_subset_and_bounded(spark, sf_dir):
 
 
 def test_kmv_plan_bounded_exchanges(spark, sf_dir):
-    """The two-phase bounded top-k must cost at most 3 exchanges
-    (distinct + partition-local prune + per-group rank) — the shape
-    that keeps a 1e9-distinct-keys group off a single reducer."""
+    """The bounded top-k must cost at most 2 exchanges (distinct +
+    per-group rank) AND the optimizer must turn the row_number<=k
+    filter into a map-side WindowGroupLimit Partial — the prune that
+    keeps a 1e9-distinct-keys group off a single reducer. If a Spark
+    upgrade ever drops InferWindowGroupLimit coverage here, this fails
+    and _bounded_topk needs an explicit per-partition prune again."""
     li = load(spark, sf_dir, "lineitem")["lineitem"]
     df = kmv_distinct(li, ["l_returnflag"], F.col("l_partkey").cast("string"), k=256)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_ex = plan.count("Exchange")
-    assert n_ex <= 4, f"{n_ex} exchanges:\n{plan}"
+    assert n_ex <= 2, f"{n_ex} exchanges:\n{plan}"
     assert "CollectLimit" not in plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan, (
+        f"map-side rank-limit pushdown missing:\n{plan}"
+    )
 
 
 def test_hll_gk_variant_error_bounds(spark, sf_dir):
@@ -175,3 +181,58 @@ def test_hll_gk_variant_error_bounds(spark, sf_dir):
         assert abs(r["approx_parts"] - ex["d"]) / ex["d"] < 0.05
         assert abs(r["hll_estimate"] - ex["d"]) / ex["d"] < 0.05
         assert ex["p40"] <= r["approx_median_price"] <= ex["p60"]
+
+
+def test_kmv_and_sample_match_pure_python_reference(spark, sf_dir):
+    """Third independent implementation (hashlib + the sketch
+    definitions, no Spark, no DuckDB): recompute the KMV estimate and
+    the bottom-k sample quantiles for the events table in pure Python
+    and require bit-identical agreement with the Spark operators — the
+    same triangulation the MinHash/SimHash/LSH pipeline carries."""
+    import hashlib
+    import math
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    e = load(spark, sf_dir, "events")["events"]
+    rows = e.select("event_type", "event_id", "user_id", "value").collect()
+
+    # --- KMV distinct users per type (k=256) ---
+    by_type: dict[str, set[int]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], set()).add(h60(str(r["user_id"])))
+    expect_kmv = {}
+    for t, hs in by_type.items():
+        top = sorted(hs)[:256]
+        if len(top) < 256:
+            expect_kmv[t] = len(top)
+        else:
+            expect_kmv[t] = math.floor(255 * HASH_SPACE / top[-1])
+    got = kmv_distinct(
+        e, ["event_type"], F.col("user_id").cast("string"), k=256, out="u"
+    ).collect()
+    assert {r["event_type"]: r["u"] for r in got} == expect_kmv
+
+    # --- bottom-1024 sample p50/p90 per type ---
+    samp_by_type: dict[str, list[tuple[int, float]]] = {}
+    for r in rows:
+        samp_by_type.setdefault(r["event_type"], []).append(
+            (h60(str(r["event_id"])), r["value"])
+        )
+    expect_q = {}
+    for t, hv in samp_by_type.items():
+        vals = sorted(v for _, v in sorted(hv)[:1024])
+        m = len(vals)
+        expect_q[t] = (
+            vals[(1 * m + 1) // 2 - 1],  # ceil(m/2)-th, 1-indexed
+            vals[(9 * m + 9) // 10 - 1],
+        )
+    samp = bottom_k_sample(
+        e.select("event_type", "event_id", "value"),
+        ["event_type"],
+        F.col("event_id").cast("string"),
+        k=1024,
+    )
+    q = type1_quantiles(samp, ["event_type"], "value", [("p50", 1, 2), ("p90", 9, 10)])
+    assert {r["event_type"]: (r["p50"], r["p90"]) for r in q.collect()} == expect_q
