@@ -35,8 +35,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL for every SQL-expressible query; engine-specific
-    ops (HLL sketches and other engine-specific state) are omitted →
-    rows-only check; the MinHash/SimHash/LSH queries run on the portable
-    md5_60 spec hash and ARE fully oracle-checked."""
+    """DuckDB oracle SQL for EVERY registered query (85/85 since round
+    6): MinHash/SimHash/LSH run on the portable md5_60 spec hash, and
+    the approximate-aggregate queries run on spec-defined KMV /
+    bottom-k-sample sketches (operators/sketches.py), so no query is
+    rows-only — every one is hash-checked against DuckDB."""
     return {name: q.oracle for name, q in load_all().items() if q.oracle is not None}

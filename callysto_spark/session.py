@@ -49,6 +49,12 @@ def get_spark(
         # reader rejects; read ns as long (callysto_spark.tables.load
         # converts back to µs timestamps).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferWindowGroupLimit skips row_number()<=k filters with
+        # k above this threshold (default 1000); the bounded top-k
+        # sketches (operators/sketches.py) use k up to a few thousand
+        # and depend on the map-side prune, so raise it well past any
+        # sketch size while still far below a partition's row count.
+        .config("spark.sql.optimizer.windowGroupLimitThreshold", str(64 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))

@@ -213,3 +213,27 @@ def test_supplier_daily_running_single_exchange(spark, sf_dir):
     docstring)."""
     df = q("supplier_daily_running", spark, sf_dir)
     assert exchange_count(df) <= 1, "agg+window should share the suppkey exchange"
+
+
+def test_quantile_sketch_plan_broadcasts_and_bounds(spark, sf_dir):
+    """events_value_quantile_sketch joins three tiny per-group branches
+    (quantiles / KMV users / counts): both joins must broadcast (never
+    SMJ — each side is ≤ n_groups rows), and BOTH sketch branches must
+    carry map-side WindowGroupLimit prunes (Partial + Final each) so no
+    exchange ships more than k rows per map partition. The sample
+    branch's k=1024 exceeds Spark's default windowGroupLimitThreshold
+    of 1000 — session.py raises it; this test pins that the conf stays
+    effective."""
+    import re
+
+    df = q("events_value_quantile_sketch", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    tree = [l for l in plan.splitlines()]
+    n_bhj = sum(1 for l in tree if "BroadcastHashJoin [" in l)
+    n_wgl = len(re.findall(r"WindowGroupLimit \[", plan))
+    assert n_bhj == 2, f"{n_bhj} broadcast joins:\n{plan}"
+    assert "SortMergeJoin" not in plan, plan
+    assert n_wgl == 4, (
+        f"expected Partial+Final rank-limit prunes in both sketch "
+        f"branches, found {n_wgl}:\n{plan}"
+    )
