@@ -79,21 +79,25 @@ def load_all() -> dict[str, Query]:
 
     The remaining ~30-slot window rotates round-by-round so no query's
     driver row ages more than ~2 rounds: r1-r3 sampled
-    arrays/messages/events/tpch head; r4 rotated to the tpch2/3/4 tail;
-    r5 rotated back to the 30 head queries whose last driver row
-    predated the round-4 loader timestamp change. r6 promotes (a) the
-    three queries that JUST became oracle-checkable — the two sketch
-    queries converted from engine-specific HLL/GK to spec-defined
+    arrays/messages/events/tpch head; r4 rotated to the tpch2/3/4 tail
+    (all green in CORRECTNESS_r04). r5 (THIS round's driver run, at the
+    end of the round, against the registry order as committed) rotates
+    (a) the three queries that JUST became oracle-checkable — the two
+    sketch queries converted from engine-specific HLL/GK to spec-defined
     KMV/bottom-k sketches, and raw_message_decode_stats, whose
     partition/offset/JSON-roundtrip synthesis turned out to be fully
     DuckDB-expressible — none of which has EVER had a hash-checked
-    driver row, plus (b) the tpch2/3/4 tail, whose rows are r4 (two
-    rounds stale again after r5's head rotation). Left out, by coverage
-    elsewhere: the four bench-headline queries the per-round bench
-    already executes on the current loader (events_sessionize,
-    events_asof_purchase_click, supplier_daily_running, part_type_topk)
-    and price_quartiles_by_segment (r4-green; exact-percentile pytest
-    oracle at tests/test_oracle.py).
+    driver row, plus (b) the head queries whose last driver row predates
+    the round-4 loader timestamp change (events_*, q5/q6,
+    rollup/cube/grouping-sets/pivot, arrays/JSON, avro/raw-message
+    decode). r6 rotates back to the tpch2/3/4 tail (r4 rows, two rounds
+    stale by then). Left out of r5, by coverage elsewhere: the
+    bench-headline queries the per-round bench already executes on the
+    current loader (events_sessionize, events_asof_purchase_click,
+    supplier_daily_running, part_type_topk, q1_pricing_summary,
+    q3_shipping_priority — q1/q3 also hash-green three consecutive
+    rounds r1-r3) and price_quartiles_by_segment (r4-green;
+    exact-percentile pytest oracle at tests/test_oracle.py).
     """
     from callysto_spark.queries import llm_ops, tpch2, tpch3, tpch4, events, arrays, messages, tpch  # noqa: F401
 
@@ -102,38 +106,39 @@ def load_all() -> dict[str, Query]:
         "approx_distinct_parts",
         "events_value_quantile_sketch",
         "raw_message_decode_stats",
-        # tpch2/3/4 tail — last driver row r4:
-        "left_join_customer_orders",
-        "full_outer_nation_activity",
-        "q4_priority_with_discounted_lines",
-        "q17_small_quantity_revenue",
-        "q18_large_orders",
-        "q19_bracket_revenue",
-        "scalar_subquery_vs_max",
-        "suppliers_many_parts",
-        "orders_price_range_frame",
-        "null_handling_funcs",
-        "q7_bilateral_volume",
-        "q10_returned_items",
-        "q12_priority_by_bracket",
-        "q14_promo_share",
-        "q22_idle_rich_customers",
-        "setop_all_variants",
-        "shipping_delay_histogram",
-        "string_normalize_parts",
-        "argmax_order_per_nation",
-        "token_positions",
-        "q8_market_share",
-        "q9_profit_by_nation_year",
-        "q13_customer_order_distribution",
-        "q15_top_supplier",
-        "q2_cheapest_supplier",
-        "q11_important_parts",
-        "q21_waiting_suppliers",
+        # head queries — last driver row predates the r4 loader change:
+        "events_json_kv",
+        "events_type_stats",
+        "events_hourly_tumbling",
+        "events_sliding_1h_30m",
+        "events_dedup_latest",
+        "user_spend_deciles",
+        "events_interval_join_clicks",
+        "events_user_salted_counts",
+        "events_changelog_materialize",
+        "user_event_type_sets",
+        "token_top20",
+        "embedding_array_stats",
+        "user_type_count_map",
+        "avro_roundtrip_stats",
+        "q5_supplier_volume",
+        "q6_forecast_revenue",
+        "top3_orders_per_customer",
+        "rollup_revenue",
+        "cube_status_priority",
+        "grouping_sets_order_stats",
+        "setop_customers_96_97",
+        "semi_anti_customers",
+        "case_bucket_orders",
+        "order_month_stats",
+        "pivot_linestatus",
+        "string_funcs_parts",
+        "distinct_counts_by_flag",
     ]
     assert len(promoted) == 30, f"window is 20+30; got {len(promoted)} promoted"
     # customer_balance_distribution waits for r7 (r4-green with an exact
-    # pytest oracle; first to promote next round).
+    # pytest oracle; first to promote next round, alongside the tpch
+    # tail whose rows will then be two rounds stale).
     missing = [n for n in promoted if n not in REGISTRY]
     assert not missing, f"promoted queries not in registry: {missing}"
     names = list(REGISTRY)
