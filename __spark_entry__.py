@@ -36,7 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL for EVERY registered query (85/85 since round
-    6): MinHash/SimHash/LSH run on the portable md5_60 spec hash, and
+    5): MinHash/SimHash/LSH run on the portable md5_60 spec hash, and
     the approximate-aggregate queries run on spec-defined KMV /
     bottom-k-sample sketches (operators/sketches.py), so no query is
     rows-only — every one is hash-checked against DuckDB."""

@@ -48,6 +48,12 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     ``spark.sql`` queries always see the most recently loaded sf.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The sketches' bounded top-k relies on InferWindowGroupLimit, which
+    # skips row_number()<=k filters with k above this threshold (default
+    # 1000 < the k=1024 sample branch). get_spark sets it at build time,
+    # but the correctness driver hands us ITS OWN plain session — it is a
+    # runtime SQL conf, so raise it here where every query path passes.
+    spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", str(64 * 1024))
     cache: dict = spark.__dict__.setdefault("_callysto_table_cache", {})
     views: dict = spark.__dict__.setdefault("_callysto_view_owner", {})
     out: dict[str, DataFrame] = {}

@@ -124,3 +124,17 @@ def test_bigint_epoch_unit_inference_null_first_row(tmp_path):
     rows = {r["event_id"]: r["ts"] for r in load(spark, str(d), "events")["events"].collect()}
     assert rows[1] is None
     assert rows[2].replace(tzinfo=None) == want
+
+
+def test_load_raises_window_group_limit_threshold_on_foreign_session(spark):
+    """The correctness driver runs queries on its OWN plain session, not
+    get_spark's. load() must raise windowGroupLimitThreshold there too,
+    or the sketches' k=1024 bounded top-k ships unpruned exchanges
+    (InferWindowGroupLimit skips k above the threshold, default 1000)."""
+    key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    spark.conf.set(key, "1000")  # simulate a session without engine confs
+    try:
+        load(spark, SF_A, "region")
+        assert int(spark.conf.get(key)) >= 64 * 1024
+    finally:
+        spark.conf.set(key, str(64 * 1024))
