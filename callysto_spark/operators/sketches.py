@@ -95,7 +95,16 @@ def kmv_distinct(
     one FP divide, one floor, so any engine hashing the same key set
     lands on the same integer. Relative error ~ 1/sqrt(k-2) (6.3% at
     k=256).
+
+    Only ``md5_60`` is accepted: the estimator divides by the hash
+    range's upper bound (2^60), so a full-signed-range engine like
+    ``xxhash64`` would silently yield negative or astronomically wrong
+    estimates (h_k near 0 or below it).
     """
+    if hash_engine != "md5_60":
+        raise ValueError(
+            f"kmv_distinct requires the bounded-range md5_60 hash; got {hash_engine!r}"
+        )
     dh = df.select(*group, string_hash(key, hash_engine).alias("__h")).distinct()
     topk = _bounded_topk(dh, group, "__h", k)
     kth = F.max("__h")

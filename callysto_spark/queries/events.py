@@ -339,7 +339,7 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k=256, the twin of approx_count_distinct), and an exact row count.
     Was rows-only when built on GK/HLL++ (engine-specific boundary
     choices); pytest pins sample-quantile error vs the exact
-    percentiles (tests/test_relational.py). Exact-percentile twin:
+    percentiles (tests/test_sketches.py). Exact-percentile twin:
     price_quartiles_by_segment."""
     from callysto_spark.operators.sketches import (
         bottom_k_sample,

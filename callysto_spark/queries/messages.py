@@ -43,7 +43,13 @@ def raw_messages(spark: SparkSession, sf_dir: str, partitions: int = 4) -> DataF
         F.col("ts").alias("timestamp"),
         F.col("event_id"),
     )
-    w = Window.partitionBy("partition").orderBy("timestamp", "event_id")
+    # NULLS FIRST explicitly: Spark's ascending default, but pinned so
+    # the oracle SQL (which must say NULLS FIRST — DuckDB defaults to
+    # NULLS LAST) and this window can never silently disagree on a
+    # future events table that carries a NULL ts.
+    w = Window.partitionBy("partition").orderBy(
+        F.col("timestamp").asc_nulls_first(), F.col("event_id").asc_nulls_first()
+    )
     return msg.withColumn("offset", F.row_number().over(w).cast("long") - 1).drop("event_id")
 
 
@@ -84,8 +90,9 @@ def avro_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "raw_message_decode_stats",
     oracle="""
 WITH seq AS (
-  SELECT CAST(user_id % 4 AS INT) AS part, event_type, user_id,
-         row_number() OVER (PARTITION BY user_id % 4 ORDER BY ts, event_id) - 1
+  SELECT CAST(((user_id % 4) + 4) % 4 AS INT) AS part, event_type, user_id,
+         row_number() OVER (PARTITION BY ((user_id % 4) + 4) % 4
+                            ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) - 1
            AS offs
   FROM events
 )

@@ -543,7 +543,7 @@ def approx_distinct_parts_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     GK percentile_approx, and a mergeable DataSketches HLL union — the
     right tools at 100 TB, but engine-specific outputs no other engine
     can recompute, so this runs under pytest error bounds
-    (tests/test_relational.py) rather than the registry's hash gate."""
+    (tests/test_sketches.py) rather than the registry's hash gate."""
     li = load(spark, sf_dir, "lineitem")["lineitem"]
     agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),

@@ -53,7 +53,10 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     # 1000 < the k=1024 sample branch). get_spark sets it at build time,
     # but the correctness driver hands us ITS OWN plain session — it is a
     # runtime SQL conf, so raise it here where every query path passes.
-    spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", str(64 * 1024))
+    # Raise-only: a user who set it even higher keeps their value.
+    _wgl_key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    if int(spark.conf.get(_wgl_key, "1000")) < 64 * 1024:
+        spark.conf.set(_wgl_key, str(64 * 1024))
     cache: dict = spark.__dict__.setdefault("_callysto_table_cache", {})
     views: dict = spark.__dict__.setdefault("_callysto_view_owner", {})
     out: dict[str, DataFrame] = {}

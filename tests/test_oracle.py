@@ -160,3 +160,47 @@ def test_load_all_idempotent_and_windowed():
     head = first[:50]
     missing = [n for n in first if n.startswith(("doc_", "emb_")) and n not in head]
     assert not missing, f"north-star queries fell out of the sampled window: {missing}"
+
+
+def test_raw_message_oracle_agrees_on_null_ts_and_negative_user_id(spark, tmp_path):
+    """The pinned testdata has no NULL ts and no negative user_id, so the
+    driver gate alone would never catch a NULLS FIRST/LAST or %-vs-pmod
+    divergence between raw_message_decode_stats and its oracle. Plant
+    both hazards in a synthetic events table and require bit-exact
+    cross-engine agreement."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, None, -7, "click", 1.5, "{}"),          # NULL ts, negative user
+        (2, datetime(2026, 1, 1, 0, 0, 1), -7, "click", 2.5, "{}"),
+        (3, datetime(2026, 1, 1, 0, 0, 2), 3, "view", 0.5, "{}"),
+        (4, None, 3, "view", 4.0, "{}"),            # second NULL ts
+        (5, datetime(2026, 1, 1, 0, 0, 3), -2, "click", 1.0, "{}"),
+        (6, datetime(2026, 1, 1, 0, 0, 1), 6, "view", 9.0, "{}"),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    q = REGISTRY["raw_message_decode_stats"]
+    got = sorted(tuple(r) for r in q.fn(spark, str(tmp_path)).collect())
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    con.close()
+    assert got == want, f"spark={got}\noracle={want}"

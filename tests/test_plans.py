@@ -228,8 +228,7 @@ def test_quantile_sketch_plan_broadcasts_and_bounds(spark, sf_dir):
 
     df = q("events_value_quantile_sketch", spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    tree = [l for l in plan.splitlines()]
-    n_bhj = sum(1 for l in tree if "BroadcastHashJoin [" in l)
+    n_bhj = sum(1 for l in plan.splitlines() if "BroadcastHashJoin [" in l)
     n_wgl = len(re.findall(r"WindowGroupLimit \[", plan))
     assert n_bhj == 2, f"{n_bhj} broadcast joins:\n{plan}"
     assert "SortMergeJoin" not in plan, plan

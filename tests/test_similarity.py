@@ -96,7 +96,7 @@ def test_ivf_scoring_scales_to_large_k(spark, sf_dir):
     build = time.perf_counter() - t0
     print(f"k=256 expr plan build+analysis: {build:.2f}s (advisory)")
     # STRUCTURAL constant-size-in-k check (wall-clock bounds flake under
-    # suite-wide JVM contention — this one did in round 6's baseline
+    # suite-wide JVM contention — this one did in round 5's baseline
     # run): the centroids ride in ONE 2-D array literal, so the k=256
     # analyzed plan must have the same node count as k=2's.
     small = ivf_assign(e, "vec_id", "embedding", cents[:2])
