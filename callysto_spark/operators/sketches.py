@@ -55,21 +55,34 @@ def spec_hash_sql(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
 
 
-def _bounded_topk(df: DataFrame, group: Sequence[str], order_col: str, k: int) -> DataFrame:
-    """Per-group k smallest rows by ``order_col``.
+def _bounded_topk(
+    df: DataFrame,
+    group: Sequence[str],
+    order_col: str,
+    k: int,
+    tiebreak: Sequence[Column] = (),
+) -> DataFrame:
+    """Per-group k smallest rows by ``order_col`` (then ``tiebreak``).
 
     Declared as one window + filter; the optimizer's
     InferWindowGroupLimit turns it into map-side Partial + reduce-side
     Final group limits, so the exchange carries at most k rows per
     (group, map partition) — the two-phase bounded shape, declaratively.
-    Ties on ``order_col`` are broken arbitrarily, which is deterministic
-    *as a multiset*: the set of k smallest VALUES is unique even when
-    row identity at the boundary is not, and every consumer aggregates
-    over values only.
+
+    Callers must pre-filter NULL ``order_col`` rows: engines disagree on
+    default NULL placement (Spark windows NULLS FIRST, DuckDB ORDER BY
+    NULLS LAST), so a NULL reaching the ranking would silently diverge
+    from a SQL oracle. Ties on ``order_col`` fall to ``tiebreak``; when
+    none is given the k-th boundary row is engine-arbitrary, which is
+    safe only when consumers aggregate ``order_col`` itself over a
+    tie-free (e.g. distinct) input — kmv_distinct's case. Consumers of
+    OTHER row columns (bottom_k_sample feeding quantiles) must pass a
+    total-order tiebreak so the surviving row set is unique.
     """
+    order = [F.col(order_col).asc(), *tiebreak]
     return (
         df.withColumn(
-            "__rn", F.row_number().over(Window.partitionBy(*group).orderBy(order_col))
+            "__rn", F.row_number().over(Window.partitionBy(*group).orderBy(*order))
         )
         .filter(F.col("__rn") <= k)
         .drop("__rn")
@@ -100,12 +113,20 @@ def kmv_distinct(
     range's upper bound (2^60), so a full-signed-range engine like
     ``xxhash64`` would silently yield negative or astronomically wrong
     estimates (h_k near 0 or below it).
+
+    NULL keys are ignored — ``count(DISTINCT key)`` semantics, and the
+    cross-engine-safe choice (a NULL hash would rank NULLS FIRST in a
+    Spark window but NULLS LAST in a DuckDB ORDER BY).
     """
     if hash_engine != "md5_60":
         raise ValueError(
             f"kmv_distinct requires the bounded-range md5_60 hash; got {hash_engine!r}"
         )
-    dh = df.select(*group, string_hash(key, hash_engine).alias("__h")).distinct()
+    dh = (
+        df.select(*group, string_hash(key, hash_engine).alias("__h"))
+        .filter(F.col("__h").isNotNull())
+        .distinct()
+    )
     topk = _bounded_topk(dh, group, "__h", k)
     kth = F.max("__h")
     est = F.when(F.count(F.lit(1)) < k, F.count(F.lit(1))).otherwise(
@@ -128,6 +149,7 @@ def kmv_distinct_sql(
     return f"""
 WITH __dh AS (
   SELECT DISTINCT {group_cols}, {spec_hash_sql(key_expr)} AS __h FROM {src}
+  WHERE ({key_expr}) IS NOT NULL
 ), __ranked AS (
   SELECT {group_cols}, __h,
          row_number() OVER (PARTITION BY {group_cols} ORDER BY __h) AS __rn
@@ -153,11 +175,17 @@ def bottom_k_sample(
 ) -> DataFrame:
     """Deterministic uniform sample: the k rows per group whose
     ``key``-hash is smallest. ``key`` must be row-unique (e.g. a
-    primary key) so the hash order is a total order and both engines
-    select the identical row set. Adds column ``__h`` (the sample
-    ranks by it); caller drops it."""
-    withh = df.withColumn("__h", string_hash(key, hash_engine))
-    return _bounded_topk(withh, group, "__h", k)
+    primary key); ties on the 60-bit hash (rare but expected at 1e9+
+    keys) are broken by the key itself, so the surviving row SET is a
+    pure function of the data even when a collision straddles the
+    rank-k boundary. NULL keys are excluded (engines disagree on NULL
+    placement in rankings, and a NULL key breaks the row-uniqueness
+    contract anyway). Adds column ``__h`` (the sample ranks by it);
+    caller drops it."""
+    withh = df.withColumn("__h", string_hash(key, hash_engine)).filter(
+        F.col("__h").isNotNull()
+    )
+    return _bounded_topk(withh, group, "__h", k, tiebreak=[key.asc()])
 
 
 def type1_quantiles(
@@ -172,11 +200,16 @@ def type1_quantiles(
     row count). Selection, not arithmetic — the output is always an
     actual data value, so engines agree bit-for-bit. The integer-ceil
     rank floor((num*m + den - 1)/den) keeps the rank computation out
-    of decimal-vs-double literal territory."""
+    of decimal-vs-double literal territory. NULL values are excluded
+    before ranking (SQL percentile convention — and Spark would rank
+    them NULLS FIRST where DuckDB ranks NULLS LAST, shifting every
+    rank); m counts non-null values only."""
     w = Window.partitionBy(*group)
-    ranked = sampled.withColumn(
-        "__vrn", F.row_number().over(w.orderBy(value_col))
-    ).withColumn("__m", F.count(F.lit(1)).over(w))
+    ranked = (
+        sampled.filter(F.col(value_col).isNotNull())
+        .withColumn("__vrn", F.row_number().over(w.orderBy(value_col)))
+        .withColumn("__m", F.count(F.lit(1)).over(w))
+    )
     aggs = [
         F.max(
             F.when(

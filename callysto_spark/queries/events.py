@@ -288,48 +288,49 @@ def events_user_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count(e, ["user_id"], salt=16)
 
 
-@register(
-    "events_value_quantile_sketch",
-    oracle="""
+def _quantile_sketch_oracle() -> str:
+    """Composed from the SAME spec helpers the Spark side uses
+    (operators/sketches.py spec_hash_sql / kmv_distinct_sql), so a
+    future change to the spec hash or KMV estimator cannot leave this
+    oracle silently stale. NULL handling and tie-breaks mirror the
+    operators exactly: NULL sample keys excluded before ranking, hash
+    ties broken by the key itself, NULL values excluded before the
+    quantile ranking (m counts non-null only), NULL users ignored by
+    the KMV sketch."""
+    from callysto_spark.operators.sketches import kmv_distinct_sql, spec_hash_sql
+
+    key = "CAST(event_id AS VARCHAR)"
+    kmv = kmv_distinct_sql("events", "event_type", "CAST(user_id AS VARCHAR)", k=256, out="kmv_users")
+    return f"""
 WITH hs AS (
   SELECT event_type, value,
          row_number() OVER (PARTITION BY event_type
-             ORDER BY CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)
+             ORDER BY {spec_hash_sql(key)}, {key}
          ) AS hrn
-  FROM events
+  FROM events WHERE event_id IS NOT NULL
 ), ranked AS (
   SELECT event_type, value,
          row_number() OVER (PARTITION BY event_type ORDER BY value) AS vrn,
          count(*) OVER (PARTITION BY event_type) AS m
-  FROM hs WHERE hrn <= 1024
+  FROM hs WHERE hrn <= 1024 AND value IS NOT NULL
 ), q AS (
   SELECT event_type,
          max(CASE WHEN vrn = floor((m + 1) / 2) THEN value END) AS p50,
          max(CASE WHEN vrn = floor((9 * m + 9) / 10) THEN value END) AS p90,
          max(CASE WHEN vrn = floor((99 * m + 99) / 100) THEN value END) AS p99
   FROM ranked GROUP BY event_type
-), uh AS (
-  SELECT DISTINCT event_type,
-         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
-  FROM events
-), ur AS (
-  SELECT event_type, h,
-         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
-  FROM uh
 ), u AS (
-  SELECT event_type,
-         CAST(CASE WHEN count(*) < 256 THEN count(*)
-                   ELSE floor(255.0 * 1152921504606846976 / max(h)) END AS BIGINT)
-           AS kmv_users
-  FROM ur WHERE rn <= 256 GROUP BY event_type
+  SELECT event_type, kmv_users FROM ({kmv})
 ), c AS (
   SELECT event_type, count(*) AS n FROM events GROUP BY event_type
 )
 SELECT q.event_type, p50, p90, p99, kmv_users, n
 FROM q JOIN u USING (event_type) JOIN c USING (event_type)
 ORDER BY event_type
-""",
-)
+"""
+
+
+@register("events_value_quantile_sketch", oracle=_quantile_sketch_oracle())
 def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-family aggregates per event type, on spec-defined sketches
     (operators/sketches.py) so every output is hash-checkable: p50/p90/

@@ -246,3 +246,76 @@ def test_kmv_rejects_full_range_hash_engines(spark):
     df = spark.range(10).select(F.col("id").cast("string").alias("k"))
     with pytest.raises(ValueError, match="md5_60"):
         kmv_distinct(df, [], F.col("k"), k=4, hash_engine="xxhash64")
+
+
+def test_sketch_oracle_agrees_on_null_hazards(spark, tmp_path):
+    """The pinned testdata has no NULL event_id/user_id/value, so the
+    driver gate alone would never catch a NULLS FIRST/LAST divergence
+    between the sketch operators (Spark windows rank NULLS FIRST) and
+    their oracle (DuckDB ORDER BY ranks NULLS LAST). Plant all three
+    NULL hazards in a synthetic events table and require bit-exact
+    cross-engine agreement on the full registry query."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from callysto_spark.queries import load_all
+
+    rows = [
+        # (event_id, user_id, event_type, value)
+        (None, 1, "click", 5.0),    # NULL sample key
+        (2, None, "click", 1.0),    # NULL user (KMV key)
+        (3, 1, "click", None),      # NULL value in the sample
+        (4, 2, "click", 30.0),
+        (5, 2, "click", 70.0),
+        (6, 3, "click", 40.0),
+        (7, 3, "view", 9.0),
+        (8, None, "view", None),    # NULL user AND value
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [datetime(2026, 1, 1, 0, 0, i) for i in range(len(rows))],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    q = load_all()["events_value_quantile_sketch"]
+    got = sorted(tuple(r) for r in q.fn(spark, str(tmp_path)).collect())
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    con.close()
+    assert got == want, f"spark={got}\noracle={want}"
+    # the NULL rows must be excluded, not ranked: 'click' has 4 non-null
+    # sampled values, 'view' has 1
+    by_type = {r[0]: r for r in got}
+    assert by_type["click"][4] == 3  # kmv_users: NULL user ignored
+    assert by_type["view"][1] == 9.0  # p50 of the single non-null value
+
+
+def test_bounded_topk_tiebreak_is_total_order(spark):
+    """A hash tie straddling the rank-k boundary must not let physical
+    row order pick the survivor: with a tiebreak, the surviving row SET
+    is a pure function of the data."""
+    import pandas as pd
+
+    # three rows tie on h=5 at the k=2 boundary; tiebreak column decides
+    pdf = pd.DataFrame(
+        {"g": ["a"] * 4, "h": [1, 5, 5, 5], "t": ["z", "c", "b", "d"]}
+    )
+    for _ in range(3):  # repartition shuffles physical order between runs
+        df = spark.createDataFrame(pdf).repartition(5)
+        out = _bounded_topk(df, ["g"], "h", 2, tiebreak=[F.col("t").asc()])
+        assert sorted((r["h"], r["t"]) for r in out.collect()) == [(1, "z"), (5, "b")]
