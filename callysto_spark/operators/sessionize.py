@@ -21,7 +21,13 @@ def sessionize(
     ``gap_seconds`` between consecutive events starts a new session.
     ``ts`` ordering must be made total by event uniqueness per (key, ts);
     equal timestamps fall in the same session either way.
+
+    Rows with a NULL ``ts`` are dropped: an untimed event has no place
+    in a gap-based timeline, and ranking it instead would diverge
+    between engines (Spark windows put NULLS FIRST where DuckDB puts
+    them LAST) AND poison the lag-gap of every later event in the key.
     """
+    df = df.filter(F.col(ts).isNotNull())
     w = Window.partitionBy(key).orderBy(F.col(ts))
     # TIMESTAMP_NTZ has no direct →long cast; bouncing through timestamp
     # is identity for LTZ input and instant-preserving for NTZ under a

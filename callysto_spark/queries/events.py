@@ -118,6 +118,7 @@ WITH g AS (
                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
               THEN 1 ELSE 0 END AS brk
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), s AS (
   SELECT user_id, ts, value,

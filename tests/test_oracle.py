@@ -204,3 +204,49 @@ def test_raw_message_oracle_agrees_on_null_ts_and_negative_user_id(spark, tmp_pa
     want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
     con.close()
     assert got == want, f"spark={got}\noracle={want}"
+
+
+def test_sessionize_oracle_agrees_on_null_ts(spark, tmp_path):
+    """A NULL ts must be dropped by sessionize on BOTH sides — ranked
+    instead, it would sort NULLS FIRST in Spark but NULLS LAST in
+    DuckDB and poison every later lag-gap in the key. Plant NULL ts
+    rows and require bit-exact cross-engine agreement."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    rows = [
+        # (event_id, ts, user_id): user 1 has a NULL between two sessions
+        (1, datetime(2026, 1, 1, 0, 0, 0), 1),
+        (2, None, 1),
+        (3, datetime(2026, 1, 1, 2, 0, 0), 1),   # > 30 min after #1: new session
+        (4, datetime(2026, 1, 1, 2, 10, 0), 1),  # same session as #3
+        (5, None, 2),                             # user 2: ONLY null ts -> absent
+        (6, datetime(2026, 1, 1, 5, 0, 0), 3),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    q = REGISTRY["events_sessionize"]
+    got = sorted(tuple(r) for r in q.fn(spark, str(tmp_path)).collect())
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    con.close()
+    assert got == want, f"spark={got}\noracle={want}"
+    users = {r[0] for r in got}
+    assert users == {1, 3}, "null-only user must vanish, timed users remain"
+    assert sum(r[2] for r in got if r[0] == 1) == 3, "user 1 keeps 3 timed events"
