@@ -35,8 +35,16 @@ def asof_join(
     Ties on the right side at equal ``right_ts`` resolve by the LAST row
     in ``right_cols`` order-of-union — callers needing total determinism
     should pre-dedup the right side to one row per (key, ts).
+
+    NULL timestamps follow SQL ASOF JOIN semantics (a comparison with
+    NULL matches nothing): right rows with NULL ``right_ts`` are dropped
+    — ranked instead, Spark's NULLS FIRST would make an untimed right
+    row the "earliest known state" for the whole key — and left rows
+    with NULL ``left_ts`` are kept with NULL attachments (they sort
+    before every timed right row, so ``last(ignorenulls)`` sees none).
     """
     right_cols = list(right_cols or [c for c in right.columns if c not in on and c != right_ts])
+    right = right.filter(F.col(right_ts).isNotNull())
 
     lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
     rt = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))

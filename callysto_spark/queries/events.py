@@ -177,8 +177,15 @@ WITH clicks AS (
 ),
 p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
 SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id, c.click_ts
-FROM p ASOF LEFT JOIN clicks c
+FROM (SELECT * FROM p WHERE ts IS NOT NULL) p ASOF LEFT JOIN clicks c
   ON p.user_id = c.user_id AND c.click_ts < p.ts
+UNION ALL
+-- strict-SQL NULL semantics, pinned: a NULL-ts purchase matches nothing
+-- (DuckDB's sort-merge ASOF would instead hand it the key's LATEST
+-- click — c.click_ts < NULL never holds, so we carve these rows out)
+SELECT event_id, user_id, ts, value,
+       CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS TIMESTAMP) AS click_ts
+FROM p WHERE ts IS NULL
 """,
     bench=True,
 )

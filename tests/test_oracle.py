@@ -250,3 +250,48 @@ def test_sessionize_oracle_agrees_on_null_ts(spark, tmp_path):
     users = {r[0] for r in got}
     assert users == {1, 3}, "null-only user must vanish, timed users remain"
     assert sum(r[2] for r in got if r[0] == 1) == 3, "user 1 keeps 3 timed events"
+
+
+def test_asof_oracle_agrees_on_null_ts(spark, tmp_path):
+    """SQL ASOF JOIN semantics for NULLs: a NULL-ts click must match
+    nothing (ranked instead, Spark's NULLS FIRST would make it the
+    'earliest known state' for the whole user), and a NULL-ts purchase
+    is kept with NULL attachments. Plant both and require bit-exact
+    cross-engine agreement."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    rows = [
+        # (event_id, ts, user_id, event_type)
+        (1, None, 1, "click"),                          # NULL-ts click: matches nothing
+        (2, datetime(2026, 1, 1, 1, 0, 0), 1, "purchase"),  # before any timed click
+        (3, datetime(2026, 1, 1, 2, 0, 0), 1, "click"),
+        (4, datetime(2026, 1, 1, 3, 0, 0), 1, "purchase"),  # matches click #3
+        (5, None, 1, "purchase"),                       # NULL-ts purchase: kept, no match
+        (6, datetime(2026, 1, 1, 4, 0, 0), 2, "purchase"),  # user 2: no clicks at all
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    q = REGISTRY["events_asof_purchase_click"]
+    got = sorted(map(str, (tuple(r) for r in q.fn(spark, str(tmp_path)).collect())))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = sorted(map(str, (tuple(r) for r in con.execute(q.oracle).fetchall())))
+    con.close()
+    assert got == want, f"spark={got}\noracle={want}"
+    assert len(got) == 4, "all four purchases kept (LEFT semantics)"
