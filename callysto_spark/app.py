@@ -36,6 +36,30 @@ from callysto_spark.session import get_spark
 from callysto_spark.sources import SourceSpec
 
 
+def _as_foreach_batch(sink: Callable) -> Callable[[DataFrame, int], None]:
+    """Adapt a user sink to Spark's ``foreachBatch(df, batch_id)`` shape.
+
+    Sinks come in two arities: plain ``f(df)`` writers and
+    ``f(df, batch_id)`` writers (the exactly-once wrappers in
+    sinks/exactly_once.py NEED the batch id — it is their replay-dedup
+    key, so dropping it would silently void the idempotency contract).
+    Inspect once at wiring time, not per batch."""
+    import inspect
+
+    try:
+        params = list(inspect.signature(sink).parameters.values())
+    except (TypeError, ValueError):  # builtins/partials without signatures
+        return lambda b, i: sink(b)
+    positional = [
+        p for p in params
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+    ]
+    takes_id = len(positional) >= 2 or any(
+        p.kind == p.VAR_POSITIONAL for p in params
+    )
+    return (lambda b, i: sink(b, i)) if takes_id else (lambda b, i: sink(b))
+
+
 def _identifier(name: str) -> str:
     """Sanitize a name into a valid SQL view/query identifier."""
     import re
@@ -305,13 +329,21 @@ class App:
             sink = agent.options.get("sink")
             if sink is not None:
                 # durable sink → checkpoint recovery works across restarts
-                writer = writer.foreachBatch(lambda b, i, s=sink: s(b))
+                writer = writer.foreachBatch(_as_foreach_batch(sink))
+                ckpt = f"{self.checkpoint_root}/{agent.name}"
             else:
-                # memory sink: test convenience only (no checkpoint recovery)
+                # memory sink: test convenience only. Spark memory sinks
+                # (append/update mode) REFUSE checkpoint recovery, so a
+                # persistent location would make every rerun/auto-restart
+                # throw AnalysisException — use an ephemeral one instead
+                # (state starts fresh; that is the memory sink's contract).
+                import tempfile
+
                 writer = writer.format("memory")
+                ckpt = tempfile.mkdtemp(prefix=f"callysto_mem_{agent.name}_")
             q = (
                 writer.queryName(qname)
-                .option("checkpointLocation", f"{self.checkpoint_root}/{agent.name}")
+                .option("checkpointLocation", ckpt)
                 .trigger(**agent.options.get("trigger", {"availableNow": True}))
                 .start()
             )
@@ -345,17 +377,25 @@ class App:
                 df.createOrReplaceTempView(flow.collect_to)
             return
         if flow.collect_to:
+            # memory sink → ephemeral checkpoint (no recovery support;
+            # a persistent location would break every rerun)
+            import tempfile
+
             q = (
                 df.writeStream.outputMode("append")
                 .format("memory")
                 .queryName(flow.collect_to)
-                .option("checkpointLocation", f"{self.checkpoint_root}/{flow.name}")
+                .option(
+                    "checkpointLocation",
+                    tempfile.mkdtemp(prefix=f"callysto_mem_{flow.name}_"),
+                )
                 .trigger(availableNow=True)
                 .start()
             )
         else:
+            sink_fn = _as_foreach_batch(flow.sink) if flow.sink else (lambda b, i: None)
             q = (
-                df.writeStream.foreachBatch(lambda b, i: flow.sink(b) if flow.sink else None)
+                df.writeStream.foreachBatch(sink_fn)
                 .queryName(_identifier(f"{self.name}_{flow.name}"))
                 .option("checkpointLocation", f"{self.checkpoint_root}/{flow.name}")
                 .trigger(availableNow=True)
@@ -397,8 +437,15 @@ class App:
             self._threads.append(t)
         if await_termination:
             deadline = time.time() + timeout if timeout else None
-            for q in self._queries:
-                remaining = (deadline - time.time()) if deadline else None
+            # snapshot: the auto-restart monitor mutates self._queries
+            for q in list(self._queries):
+                if deadline is None:
+                    q.awaitTermination()
+                    continue
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break  # deadline expired while awaiting earlier queries
+                # pyspark rejects non-positive timeouts, hence the guard
                 q.awaitTermination(remaining)
 
     def enable_auto_restart(self, poll_seconds: float = 2.0, max_restarts: int = 3) -> None:
@@ -426,7 +473,10 @@ class App:
                     # (foreachBatch queries without an explicit queryName
                     # report name=None, which used to swallow failures).
                     name = self._query_owner.pop(str(q.id), None)
-                    self._queries.remove(q)
+                    try:
+                        self._queries.remove(q)
+                    except ValueError:
+                        pass  # stop()/stop_agent removed it concurrently
                     self._failures.append((name, str(exc)))
                     if name is None or name not in self._agents:
                         log.error("query %s failed with no restartable owner: %s", q.id, exc)

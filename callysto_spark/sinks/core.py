@@ -170,12 +170,25 @@ class JdbcSink(Sink):
                 .save()
             )
         except Exception as exc:
-            if self.engine == "auto" and (self.connection_factory or _psycopg2_available()):
+            # Fall back ONLY on missing-driver setup failures. A write
+            # that failed MID-INSERT (network drop, constraint violation)
+            # may have committed some partitions already; re-running the
+            # whole batch through psycopg2 would double-insert them, and
+            # a data error deserves to surface, not to be retried on a
+            # second code path.
+            missing_driver = "ClassNotFoundException" in str(exc) or "No suitable driver" in str(exc)
+            if (
+                self.engine == "auto"
+                and missing_driver
+                and (self.connection_factory or _psycopg2_available())
+            ):
                 return self._write_psycopg2(df)
-            raise RuntimeError(
-                "JDBC sink requires the database driver jar (e.g. postgresql.jar) "
-                "on the classpath, or the psycopg2 package for the jar-free engine"
-            ) from exc
+            if missing_driver:
+                raise RuntimeError(
+                    "JDBC sink requires the database driver jar (e.g. postgresql.jar) "
+                    "on the classpath, or the psycopg2 package for the jar-free engine"
+                ) from exc
+            raise
 
     # ----------------------------------------------------- psycopg2 path
     def _connect(self) -> Any:
@@ -276,7 +289,21 @@ class ElasticsearchSink(Sink):
                     data=("\n".join(buf) + "\n").encode(),
                     headers={"Content-Type": "application/x-ndjson"},
                 )
-                urllib.request.urlopen(req, timeout=30).read()
+                body = urllib.request.urlopen(req, timeout=30).read()
+                # _bulk returns HTTP 200 even when individual docs fail
+                # (mapping conflicts etc.) — swallowing the body would let
+                # the checkpoint commit offsets for documents ES dropped
+                resp = json.loads(body)
+                if resp.get("errors"):
+                    failed = [
+                        item["index"].get("error")
+                        for item in resp.get("items", [])
+                        if item.get("index", {}).get("error")
+                    ]
+                    raise RuntimeError(
+                        f"elasticsearch _bulk rejected {len(failed)} docs; "
+                        f"first errors: {failed[:3]}"
+                    )
                 buf.clear()
 
             for row in rows:

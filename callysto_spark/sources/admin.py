@@ -77,6 +77,11 @@ def declare_topic(spec: TopicSpec, bootstrap_servers: str = "localhost:9092") ->
             admin.create_topics(
                 [KNewTopic(spec.name, spec.partitions, 1, topic_configs=spec.config)]
             )
+        except Exception as exc:  # already-exists is fine (idempotent),
+            # same as the confluent path below — kafka-python raises
+            # TopicAlreadyExistsError instead of returning it in a future
+            if "already exists" not in str(exc).lower() and "TopicAlreadyExists" not in type(exc).__name__:
+                raise
         finally:
             admin.close()
         return

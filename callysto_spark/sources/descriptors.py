@@ -32,14 +32,42 @@ class SourceSpec:
         **options: str,
     ) -> "SourceSpec":
         """Kafka topic (reference `kafka/ctopic.rs:57-77`). Extra options
-        pass through as `kafka.*` — the passthrough surface mirroring the
-        reference's client-config map (`config.rs:16-161`)."""
+        pass through: Spark SOURCE-level options (maxOffsetsPerTrigger,
+        failOnDataLoss, minPartitions, ...) keep their names, everything
+        else is a Kafka client config and gets the `kafka.` prefix — the
+        passthrough surface mirroring the reference's client-config map
+        (`config.rs:16-161`). Blind prefixing would silently turn e.g.
+        maxOffsetsPerTrigger into an unknown client property the consumer
+        ignores, so the backpressure cap would never apply."""
+        # spark-sql-kafka source-level option names (lowercased), per the
+        # Structured Streaming Kafka integration guide
+        source_level = {
+            "assign", "subscribe", "subscribepattern",
+            "startingoffsets", "endingoffsets",
+            "startingoffsetsbytimestamp", "endingoffsetsbytimestamp",
+            "startingtimestamp", "endingtimestamp",
+            "startingoffsetsbytimestampstrategy",
+            "failondataloss", "maxoffsetspertrigger", "minoffsetspertrigger",
+            "maxtriggerdelay", "minpartitions", "groupidprefix",
+            "includeheaders", "fetchoffset.numretries",
+            "fetchoffset.retryintervalms", "kafkaconsumer.polltimeoutms",
+            "topic",
+        }
         opts = {
             "subscribe": topic,
             "kafka.bootstrap.servers": bootstrap_servers,
             "startingOffsets": starting_offsets,
         }
-        opts.update({(k if k.startswith("kafka.") else f"kafka.{k}"): v for k, v in options.items()})
+        opts.update(
+            {
+                (
+                    k
+                    if k.startswith("kafka.") or k.lower() in source_level
+                    else f"kafka.{k}"
+                ): v
+                for k, v in options.items()
+            }
+        )
         return SourceSpec("kafka", opts)
 
     @staticmethod

@@ -309,12 +309,16 @@ class MemTopicDataSource(DataSource):
         return MemTopicStreamWriter(self.options)
 
 
-_REGISTERED: set[int] = set()
+# WeakSet, not a set of id()s: a dead session's address can be reused by
+# a new SparkSession object, which an id-keyed set would wrongly treat
+# as already registered (and the format would be missing on it).
+import weakref
+
+_REGISTERED: "weakref.WeakSet[Any]" = weakref.WeakSet()
 
 
 def register(spark: Any) -> None:
     """Idempotently register the memtopic format on a session."""
-    key = id(spark)
-    if key not in _REGISTERED:
+    if spark not in _REGISTERED:
         spark.dataSource.register(MemTopicDataSource)
-        _REGISTERED.add(key)
+        _REGISTERED.add(spark)

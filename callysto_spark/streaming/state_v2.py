@@ -74,11 +74,22 @@ class TableStateV2:
 
     def set_timeout_ms(self, ms: int) -> None:
         """Arm a processing-time timer ``ms`` from now (requires the
-        agent registered with timeout='ProcessingTimeTimeout')."""
-        self._h.registerTimer(self._tv.getCurrentProcessingTimeInMs() + ms)
+        agent registered with timeout='ProcessingTimeTimeout'),
+        REPLACING any pending timer for the key."""
+        self._arm(self._tv.getCurrentProcessingTimeInMs() + ms)
 
     def set_timeout_timestamp_ms(self, epoch_ms: int) -> None:
-        self._h.registerTimer(epoch_ms)
+        self._arm(epoch_ms)
+
+    def _arm(self, at_ms: int) -> None:
+        # GroupState.setTimeoutDuration REPLACES the pending timeout, and
+        # the v1/v2 closure contract promises that parity — but tws
+        # registerTimer ACCUMULATES, so a closure re-arming every batch
+        # would stack N timers and fire N eviction callbacks. Clear the
+        # key's pending timers first.
+        for t in list(self._h.listTimers()):
+            self._h.deleteTimer(t)
+        self._h.registerTimer(at_ms)
 
 
 def bind_table_processor(

@@ -4,6 +4,7 @@ F1/F2 fixtures)."""
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import pandas as pd
@@ -227,6 +228,7 @@ def test_tws_timer_ttl_plan_and_processor_logic(spark, tmp_path):
         def __init__(self):
             self.ttl = None
             self.vs = FakeValueState()
+            self.timers: list[int] = []  # tws contract: timers ACCUMULATE
 
         def getValueState(self, name, schema, ttlDurationMs=None):
             assert name == "cnts"
@@ -235,6 +237,13 @@ def test_tws_timer_ttl_plan_and_processor_logic(spark, tmp_path):
 
         def registerTimer(self, ts):
             armed.append(ts)
+            self.timers.append(ts)
+
+        def listTimers(self):
+            return list(self.timers)
+
+        def deleteTimer(self, ts):
+            self.timers.remove(ts)
 
     class FakeTimerValues:
         def getCurrentProcessingTimeInMs(self):
@@ -257,6 +266,10 @@ def test_tws_timer_ttl_plan_and_processor_logic(spark, tmp_path):
         proc.handleInputRows(("odd",), iter([pd.DataFrame({"event_id": [7]})]), FakeTimerValues())
     )
     assert batches[0]["cnt"].tolist() == [4]
+    # re-arming every batch must REPLACE the pending timer, not stack a
+    # second one (GroupState.setTimeoutDuration parity; tws registerTimer
+    # alone would accumulate and fire N eviction callbacks)
+    assert handle.timers == [1_005_000], f"pending timers stacked: {handle.timers}"
 
     # timer expiry: closure sees timed_out=True, clears state, emits -1
     expired = list(proc.handleExpiredTimer(("odd",), FakeTimerValues(), None))
@@ -514,6 +527,12 @@ def test_tws_timer_firing_order_and_ttl_eviction(spark):
                 def registerTimer(self, ts):
                     rt.timers.append((ts, rt.current_key))
 
+                def listTimers(self):
+                    return [ts for ts, k in rt.timers if k == rt.current_key]
+
+                def deleteTimer(self, ts):
+                    rt.timers.remove((ts, rt.current_key))
+
             return Handle()
 
         class TV:
@@ -611,3 +630,92 @@ def test_tws_state_value_schema_encoding_roundtrip(spark):
         assert norm == value, f"{schema}: {norm} != {value}"
         ts.delete()
         assert not ts.exists and ts.get() is None
+
+
+def test_agent_sink_receives_batch_id_for_exactly_once(spark, tmp_path, sf_dir):
+    """The exactly-once wrappers are Callable[[DataFrame, int], None] —
+    batch_id is their replay-dedup key. Wiring idempotent(...) as a
+    table_agent sink must deliver it (dropping it would TypeError, or
+    worse, silently void the idempotency contract)."""
+    from callysto_spark.sinks.exactly_once import idempotent
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "a.parquet")
+    out_dir = str(tmp_path / "out")
+    marker_dir = str(tmp_path / "markers")
+    seen_ids: list[int] = []
+
+    def write(df, batch_id):
+        seen_ids.append(batch_id)
+        df.write.mode("append").parquet(out_dir)
+
+    a = App("test_eos_sink", spark=spark, checkpoint_root=str(tmp_path / "ckpt"))
+    src = SourceSpec.parquet_stream(
+        str(stream_dir),
+        schema="event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    stream = src.load(spark).withColumn(
+        "parity", F.when(F.col("event_id") % 2 == 0, "even").otherwise("odd")
+    )
+    table = a.table("eos_counts", key_schema="parity string", value_schema="cnt long")
+    table.output_schema = "parity string, cnt long"
+
+    @a.table_agent("eos_agent", stream, table, sink=idempotent(write, marker_dir))
+    def eos_agent(key, pdf, state):
+        prev = state.get()
+        cnt = (prev[0] if prev else 0) + len(pdf)
+        state.set(cnt)
+        return pd.DataFrame({"parity": [key[0]], "cnt": [cnt]})
+
+    a.run(await_termination=True, timeout=120)
+    a.stop()
+    assert seen_ids, "sink never invoked"
+    markers = sorted(os.listdir(marker_dir))
+    assert markers == [f"batch-{i}.done" for i in sorted(set(seen_ids))], (
+        "idempotent() must see the real batch ids"
+    )
+    assert spark.read.parquet(out_dir).count() > 0
+
+
+def test_memory_sink_stateful_agent_survives_rerun(spark, tmp_path, sf_dir):
+    """Stateful agents WITHOUT a sink use the memory format, which
+    refuses checkpoint recovery — a persistent checkpointLocation made
+    every rerun throw AnalysisException. Reruns must start clean
+    instead (the memory sink's documented contract: test surface, no
+    durability)."""
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "a.parquet")
+
+    def make_app():
+        a = App("test_mem_rerun", spark=spark, checkpoint_root=str(tmp_path / "ckpt"))
+        src = SourceSpec.parquet_stream(
+            str(stream_dir),
+            schema="event_id long, ts long, user_id long, event_type string, value double, props string",
+        )
+        stream = src.load(spark).withColumn(
+            "parity", F.when(F.col("event_id") % 2 == 0, "even").otherwise("odd")
+        )
+        table = a.table("mem_counts", key_schema="parity string", value_schema="cnt long")
+        table.output_schema = "parity string, cnt long"
+
+        @a.table_agent("mem_agent", stream, table)  # no sink → memory
+        def mem_agent(key, pdf, state):
+            prev = state.get()
+            cnt = (prev[0] if prev else 0) + len(pdf)
+            state.set(cnt)
+            return pd.DataFrame({"parity": [key[0]], "cnt": [cnt]})
+
+        return a
+
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    for _ in range(2):  # second run used to die on checkpoint recovery
+        a = make_app()
+        a.run(await_termination=True, timeout=120)
+        got = {
+            r["parity"]: r["cnt"]
+            for r in spark.sql("SELECT * FROM test_mem_rerun_mem_agent").collect()
+        }
+        a.stop()
+        assert got == {"even": n // 2, "odd": n // 2}, "fresh state each run"

@@ -333,3 +333,27 @@ def test_streaming_writer_path(spark, broker, tmp_path):
     q.awaitTermination(120)
     out = spark.read.format("memtopic").option("brokerDir", broker).option("topic", "dst").load()
     assert sorted(r["value"] for r in out.collect()) == sorted(str(i) for i in range(10))
+
+
+def test_kafka_descriptor_does_not_mangle_source_level_options():
+    """Spark SOURCE-level options must keep their names; only Kafka
+    client configs get the kafka. prefix. Blind prefixing turned e.g.
+    maxOffsetsPerTrigger into an unknown client property the consumer
+    silently ignores — no backpressure cap."""
+    from callysto_spark.sources import SourceSpec
+
+    spec = SourceSpec.kafka(
+        "t",
+        bootstrap_servers="b:9092",
+        maxOffsetsPerTrigger="500",
+        failOnDataLoss="false",
+        minPartitions="8",
+        **{"session.timeout.ms": "10000", "kafka.security.protocol": "SSL"},
+    )
+    o = spec.options
+    assert o["maxOffsetsPerTrigger"] == "500"
+    assert o["failOnDataLoss"] == "false"
+    assert o["minPartitions"] == "8"
+    assert o["kafka.session.timeout.ms"] == "10000"  # client config: prefixed
+    assert o["kafka.security.protocol"] == "SSL"     # already prefixed: kept
+    assert "kafka.maxOffsetsPerTrigger" not in o
