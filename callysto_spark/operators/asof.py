@@ -49,14 +49,24 @@ def asof_join(
     lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
     rt = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))
 
+    # Right attributes travel as ONE struct, not per-column: a matched
+    # right row with a legitimately NULL attribute must be attached
+    # verbatim (SQL ASOF returns the row), whereas independent
+    # per-column last(ignorenulls) would fill that NULL from an OLDER
+    # right row — a chimera combining two rows. A struct with NULL
+    # fields is itself non-null, so last(struct, ignorenulls) picks the
+    # whole matched row atomically.
+    r_struct_t = rt.select(F.struct(*[F.col(c) for c in right_cols]).alias("__r")).schema[
+        "__r"
+    ].dataType
     l_aug = lt.select(
         *on, "__ts", "__side",
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(r_struct_t).alias("__r"),
         F.struct(*[c for c in left.columns]).alias("__l"),
     )
     r_aug = rt.select(
         *on, "__ts", "__side",
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
         F.lit(None).cast(l_aug.schema["__l"].dataType).alias("__l"),
     )
     unioned = l_aug.unionByName(r_aug)
@@ -67,14 +77,10 @@ def asof_join(
     order = [F.col("__ts"), F.col("__side")] if not strict else [F.col("__ts"), (1 - F.col("__side"))]
     w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     filled = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in right_cols
-        ],
+        "*", F.last(F.col("__r"), ignorenulls=True).over(w).alias("__f")
     )
     out = filled.filter(F.col("__side") == 1).select(
         F.col("__l.*"),
-        *[F.col(f"__f_{c}").alias(c) for c in right_cols],
+        *[F.col(f"__f.{c}").alias(c) for c in right_cols],
     )
     return out

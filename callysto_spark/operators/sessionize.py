@@ -29,12 +29,14 @@ def sessionize(
     """
     df = df.filter(F.col(ts).isNotNull())
     w = Window.partitionBy(key).orderBy(F.col(ts))
-    # TIMESTAMP_NTZ has no direct →long cast; bouncing through timestamp
-    # is identity for LTZ input and instant-preserving for NTZ under a
-    # UTC session, so the operator accepts either encoding.
-    epoch = F.col(ts).cast("timestamp").cast("long")
+    # Microsecond epochs, not cast-to-long SECONDS: the long cast
+    # truncates sub-second components, so a true gap of 1800.8s would
+    # read as 1800 and fuse two sessions (and diverge from a SQL oracle
+    # comparing epoch_us). Bouncing through timestamp keeps NTZ input
+    # instant-preserving under a UTC session.
+    epoch = F.unix_micros(F.col(ts).cast("timestamp"))
     gap = epoch - F.lag(epoch).over(w)
-    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
     return df.withColumn(
         session_col,
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),

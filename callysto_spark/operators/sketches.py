@@ -69,10 +69,11 @@ def _bounded_topk(
     Final group limits, so the exchange carries at most k rows per
     (group, map partition) — the two-phase bounded shape, declaratively.
 
-    Callers must pre-filter NULL ``order_col`` rows: engines disagree on
-    default NULL placement (Spark windows NULLS FIRST, DuckDB ORDER BY
-    NULLS LAST), so a NULL reaching the ranking would silently diverge
-    from a SQL oracle. Ties on ``order_col`` fall to ``tiebreak``; when
+    NULL ``order_col`` rows are dropped here, self-enforcing: engines
+    disagree on default NULL placement (Spark windows NULLS FIRST,
+    DuckDB ORDER BY NULLS LAST), so a NULL reaching the ranking would
+    silently diverge from a SQL oracle. Ties on ``order_col`` fall to
+    ``tiebreak``; when
     none is given the k-th boundary row is engine-arbitrary, which is
     safe only when consumers aggregate ``order_col`` itself over a
     tie-free (e.g. distinct) input — kmv_distinct's case. Consumers of
@@ -81,7 +82,8 @@ def _bounded_topk(
     """
     order = [F.col(order_col).asc(), *tiebreak]
     return (
-        df.withColumn(
+        df.filter(F.col(order_col).isNotNull())
+        .withColumn(
             "__rn", F.row_number().over(Window.partitionBy(*group).orderBy(*order))
         )
         .filter(F.col("__rn") <= k)
@@ -116,17 +118,17 @@ def kmv_distinct(
 
     NULL keys are ignored — ``count(DISTINCT key)`` semantics, and the
     cross-engine-safe choice (a NULL hash would rank NULLS FIRST in a
-    Spark window but NULLS LAST in a DuckDB ORDER BY).
+    Spark window but NULLS LAST in a DuckDB ORDER BY). Deliberate
+    deviation from plain GROUP BY: a group whose keys are ALL NULL
+    emits NO row (not a 0-count row) — preserving it would cost an
+    extra shuffle against the full group list for an edge case; the
+    paired oracle (kmv_distinct_sql) omits the group identically.
     """
     if hash_engine != "md5_60":
         raise ValueError(
             f"kmv_distinct requires the bounded-range md5_60 hash; got {hash_engine!r}"
         )
-    dh = (
-        df.select(*group, string_hash(key, hash_engine).alias("__h"))
-        .filter(F.col("__h").isNotNull())
-        .distinct()
-    )
+    dh = df.select(*group, string_hash(key, hash_engine).alias("__h")).distinct()
     topk = _bounded_topk(dh, group, "__h", k)
     kth = F.max("__h")
     est = F.when(F.count(F.lit(1)) < k, F.count(F.lit(1))).otherwise(
@@ -182,9 +184,7 @@ def bottom_k_sample(
     placement in rankings, and a NULL key breaks the row-uniqueness
     contract anyway). Adds column ``__h`` (the sample ranks by it);
     caller drops it."""
-    withh = df.withColumn("__h", string_hash(key, hash_engine)).filter(
-        F.col("__h").isNotNull()
-    )
+    withh = df.withColumn("__h", string_hash(key, hash_engine))
     return _bounded_topk(withh, group, "__h", k, tiebreak=[key.asc()])
 
 
@@ -203,7 +203,9 @@ def type1_quantiles(
     of decimal-vs-double literal territory. NULL values are excluded
     before ranking (SQL percentile convention — and Spark would rank
     them NULLS FIRST where DuckDB ranks NULLS LAST, shifting every
-    rank); m counts non-null values only."""
+    rank); m counts non-null values only, and a group whose sampled
+    values are ALL NULL emits no row (callers joining on the group key
+    should left-join if such groups must survive)."""
     w = Window.partitionBy(*group)
     ranked = (
         sampled.filter(F.col(value_col).isNotNull())

@@ -295,3 +295,76 @@ def test_asof_oracle_agrees_on_null_ts(spark, tmp_path):
     con.close()
     assert got == want, f"spark={got}\noracle={want}"
     assert len(got) == 4, "all four purchases kept (LEFT semantics)"
+
+
+def test_asof_attaches_matched_row_atomically_not_per_column(spark):
+    """SQL ASOF returns the matched right row VERBATIM — a NULL
+    attribute on it stays NULL. Independent per-column
+    last(ignorenulls) would instead fill that NULL from an OLDER right
+    row, attaching a chimera of two rows."""
+    from datetime import datetime
+
+    from callysto_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(100, 1, datetime(2026, 1, 1, 3, 0, 0))], "id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, datetime(2026, 1, 1, 1, 0, 0), 10),
+            (1, datetime(2026, 1, 1, 2, 0, 0), None),  # matched row, NULL attr
+        ],
+        "k long, rts timestamp, attr long",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts", right_cols=["attr", "rts"]
+    ).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r["rts"] == datetime(2026, 1, 1, 2, 0, 0), "latest right row matched"
+    assert r["attr"] is None, (
+        f"NULL attribute of the matched row must stay NULL, got {r['attr']} "
+        "(filled from an older right row)"
+    )
+
+
+def test_sessionize_subsecond_gap_agrees_with_oracle(spark, tmp_path):
+    """The gap must be computed on MICROSECOND epochs: cast-to-long
+    truncates to seconds, so a true 1800.8s gap reads as 1800 and two
+    sessions fuse — and the oracle (epoch_us) disagrees. Plant
+    sub-second timestamps straddling the 1800s boundary."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta
+
+    base = datetime(2026, 1, 1, 0, 0, 0, 100_000)  # .1s
+    rows = [
+        (1, base, 1),
+        (2, base + timedelta(seconds=1800, microseconds=800_000), 1),  # gap 1800.8 > 1800: new session
+        (3, base + timedelta(seconds=3600, microseconds=900_000), 1),  # gap 1800.1 > 1800: new session
+        (4, base + timedelta(seconds=5400, microseconds=100_000), 1),  # gap 1799.2 <= 1800: same session
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    q = REGISTRY["events_sessionize"]
+    got = sorted(tuple(r) for r in q.fn(spark, str(tmp_path)).collect())
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    con.close()
+    assert got == want, f"spark={got}\noracle={want}"
+    assert len(got) == 3, f"expected 3 sessions (boundary gaps split), got {len(got)}"
