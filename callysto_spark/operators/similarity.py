@@ -214,6 +214,12 @@ def ivf_assign(
     from callysto_spark.operators.util import ensure_parallelism
 
     narrow = ensure_parallelism(corpus).select(id_col, vec_col)
+    if not centroids:
+        # An empty centroid set only arises from fitting on an empty
+        # corpus; assignment against no cells matches nothing. Return an
+        # empty result with the output schema instead of emitting a
+        # malformed zero-length scoring expression.
+        return narrow.limit(0).withColumn("cell", F.lit(None).cast("int"))
     if engine == "pandas":
         import numpy as np
         import pandas as pd
@@ -310,6 +316,17 @@ def ivf_topk(
     recall linearly in scan cost; emb_cosine_topk is the exact baseline
     to measure against (tests pin recall@10 ≥ 0.9 at nprobe=2).
     """
+    if not centroids:
+        # no cells ⇒ nothing to probe (empty-corpus fit); empty result
+        # with the output schema, same as the assign path
+        return (
+            corpus.select(
+                F.col(id_col).alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                F.lit(0.0).alias("cosine_sim"),
+                F.lit(0).alias("rank"),
+            ).limit(0)
+        )
     assigned = ivf_assign(corpus, id_col, vec_col, centroids)
     # multi-probe: explode each query into its nprobe nearest cells —
     # query side stays tiny (|queries|·nprobe rows) and broadcasts
