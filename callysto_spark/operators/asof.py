@@ -44,7 +44,16 @@ def asof_join(
     before every timed right row, so ``last(ignorenulls)`` sees none).
     """
     right_cols = list(right_cols or [c for c in right.columns if c not in on and c != right_ts])
-    right = right.filter(F.col(right_ts).isNotNull())
+    # SQL join semantics: NULL keys match nothing. The union-sort window
+    # would instead co-partition NULL-keyed left AND right rows together
+    # (window partitioning treats NULLs as equal), handing NULL-key left
+    # rows the NULL-key right history. Dropping NULL-key right rows
+    # restores equi-join behavior; NULL-key left rows then sit in a
+    # partition with no right rows and surface with NULL attachments.
+    null_filter = F.lit(True)
+    for key_col in on:
+        null_filter = null_filter & F.col(key_col).isNotNull()
+    right = right.filter(F.col(right_ts).isNotNull() & null_filter)
 
     lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
     rt = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))

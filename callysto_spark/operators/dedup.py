@@ -93,6 +93,7 @@ def with_shingles(df: DataFrame, text_col: str, n: int, out: str = "gs") -> Data
     cols = df.columns
     return (
         ensure_parallelism(df)
+        .filter(F.col(text_col).isNotNull())  # NULL text ⇒ no shingles
         .select("*", F.explode(F.array(tokens_col(F.col(text_col)))).alias("__toks"))
         .select(*cols, word_shingles(F.col("__toks"), n).alias(out))
     )
@@ -128,9 +129,17 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     """
     from callysto_spark.operators.util import ensure_parallelism
 
-    staged = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array(tokens_col(F.col(text_col)))).alias("__toks"),
+    staged = (
+        # NULL text ⇒ no tokens ⇒ doc absent (SQL unnest-of-NULL
+        # semantics; ranking NULL through the shingle path would instead
+        # give every untexted doc an identical '' shingle — pairing ALL
+        # of them with each other, a quadratic false-pair blowup)
+        ensure_parallelism(df)
+        .filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.array(tokens_col(F.col(text_col)))).alias("__toks"),
+        )
     )
     return staged.select("doc", word_shingles(F.col("__toks"), n).alias("gs"))
 
@@ -406,8 +415,13 @@ def simhash(
     """
     from callysto_spark.operators.util import ensure_parallelism
 
-    staged = ensure_parallelism(df).withColumn(
-        "__hashes", F.transform(tokens_col(F.col(text_col)), lambda t: string_hash(t, hash_engine))
+    staged = (
+        ensure_parallelism(df)
+        .filter(F.col(text_col).isNotNull())  # NULL text ⇒ no tokens ⇒ no row
+        .withColumn(
+            "__hashes",
+            F.transform(tokens_col(F.col(text_col)), lambda t: string_hash(t, hash_engine)),
+        )
     )
     hashes = F.col("__hashes")
     bit_idx = F.sequence(F.lit(bits - 1), F.lit(0))  # MSB first

@@ -127,9 +127,13 @@ def winnow_fingerprints(df, id_col: str, text_col: str, k: int = 3, w: int = 4):
     from callysto_spark.operators.dedup import tokens_col
     from callysto_spark.operators.util import ensure_parallelism
 
-    staged = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array(tokens_col(F.col(text_col)))).alias("__toks"),
+    staged = (
+        ensure_parallelism(df)
+        .filter(F.col(text_col).isNotNull())  # NULL text ⇒ no grams ⇒ no row
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.array(tokens_col(F.col(text_col)))).alias("__toks"),
+        )
     )
     toks = F.col("__toks")
     # positional k-grams, in order (NO distinct — winnowing is positional);

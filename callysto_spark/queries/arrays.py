@@ -23,11 +23,14 @@ FROM events GROUP BY user_id
 """,
 )
 def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set → sorted array → array_join / array_contains."""
+    """collect_set → sorted array → array_join / array_contains. A user
+    whose every event_type is NULL gets a NULL types_csv (SQL aggregate
+    convention: no non-null inputs → NULL, as DuckDB's list() returns),
+    not the empty string array_join would render."""
     e = load(spark, sf_dir, "events")["events"]
     types = F.array_sort(F.collect_set("event_type"))
     return e.groupBy("user_id").agg(
-        F.array_join(types, ",").alias("types_csv"),
+        F.when(F.size(types) > 0, F.array_join(types, ",")).alias("types_csv"),
         F.size(types).alias("n_types"),
         F.array_contains(types, "purchase").cast("int").alias("has_purchase"),
     )
@@ -85,7 +88,8 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_type_count_map",
     oracle="""
 WITH tc AS (
-  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+  SELECT user_id, event_type, count(*) AS n FROM events
+  WHERE event_type IS NOT NULL GROUP BY 1, 2
 )
 SELECT user_id,
        array_to_string(list(event_type ORDER BY event_type), ',') AS keys_csv,
@@ -97,9 +101,15 @@ def user_type_count_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-shaped aggregation (per-user type→count), rendered as aligned
     sorted key/value CSVs (map columns themselves hash differently across
     engines). Internally built with map_from_entries to exercise map
-    functions."""
+    functions. NULL event_types are excluded on both sides — SQL maps
+    cannot hold a NULL key (Spark throws NULL_MAP_KEY), so a user with
+    only NULL types emits no row."""
     e = load(spark, sf_dir, "events")["events"]
-    tc = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    tc = (
+        e.filter(F.col("event_type").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     entries = F.array_sort(F.collect_list(F.struct("event_type", "n")))
     m = F.map_from_entries(entries)
     return tc.groupBy("user_id").agg(

@@ -65,13 +65,14 @@ def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
        count(*) AS n, MSUM(value) AS total_value
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """,
 )
 def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation — the batch analog of
     ``groupBy(window(ts, '1 hour'))`` in streaming (same epoch-aligned
-    window starts)."""
+    window starts). An untimed (NULL ts) event lands in NO window —
+    Spark's window() drops it; the oracle filters identically."""
     e = load(spark, sf_dir, "events")["events"]
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
@@ -92,7 +93,7 @@ WITH hopped AS (
              - INTERVAL 30 MINUTE
          ]) AS ws,
          value
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT ws, count(*) AS n, MSUM(value) AS total_value
 FROM hopped GROUP BY ws
@@ -100,7 +101,8 @@ FROM hopped GROUP BY ws
 )
 def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (1 h window, 30 min hop): every event lands in
-    exactly two epoch-aligned windows."""
+    exactly two epoch-aligned windows (NULL ts → no window, matching
+    Spark's window() semantics; the oracle filters identically)."""
     e = load(spark, sf_dir, "events")["events"]
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))

@@ -18,12 +18,15 @@ from callysto_spark.queries import register
 from callysto_spark.serde import decode_json, encode_json
 from callysto_spark.tables import load
 
+# union-with-null fields: a NULL in any column must survive the Avro
+# round-trip (a non-nullable schema would make encode throw on the
+# first NULL event) — the codec implements Avro unions per the spec
 MESSAGE_AVRO_SCHEMA = """
 {"type": "record", "name": "event", "fields": [
-  {"name": "event_id", "type": "long"},
-  {"name": "user_id", "type": "long"},
-  {"name": "event_type", "type": "string"},
-  {"name": "value", "type": "double"}
+  {"name": "event_id", "type": ["null", "long"]},
+  {"name": "user_id", "type": ["null", "long"]},
+  {"name": "event_type", "type": ["null", "string"]},
+  {"name": "value", "type": ["null", "double"]}
 ]}
 """
 

@@ -145,11 +145,29 @@ def _zigzag(n: int) -> bytes:
             return bytes(out)
 
 
+def _is_null(value: Any) -> bool:
+    """Null under the Arrow→pandas crossing: a NULL long/double lands
+    as float NaN (pandas has no nullable int64 on this path) and a NULL
+    string/struct as None/pd.NA — all must take the union's null
+    branch. Consequence: a LITERAL NaN in a nullable double field
+    encodes as null; unavoidable while pandas conflates the two."""
+    if value is None:
+        return True
+    if isinstance(value, float):
+        return value != value  # NaN
+    try:
+        import pandas as pd
+
+        return value is pd.NA or value is pd.NaT
+    except ImportError:  # pragma: no cover
+        return False
+
+
 def _encode(value: Any, schema: Any, out: bytearray) -> None:
     if isinstance(schema, str):
         t = schema
     elif isinstance(schema, list):  # union: pick null vs the non-null branch
-        if value is None:
+        if _is_null(value):
             idx = schema.index("null")
             out += _zigzag(idx)
             return
