@@ -62,6 +62,29 @@ def tokens_col(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
+def stage_text(df: DataFrame, text_col: str) -> DataFrame:
+    """The NULL contract every token-consuming kernel inherits: NULL
+    text ⇒ no tokens ⇒ doc absent (SQL unnest-of-NULL semantics).
+    Ranking NULL through a tokenizer instead gives every untexted doc
+    the identical '' token stream — in the shingle pipelines that pairs
+    ALL of them with each other, a quadratic false-pair blowup. Also
+    re-parallelizes an under-partitioned input."""
+    from callysto_spark.operators.util import ensure_parallelism
+
+    return ensure_parallelism(df).filter(F.col(text_col).isNotNull())
+
+
+def staged_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, __toks) staging shared by the shingle/winnow kernels:
+    ``stage_text`` NULL contract, then the tokens array materialized
+    through an ``explode(array(...))`` Generate barrier so the regex
+    split runs ONCE per document (see ``shingle_arrays``)."""
+    return stage_text(df, text_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array(tokens_col(F.col(text_col)))).alias("__toks"),
+    )
+
+
 def word_shingles(toks: Column, n: int) -> Column:
     """Distinct word n-gram shingles from a MATERIALIZED tokens column.
 
@@ -88,12 +111,9 @@ def with_shingles(df: DataFrame, text_col: str, n: int, out: str = "gs") -> Data
     """df + distinct word-n-gram shingle array column (tokens
     materialized through a Generate barrier — see ``shingle_arrays``;
     input re-parallelized if under-partitioned)."""
-    from callysto_spark.operators.util import ensure_parallelism
-
     cols = df.columns
     return (
-        ensure_parallelism(df)
-        .filter(F.col(text_col).isNotNull())  # NULL text ⇒ no shingles
+        stage_text(df, text_col)
         .select("*", F.explode(F.array(tokens_col(F.col(text_col)))).alias("__toks"))
         .select(*cols, word_shingles(F.col("__toks"), n).alias(out))
     )
@@ -127,21 +147,9 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     also STREAMING-LEGAL: the same operator runs unchanged on a
     readStream DataFrame (see tests/test_streaming.py).
     """
-    from callysto_spark.operators.util import ensure_parallelism
-
-    staged = (
-        # NULL text ⇒ no tokens ⇒ doc absent (SQL unnest-of-NULL
-        # semantics; ranking NULL through the shingle path would instead
-        # give every untexted doc an identical '' shingle — pairing ALL
-        # of them with each other, a quadratic false-pair blowup)
-        ensure_parallelism(df)
-        .filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("doc"),
-            F.explode(F.array(tokens_col(F.col(text_col)))).alias("__toks"),
-        )
+    return staged_tokens(df, id_col, text_col).select(
+        "doc", word_shingles(F.col("__toks"), n).alias("gs")
     )
-    return staged.select("doc", word_shingles(F.col("__toks"), n).alias("gs"))
 
 
 def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -413,15 +421,9 @@ def simhash(
     (every token votes −1 there) — deterministic on both engines, with
     band 0 of a 4-band blocking carrying 12 useful bits instead of 16.
     """
-    from callysto_spark.operators.util import ensure_parallelism
-
-    staged = (
-        ensure_parallelism(df)
-        .filter(F.col(text_col).isNotNull())  # NULL text ⇒ no tokens ⇒ no row
-        .withColumn(
-            "__hashes",
-            F.transform(tokens_col(F.col(text_col)), lambda t: string_hash(t, hash_engine)),
-        )
+    staged = stage_text(df, text_col).withColumn(
+        "__hashes",
+        F.transform(tokens_col(F.col(text_col)), lambda t: string_hash(t, hash_engine)),
     )
     hashes = F.col("__hashes")
     bit_idx = F.sequence(F.lit(bits - 1), F.lit(0))  # MSB first

@@ -124,17 +124,9 @@ def winnow_fingerprints(df, id_col: str, text_col: str, k: int = 3, w: int = 4):
 
     Returns distinct (doc, fp) rows.
     """
-    from callysto_spark.operators.dedup import tokens_col
-    from callysto_spark.operators.util import ensure_parallelism
+    from callysto_spark.operators.dedup import staged_tokens
 
-    staged = (
-        ensure_parallelism(df)
-        .filter(F.col(text_col).isNotNull())  # NULL text ⇒ no grams ⇒ no row
-        .select(
-            F.col(id_col).alias("doc"),
-            F.explode(F.array(tokens_col(F.col(text_col)))).alias("__toks"),
-        )
-    )
+    staged = staged_tokens(df, id_col, text_col)
     toks = F.col("__toks")
     # positional k-grams, in order (NO distinct — winnowing is positional);
     # short docs (< k tokens) yield one truncated gram via try_element_at

@@ -162,7 +162,12 @@ def encode_avro(col: Column, schema_json: str | None = None, engine: str = "auto
     column type)."""
     if engine == "jvm" or (engine == "auto" and avro_jar_loaded()):
         _, to_avro = _avro_functions()
-        return to_avro(col)
+        # When a schema is declared, the writer MUST use it: to_avro(col)
+        # alone derives the writer schema from the Catalyst type, whose
+        # union branch order (["long","null"] vs the declared
+        # ["null","long"]) need not match — and a from_avro reader holding
+        # the declared schema would then misdecode every union field.
+        return to_avro(col, schema_json) if schema_json is not None else to_avro(col)
     if schema_json is None:
         raise ValueError("encode_avro without the spark-avro jar needs schema_json")
     from callysto_spark.serde.avro_py import encode_avro_udf

@@ -5,7 +5,7 @@ The reference deserializes Kafka Avro payloads natively
 spark-avro jar, which pip-installed pyspark doesn't ship. The Avro
 binary encoding itself is a small public spec (zigzag varints, length-
 prefixed bytes, fields in schema order), so this module implements it
-directly and exposes `decode_avro_udf` — an Arrow-batched pandas UDF
+directly and exposes `decode_avro_udf` — an Arrow-native batched UDF
 that turns a binary payload column into a typed struct column with the
 StructType derived from the SAME schema by `avro_schema_to_spark`.
 
@@ -27,9 +27,11 @@ import json
 import struct as _struct
 from typing import Any
 
-# module-scope: pandas_udf resolves the (stringified, because of the
-# __future__ import) type hints against module globals
+# module-scope: the arrow_udf type hints (stringified by the __future__
+# import) resolve `pa` against module globals; pd is for _is_null's
+# pandas-sentinel recognition on dict-level callers
 import pandas as pd
+import pyarrow as pa
 
 _EPOCH_DATE = _dt.date(1970, 1, 1)
 
@@ -146,21 +148,18 @@ def _zigzag(n: int) -> bytes:
 
 
 def _is_null(value: Any) -> bool:
-    """Null under the Arrow→pandas crossing: a NULL long/double lands
-    as float NaN (pandas has no nullable int64 on this path) and a NULL
-    string/struct as None/pd.NA — all must take the union's null
-    branch. Consequence: a LITERAL NaN in a nullable double field
-    encodes as null; unavoidable while pandas conflates the two."""
+    """Null for union-branch selection. The Spark crossing is Arrow-
+    native (real nulls arrive as None), but dict-level callers may hand
+    us pandas-derived values where a NULL long/double became float NaN
+    and a NULL string/struct became pd.NA/pd.NaT — all take the union's
+    null branch. Consequence: a LITERAL NaN in a nullable double field
+    encodes as null; the documented convention for pandas-sourced
+    records."""
     if value is None:
         return True
     if isinstance(value, float):
         return value != value  # NaN
-    try:
-        import pandas as pd
-
-        return value is pd.NA or value is pd.NaT
-    except ImportError:  # pragma: no cover
-        return False
+    return value is pd.NA or value is pd.NaT
 
 
 def _encode(value: Any, schema: Any, out: bytearray) -> None:
@@ -179,6 +178,10 @@ def _encode(value: Any, schema: Any, out: bytearray) -> None:
         t = schema["type"]
         logical = schema.get("logicalType")
         if logical in ("timestamp-micros", "timestamp-millis"):
+            # Arrow hands tz-aware datetimes (session tz); normalize to
+            # naive UTC so the epoch subtraction is well-defined either way
+            if value.tzinfo is not None:
+                value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
             epoch = _dt.datetime.utcfromtimestamp(0)
             delta = value - epoch
             us = delta // _dt.timedelta(microseconds=1)
@@ -201,8 +204,11 @@ def _encode(value: Any, schema: Any, out: bytearray) -> None:
             return
         if t == "map":
             if value is not None and len(value) > 0:
+                # dict from plain callers; list of (k, v) pairs from the
+                # Arrow crossing (MapScalar.as_py renders pairs)
+                pairs = value.items() if hasattr(value, "items") else value
                 out += _zigzag(len(value))
-                for k, v in value.items():
+                for k, v in pairs:
                     kb = k.encode("utf-8")
                     out += _zigzag(len(kb)) + kb
                     _encode(v, schema["values"], out)
@@ -245,42 +251,56 @@ def encode_record(value: dict, schema: dict | str) -> bytes:
 
 
 # ------------------------------------------------------- Spark integration
+#
+# Both crossings are Arrow-NATIVE (arrow_udf, Spark 4): values never pass
+# through pandas, so nullable int64 columns stay int64-exact end to end.
+# (The previous pandas_udf crossing routed a nullable long through
+# float64, silently rounding values above 2^53 — e.g. an event_id of
+# 9007199254740993 round-tripped as ...992 with no error.)
 def decode_avro_udf(schema_json: str):
-    """Arrow-batched pandas UDF: binary Avro payload column → struct
-    column typed by ``avro_schema_to_spark(schema_json)``. The jar-free
+    """Arrow-batched UDF: binary Avro payload column → struct column
+    typed by ``avro_schema_to_spark(schema_json)``. The jar-free
     counterpart of ``from_avro`` (use ``decode_avro`` when the
     spark-avro jar is on the classpath — JVM-side is faster)."""
-    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.functions import arrow_udf
+    from pyspark.sql.pandas.types import to_arrow_type
 
     from callysto_spark.serde.avro import avro_schema_to_spark
 
     spark_type = avro_schema_to_spark(schema_json)
     schema = json.loads(schema_json)
     field_names = [f.name for f in spark_type.fields]
+    # timestamps decode to naive-UTC datetimes; tz=UTC in the arrow type
+    # makes pyarrow interpret them as the UTC instants they are
+    arrow_type = to_arrow_type(spark_type)
 
-    @pandas_udf(spark_type)
-    def _decode_series(payloads: pd.Series) -> pd.DataFrame:
+    @arrow_udf(spark_type)
+    def _decode_arrow(payloads: pa.Array) -> pa.Array:
         records = [
-            {k: None for k in field_names} if b is None else decode_record(bytes(b), schema)
-            for b in payloads
+            decode_record(payloads[i].as_py(), schema)
+            if payloads[i].is_valid
+            else {k: None for k in field_names}
+            for i in range(len(payloads))
         ]
-        return pd.DataFrame(records, columns=field_names)
+        return pa.array(records, type=arrow_type)
 
-    return _decode_series
+    return _decode_arrow
 
 
 def encode_avro_udf(schema_json: str):
-    """Arrow-batched pandas UDF: struct column → binary Avro payloads
+    """Arrow-batched UDF: struct column → binary Avro payloads
     (jar-free ``to_avro`` counterpart, for the S7 sink path)."""
-    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.functions import arrow_udf
     from pyspark.sql.types import BinaryType
 
     schema = json.loads(schema_json)
 
-    @pandas_udf(BinaryType())
-    def _encode_series(structs: pd.DataFrame) -> pd.Series:
-        return pd.Series(
-            [encode_record(row.to_dict(), schema) for _, row in structs.iterrows()]
-        )
+    @arrow_udf(BinaryType())
+    def _encode_arrow(structs: pa.Array) -> pa.Array:
+        payloads = [
+            encode_record(structs[i].as_py(), schema) if structs[i].is_valid else None
+            for i in range(len(structs))
+        ]
+        return pa.array(payloads, type=pa.binary())
 
-    return _encode_series
+    return _encode_arrow

@@ -108,3 +108,40 @@ def test_spark_decode_encode_path(spark):
     got = sorted(bytes(r["payload"]) for r in reenc.collect())
     want = sorted(p[0] for p in payloads)
     assert got == want
+
+
+def test_nullable_long_exact_above_2_53(spark):
+    """The Spark crossing is Arrow-native: a nullable int64 field must
+    NOT route through float64 (which silently rounds 2^53+1 to 2^53)."""
+    big = (1 << 53) + 1
+    s = json.dumps(
+        {"type": "record", "name": "R", "fields": [{"name": "v", "type": ["null", "long"]}]}
+    )
+    df = spark.createDataFrame([(big,), (None,)], "v long")
+    enc = df.select(encode_avro_udf(s)(F.struct("v")).alias("p"))
+    back = enc.select(decode_avro_udf(s)(F.col("p")).alias("r")).select("r.*")
+    assert {r["v"] for r in back.collect()} == {big, None}
+
+
+def test_jvm_encode_uses_declared_schema(monkeypatch):
+    """encode_avro(engine='jvm') must hand the DECLARED schema to
+    to_avro: without it the writer schema is Catalyst-derived, whose
+    union branch order need not match the declared ["null","long"] —
+    and a from_avro reader holding the declared schema then misdecodes
+    every union field."""
+    from callysto_spark.serde import avro as avro_mod
+
+    seen = {}
+
+    def fake_functions():
+        def to_avro(col, schema=None):
+            seen["schema"] = schema
+            return col
+
+        return (lambda *a: None), to_avro
+
+    monkeypatch.setattr(avro_mod, "_avro_functions", fake_functions)
+    avro_mod.encode_avro(F.lit(1), '{"type":"record","name":"R","fields":[]}', engine="jvm")
+    assert seen["schema"] == '{"type":"record","name":"R","fields":[]}'
+    avro_mod.encode_avro(F.lit(1), None, engine="jvm")  # no schema → derive
+    assert seen["schema"] is None

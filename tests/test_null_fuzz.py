@@ -24,6 +24,8 @@ failures reproduce exactly.
 
 from __future__ import annotations
 
+import zlib
+
 import pytest
 
 from callysto_spark.queries import load_all
@@ -48,7 +50,10 @@ def _fuzz_table(src: str, dst: str, keep: tuple[str, ...] = ()) -> None:
         if name in keep:
             cols[name] = col.combine_chunks()
             continue
-        off = hash(name) % 10
+        # crc32, not hash(): str hash is salted per interpreter run, which
+        # would silently change the NULL pattern between runs and break
+        # the "failures reproduce exactly" guarantee
+        off = zlib.crc32(name.encode()) % 10
         mask = pa.array([(i + off) % 10 == 0 for i in range(n)])
         cols[name] = pc.if_else(mask, pa.nulls(n, col.type), col.combine_chunks())
     pq.write_table(pa.table(cols), dst)
