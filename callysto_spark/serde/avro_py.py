@@ -269,18 +269,18 @@ def decode_avro_udf(schema_json: str):
 
     spark_type = avro_schema_to_spark(schema_json)
     schema = json.loads(schema_json)
-    field_names = [f.name for f in spark_type.fields]
     # timestamps decode to naive-UTC datetimes; tz=UTC in the arrow type
     # makes pyarrow interpret them as the UTC instants they are
     arrow_type = to_arrow_type(spark_type)
 
     @arrow_udf(spark_type)
     def _decode_arrow(payloads: pa.Array) -> pa.Array:
+        # to_pylist renders null payload slots as None; a NULL payload
+        # (Kafka tombstone) decodes to a NULL STRUCT — matching the JVM
+        # from_avro's null-intolerant eval, so engine='auto' results
+        # cannot depend on whether the jar is loaded
         records = [
-            decode_record(payloads[i].as_py(), schema)
-            if payloads[i].is_valid
-            else {k: None for k in field_names}
-            for i in range(len(payloads))
+            None if b is None else decode_record(b, schema) for b in payloads.to_pylist()
         ]
         return pa.array(records, type=arrow_type)
 
@@ -298,8 +298,7 @@ def encode_avro_udf(schema_json: str):
     @arrow_udf(BinaryType())
     def _encode_arrow(structs: pa.Array) -> pa.Array:
         payloads = [
-            encode_record(structs[i].as_py(), schema) if structs[i].is_valid else None
-            for i in range(len(structs))
+            None if rec is None else encode_record(rec, schema) for rec in structs.to_pylist()
         ]
         return pa.array(payloads, type=pa.binary())
 

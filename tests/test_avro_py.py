@@ -123,7 +123,7 @@ def test_nullable_long_exact_above_2_53(spark):
     assert {r["v"] for r in back.collect()} == {big, None}
 
 
-def test_jvm_encode_uses_declared_schema(monkeypatch):
+def test_jvm_encode_uses_declared_schema(spark, monkeypatch):
     """encode_avro(engine='jvm') must hand the DECLARED schema to
     to_avro: without it the writer schema is Catalyst-derived, whose
     union branch order need not match the declared ["null","long"] —
@@ -145,3 +145,16 @@ def test_jvm_encode_uses_declared_schema(monkeypatch):
     assert seen["schema"] == '{"type":"record","name":"R","fields":[]}'
     avro_mod.encode_avro(F.lit(1), None, engine="jvm")  # no schema → derive
     assert seen["schema"] is None
+
+
+def test_null_payload_decodes_to_null_struct(spark):
+    """A NULL payload (Kafka tombstone) must decode to a NULL STRUCT —
+    the JVM from_avro semantics — not a struct of all-NULL fields, so
+    engine='auto' results cannot depend on whether the jar is loaded."""
+    s = json.dumps(
+        {"type": "record", "name": "R", "fields": [{"name": "v", "type": ["null", "long"]}]}
+    )
+    df = spark.createDataFrame([(encode_record({"v": 7}, s),), (None,)], "p binary")
+    rows = df.select(decode_avro_udf(s)(F.col("p")).alias("r")).collect()
+    got = sorted((r["r"] is None, r["r"]["v"] if r["r"] is not None else None) for r in rows)
+    assert got == [(False, 7), (True, None)]
