@@ -223,6 +223,12 @@ def ingest_bench(spark) -> dict | None:
 
             app.run(await_termination=True, timeout=600)
             app.stop()
+            if stats["t0"] is None or stats["t1"] is None or stats["t1"] <= stats["t0"]:
+                # timeout before the first batch finished — drop THIS
+                # trial, keep the others (a TypeError here used to ride
+                # the broad except and discard every completed trial)
+                print(f"# ingest trial {t}: no completed batch (timeout?), skipped", file=sys.stderr)
+                continue
             dt = stats["t1"] - stats["t0"]
             mbps = stats["bytes"] / (1024 * 1024) / dt
             print(
@@ -230,6 +236,9 @@ def ingest_bench(spark) -> dict | None:
                 file=sys.stderr,
             )
             results.append(mbps)
+        if not results:
+            print("# ingest bench: zero completed trials", file=sys.stderr)
+            return None
         import statistics
 
         spread = (max(results) - min(results)) / max(results) * 100

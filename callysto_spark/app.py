@@ -104,6 +104,7 @@ class _Flow:
     transform: Callable[[DataFrame], DataFrame]
     sink: Callable[[DataFrame], Any] | None = None
     collect_to: str | None = None  # memory sink query name
+    output_mode: str = "append"  # aggregating flows need update/complete
 
 
 class App:
@@ -138,6 +139,11 @@ class App:
         self._queries: list[Any] = []
         self._query_owner: dict[str, str] = {}  # query id → agent/flow name
         self._failures: list[tuple[str | None, str]] = []  # (owner, exception text)
+        # agents the user stopped explicitly — the supervision monitor must
+        # never resurrect these, even if the stop raced a crash
+        self._stopped_agents: set[str] = set()
+        self._supervised = False  # set by enable_auto_restart
+        self._supervision_poll = 2.0
         self._threads: list[threading.Thread] = []
         self._pages: dict[str, Callable[[], Any]] = {}
         self._web: Any = None
@@ -176,12 +182,18 @@ class App:
         transform: Callable[[DataFrame], DataFrame] | None = None,
         sink: Callable[[DataFrame], Any] | None = None,
         collect_to: str | None = None,
+        output_mode: str = "append",
     ):
         """Register a declarative transform over a source. ``collect_to``
-        routes results to an in-memory sink (query name = view name)."""
+        routes results to an in-memory sink (query name = view name).
+        ``output_mode``: a flow whose transform contains a streaming
+        aggregation needs ``"update"`` or ``"complete"`` — append mode
+        rejects unwatermarked streaming aggs at start."""
 
         def deco(fn: Callable[[DataFrame], DataFrame]):
-            self._flows[name] = _Flow(name, self.source(source), fn, sink, collect_to)
+            self._flows[name] = _Flow(
+                name, self.source(source), fn, sink, collect_to, output_mode
+            )
             return fn
 
         if transform is not None:
@@ -382,7 +394,7 @@ class App:
             import tempfile
 
             q = (
-                df.writeStream.outputMode("append")
+                df.writeStream.outputMode(flow.output_mode)
                 .format("memory")
                 .queryName(flow.collect_to)
                 .option(
@@ -395,7 +407,8 @@ class App:
         else:
             sink_fn = _as_foreach_batch(flow.sink) if flow.sink else (lambda b, i: None)
             q = (
-                df.writeStream.foreachBatch(sink_fn)
+                df.writeStream.outputMode(flow.output_mode)
+                .foreachBatch(sink_fn)
                 .queryName(_identifier(f"{self.name}_{flow.name}"))
                 .option("checkpointLocation", f"{self.checkpoint_root}/{flow.name}")
                 .trigger(availableNow=True)
@@ -437,16 +450,38 @@ class App:
             self._threads.append(t)
         if await_termination:
             deadline = time.time() + timeout if timeout else None
-            # snapshot: the auto-restart monitor mutates self._queries
-            for q in list(self._queries):
-                if deadline is None:
-                    q.awaitTermination()
-                    continue
-                remaining = deadline - time.time()
-                if remaining <= 0:
-                    break  # deadline expired while awaiting earlier queries
-                # pyspark rejects non-positive timeouts, hence the guard
-                q.awaitTermination(remaining)
+            if self._supervised:
+                # Supervised await: awaitTermination() RE-RAISES a crashed
+                # query's exception, which would abort run() even though the
+                # monitor restarts the agent — and the restarted query (a
+                # new object appended after the snapshot) would never be
+                # awaited. Poll the live set instead: exceptions stay the
+                # monitor's to handle, and the loop ends only when the set
+                # stays idle past one monitor cycle (a crash's restart
+                # lands within poll_seconds) or the deadline passes.
+                grace = self._supervision_poll * 2
+                idle_since: float | None = None
+                while True:
+                    if deadline is not None and time.time() >= deadline:
+                        break
+                    if any(q.isActive for q in list(self._queries)):
+                        idle_since = None
+                    elif idle_since is None:
+                        idle_since = time.time()
+                    elif time.time() - idle_since >= grace:
+                        break
+                    time.sleep(min(0.25, self._supervision_poll))
+            else:
+                # snapshot: stop()/stop_agent may mutate self._queries
+                for q in list(self._queries):
+                    if deadline is None:
+                        q.awaitTermination()
+                        continue
+                    remaining = deadline - time.time()
+                    if remaining <= 0:
+                        break  # deadline expired while awaiting earlier queries
+                    # pyspark rejects non-positive timeouts, hence the guard
+                    q.awaitTermination(remaining)
 
     def enable_auto_restart(self, poll_seconds: float = 2.0, max_restarts: int = 3) -> None:
         """Crash-restart supervision (reference service state machine
@@ -455,6 +490,8 @@ class App:
         restarts the owning agent from its checkpoint, up to
         ``max_restarts`` per agent."""
         restarts: dict[str, int] = {}
+        self._supervised = True
+        self._supervision_poll = poll_seconds
 
         import logging
 
@@ -481,6 +518,11 @@ class App:
                     if name is None or name not in self._agents:
                         log.error("query %s failed with no restartable owner: %s", q.id, exc)
                         continue
+                    if name in self._stopped_agents:
+                        # the user stopped this agent (possibly racing the
+                        # crash) — honoring the stop beats resurrecting
+                        log.info("agent %r crashed but was stopped; not restarting", name)
+                        continue
                     if restarts.get(name, 0) < max_restarts:
                         restarts[name] = restarts.get(name, 0) + 1
                         try:
@@ -498,15 +540,22 @@ class App:
         """Start a single registered agent at runtime, outside
         :meth:`run`'s bookkeeping (reference dynamic spawn,
         `app.rs:626-640` / the `onthefly` feature `app.rs:766-864`)."""
+        self._stopped_agents.discard(name)  # explicit start re-arms supervision
         self._start_agent(self._agents[name])
 
     def stop_agent(self, name: str) -> None:
         """Stop the streaming query backing an agent (runtime query
-        management — ownership tracked by query id, not name)."""
+        management — ownership tracked by query id, not name).
+        Marks the agent stopped FIRST so a crash racing this call can
+        never be resurrected by the supervision monitor."""
+        self._stopped_agents.add(name)
         for q in list(self._queries):
             if self._query_owner.get(str(q.id)) == name:
                 q.stop()
-                self._queries.remove(q)
+                try:
+                    self._queries.remove(q)
+                except ValueError:
+                    pass  # the monitor removed it concurrently
                 self._query_owner.pop(str(q.id), None)
 
     @property
@@ -520,7 +569,8 @@ class App:
         if self._web is not None:
             self._web.stop()
             self._web = None
-        for q in self._queries:
+        # snapshot: the supervision monitor mutates self._queries
+        for q in list(self._queries):
             try:
                 q.stop()
             except Exception:

@@ -135,6 +135,12 @@ class ConsumerConfig:
             opts["maxOffsetsPerTrigger"] = str(self.max_offsets_per_trigger)
         if self.min_partitions is not None:
             opts["minPartitions"] = str(self.min_partitions)
+        # route through the one source-level whitelist (descriptors.py):
+        # a prefix heuristic misroutes real CLIENT configs that happen to
+        # start with max/min/... (max.poll.records would be emitted as an
+        # unknown source option Spark silently ignores)
+        from callysto_spark.sources.descriptors import kafka_option_key
+
         for k, v in {**self.security, **self.extra}.items():
-            opts[k if k.startswith(("kafka.", "max", "min", "starting", "ending")) else f"kafka.{k}"] = v
+            opts[kafka_option_key(k)] = v
         return opts

@@ -20,6 +20,7 @@ values):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -57,8 +58,7 @@ def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = 
             release_transient_persists()
             return fn(spark, sf_dir)
 
-        wrapped.__name__ = fn.__name__
-        wrapped.__doc__ = fn.__doc__
+        functools.wraps(fn)(wrapped)
         REGISTRY[name] = Query(name=name, fn=wrapped, oracle=sql, doc=doc or (fn.__doc__ or ""), bench=bench)
         return fn
 
@@ -135,12 +135,17 @@ def load_all() -> dict[str, Query]:
         "string_funcs_parts",
         "distinct_counts_by_flag",
     ]
-    assert len(promoted) == 30, f"window is 20+30; got {len(promoted)} promoted"
+    # ValueError, not assert: these guard the driver-sample window and
+    # must survive python -O (a stripped assert would silently ship a
+    # mis-sized window and drop queries out of the first-50 sample)
+    if len(promoted) != 30:
+        raise ValueError(f"window is 20+30; got {len(promoted)} promoted")
     # customer_balance_distribution waits for r7 (r4-green with an exact
     # pytest oracle; first to promote next round, alongside the tpch
     # tail whose rows will then be two rounds stale).
     missing = [n for n in promoted if n not in REGISTRY]
-    assert not missing, f"promoted queries not in registry: {missing}"
+    if missing:
+        raise ValueError(f"promoted queries not in registry: {missing}")
     names = list(REGISTRY)
     llm_head = [n for n in names if n.startswith(("doc_", "emb_"))]
     order = (

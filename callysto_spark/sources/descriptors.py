@@ -14,6 +14,33 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+# spark-sql-kafka SOURCE-level option names (lowercased), per the
+# Structured Streaming Kafka integration guide. Everything not here and
+# not already kafka.-prefixed is a Kafka CLIENT config and must get the
+# `kafka.` prefix — Spark silently ignores unknown source-level options,
+# so a misrouted client config (max.poll.records, ...) would never apply.
+KAFKA_SOURCE_LEVEL_OPTIONS = {
+    "assign", "subscribe", "subscribepattern",
+    "startingoffsets", "endingoffsets",
+    "startingoffsetsbytimestamp", "endingoffsetsbytimestamp",
+    "startingtimestamp", "endingtimestamp",
+    "startingoffsetsbytimestampstrategy",
+    "failondataloss", "maxoffsetspertrigger", "minoffsetspertrigger",
+    "maxtriggerdelay", "minpartitions", "groupidprefix",
+    "includeheaders", "fetchoffset.numretries",
+    "fetchoffset.retryintervalms", "kafkaconsumer.polltimeoutms",
+    "topic",
+}
+
+
+def kafka_option_key(key: str) -> str:
+    """Route a passthrough option to its Spark name: source-level names
+    and already-prefixed client configs pass unchanged; everything else
+    gets the `kafka.` client prefix."""
+    if key.startswith("kafka.") or key.lower() in KAFKA_SOURCE_LEVEL_OPTIONS:
+        return key
+    return f"kafka.{key}"
+
 
 @dataclass
 class SourceSpec:
@@ -39,35 +66,12 @@ class SourceSpec:
         (`config.rs:16-161`). Blind prefixing would silently turn e.g.
         maxOffsetsPerTrigger into an unknown client property the consumer
         ignores, so the backpressure cap would never apply."""
-        # spark-sql-kafka source-level option names (lowercased), per the
-        # Structured Streaming Kafka integration guide
-        source_level = {
-            "assign", "subscribe", "subscribepattern",
-            "startingoffsets", "endingoffsets",
-            "startingoffsetsbytimestamp", "endingoffsetsbytimestamp",
-            "startingtimestamp", "endingtimestamp",
-            "startingoffsetsbytimestampstrategy",
-            "failondataloss", "maxoffsetspertrigger", "minoffsetspertrigger",
-            "maxtriggerdelay", "minpartitions", "groupidprefix",
-            "includeheaders", "fetchoffset.numretries",
-            "fetchoffset.retryintervalms", "kafkaconsumer.polltimeoutms",
-            "topic",
-        }
         opts = {
             "subscribe": topic,
             "kafka.bootstrap.servers": bootstrap_servers,
             "startingOffsets": starting_offsets,
         }
-        opts.update(
-            {
-                (
-                    k
-                    if k.startswith("kafka.") or k.lower() in source_level
-                    else f"kafka.{k}"
-                ): v
-                for k, v in options.items()
-            }
-        )
+        opts.update({kafka_option_key(k): v for k, v in options.items()})
         return SourceSpec("kafka", opts)
 
     @staticmethod

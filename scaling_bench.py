@@ -158,7 +158,10 @@ def time_pipeline(spark, build, n_runs: int) -> tuple[float, int]:
         df.write.format("noop").mode("overwrite").save()
         return df
 
-    run()  # codegen/JIT warm, untimed
+    df = run()  # codegen/JIT warm, untimed
+    # row count off the warm plan — counting via a FRESH run() would
+    # execute the whole pipeline twice more (noop write + count)
+    rows = df.count()
     spark.catalog.clearCache()
     best = float("inf")
     for _ in range(n_runs):
@@ -166,7 +169,6 @@ def time_pipeline(spark, build, n_runs: int) -> tuple[float, int]:
         run()
         best = min(best, time.perf_counter() - t0)
         spark.catalog.clearCache()
-    rows = run().count()
     release_transient_persists()
     return best, rows
 
@@ -184,13 +186,22 @@ def main() -> None:
     spark = get_spark("callysto-scaling", cpus=cpus)
     root = tempfile.mkdtemp(prefix="callysto_scaling_")
     results: dict[str, dict[int, tuple[float, int]]] = {}
+    errors: list[dict] = []
     try:
         for s in scales:
             d = f"{root}/x{s}"
             gen_documents(spark, base_docs * s, d)
             gen_embeddings(spark, base_vecs * s, d)
             for name, build in pipelines(spark, d).items():
-                best, rows = time_pipeline(spark, build, n_runs)
+                # per-pipeline isolation: one pipeline failing at one
+                # scale must not discard every other measurement (the
+                # r3 bench lost a whole round's signal this way)
+                try:
+                    best, rows = time_pipeline(spark, build, n_runs)
+                except Exception as exc:
+                    print(f"# {name} @ {s}x FAILED: {exc}", file=sys.stderr)
+                    errors.append({"pipeline": name, "scale": s, "error": str(exc)[:300]})
+                    continue
                 results.setdefault(name, {})[s] = (best, rows)
                 print(f"# {name} @ {s}x: {best:.3f}s ({rows} rows)", file=sys.stderr)
     finally:
@@ -203,7 +214,8 @@ def main() -> None:
                    "rows": {str(s): r for s, (_, r) in by_scale.items()}}
             for name, by_scale in results.items()
         }
-        print(json.dumps({"metric": "scaleup_exponents", "scales": scales, "pipelines": report}))
+        print(json.dumps({"metric": "scaleup_exponents", "scales": scales,
+                          "pipelines": report, "errors": errors}))
         spark.stop()
         return
     report = {}
@@ -215,27 +227,37 @@ def main() -> None:
         # amortized there, so the TAIL is what the super-linearity gate
         # tests (the all-points fit systematically dilutes asymptotic
         # growth with overhead-dominated small points).
-        xs = [math.log(s) for s in scales]
-        ys = [math.log(by_scale[s][0]) for s in scales]
+        have = [s for s in scales if s in by_scale]  # a scale may have failed
+        if len(have) < 2:
+            failed.append(name)  # can't gate an unmeasurable pipeline
+            report[name] = {"t_sec": {str(s): round(by_scale[s][0], 3) for s in have},
+                            "rows": {str(s): by_scale[s][1] for s in have}}
+            continue
+        xs = [math.log(s) for s in have]
+        ys = [math.log(by_scale[s][0]) for s in have]
         mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
         exp = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum((x - mx) ** 2 for x in xs)
-        s1, s2 = scales[-2], scales[-1]
+        s1, s2 = have[-2], have[-1]
         tail = math.log(by_scale[s2][0] / by_scale[s1][0]) / math.log(s2 / s1)
         report[name] = {
-            "t_sec": {str(s): round(by_scale[s][0], 3) for s in scales},
+            "t_sec": {str(s): round(by_scale[s][0], 3) for s in have},
             "exponent": round(exp, 3),
             "tail_exponent": round(tail, 3),
-            "rows": {str(s): by_scale[s][1] for s in scales},
+            "rows": {str(s): by_scale[s][1] for s in have},
         }
         print(f"# {name}: exponent fit={exp:.3f} tail={tail:.3f}", file=sys.stderr)
         if tail > EXPONENT_MAX:
             failed.append(name)
-    print(json.dumps({"metric": "scaleup_exponents", "scales": scales, "pipelines": report}))
+    print(json.dumps({"metric": "scaleup_exponents", "scales": scales,
+                      "pipelines": report, "errors": errors}))
     if "--update-md" in sys.argv:
         update_md(report, scales, cpus, n_runs, base_docs, base_vecs)
     spark.stop()
-    if failed:
-        print(f"# SUPER-LINEAR: {failed} exceeded exponent {EXPONENT_MAX}", file=sys.stderr)
+    if failed or errors:
+        if failed:
+            print(f"# SUPER-LINEAR or unmeasurable: {failed} (gate {EXPONENT_MAX})", file=sys.stderr)
+        if errors:
+            print(f"# {len(errors)} pipeline run(s) errored — see errors key", file=sys.stderr)
         sys.exit(1)
 
 
@@ -260,11 +282,12 @@ def update_md(report, scales, cpus, n_runs, base_docs, base_vecs) -> None:
     tails = {}
     for name, r in report.items():
         rows = r["rows"]
-        ts = " | ".join(str(r["t_sec"][str(s)]) for s in scales)
-        tails[name] = r["tail_exponent"]
+        # a scale may be absent for a pipeline that errored there
+        ts = " | ".join(str(r["t_sec"].get(str(s), "—")) for s in scales)
+        tails[name] = r.get("tail_exponent", "n/a")
         lines.append(
-            f"| {name} | {ts} | {r['exponent']} | {r['tail_exponent']} "
-            f"| {rows[str(min(scales))]} -> {rows[str(hi)]} |"
+            f"| {name} | {ts} | {r.get('exponent', 'n/a')} | {tails[name]} "
+            f"| {rows.get(str(min(scales)), '—')} -> {rows.get(str(hi), '—')} |"
         )
     s1, s2 = scales[-2], scales[-1]
     lines += [

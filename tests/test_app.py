@@ -719,3 +719,96 @@ def test_memory_sink_stateful_agent_survives_rerun(spark, tmp_path, sf_dir):
         }
         a.stop()
         assert got == {"even": n // 2, "odd": n // 2}, "fresh state each run"
+
+
+def test_auto_restart_survives_crash_and_run_returns(app, spark, tmp_path, sf_dir):
+    """L9 crash-restart, executed end to end: an agent whose foreachBatch
+    raises once must (a) NOT propagate out of run(await_termination=True)
+    while supervision is on — awaitTermination() re-raises crashed-query
+    exceptions, so an unsupervised await would abort the app even as the
+    monitor restarts it — and (b) be restarted from its checkpoint so the
+    batch is reprocessed and state lands."""
+    import shutil
+
+    from callysto_spark.sources import SourceSpec
+
+    stream_dir = tmp_path / "s"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "a.parquet")
+    src = SourceSpec.parquet_stream(
+        str(stream_dir),
+        schema="event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    crashes = {"n": 0}
+
+    @app.agent("flaky", src)
+    def flaky(df, ctx):
+        if crashes["n"] == 0:
+            crashes["n"] += 1
+            raise RuntimeError("boom (injected once)")
+        ctx.state["rows"] = ctx.state.get("rows", 0) + df.count()
+
+    app.enable_auto_restart(poll_seconds=0.2, max_restarts=3)
+    app.run(await_termination=True, timeout=120)  # must NOT raise
+    assert crashes["n"] == 1
+    assert app.state.get("rows", 0) > 0, "restarted agent must reprocess the batch"
+    assert app.failures and app.failures[0][0] == "flaky"
+    assert "boom" in app.failures[0][1]
+
+
+def test_stop_agent_wins_over_restart_and_rearms(app, spark, tmp_path, sf_dir):
+    """A stop_agent() racing a crash must not be resurrected by the
+    monitor (_stopped_agents is checked before restart), and an explicit
+    run_agent() re-arms supervision for that agent."""
+    import shutil
+
+    from callysto_spark.sources import SourceSpec
+
+    stream_dir = tmp_path / "s"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "a.parquet")
+    src = SourceSpec.parquet_stream(
+        str(stream_dir),
+        schema="event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+
+    @app.agent("once", src)
+    def once(df, ctx):
+        ctx.state["rows"] = ctx.state.get("rows", 0) + df.count()
+
+    app.run(await_termination=True, timeout=120)
+    app.stop_agent("once")
+    assert "once" in app._stopped_agents
+    app.run_agent("once")  # explicit start re-arms
+    assert "once" not in app._stopped_agents
+    app.stop_agent("once")
+    app.stop_agent("once")  # idempotent: second stop must not raise
+
+
+def test_aggregating_flow_update_mode(app, spark, tmp_path, sf_dir):
+    """A flow whose transform contains a streaming aggregation needs
+    output_mode='update' — append mode rejects unwatermarked streaming
+    aggs at start, so the declarative flow surface must expose the knob."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from callysto_spark.sources import SourceSpec
+
+    stream_dir = tmp_path / "s"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "a.parquet")
+    src = SourceSpec.parquet_stream(
+        str(stream_dir),
+        schema="event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    seen: list = []
+    app.flow(
+        "counts",
+        src,
+        transform=lambda df: df.groupBy("event_type").agg(F.count("*").alias("n")),
+        sink=lambda batch: seen.append(batch.count()),
+        output_mode="update",
+    )
+    app.run(await_termination=True, timeout=120)
+    assert seen and seen[0] > 0

@@ -357,3 +357,25 @@ def test_kafka_descriptor_does_not_mangle_source_level_options():
     assert o["kafka.session.timeout.ms"] == "10000"  # client config: prefixed
     assert o["kafka.security.protocol"] == "SSL"     # already prefixed: kept
     assert "kafka.maxOffsetsPerTrigger" not in o
+
+
+def test_consumer_config_routes_client_options_through_whitelist():
+    """ConsumerConfig.extra/security must use the same source-level
+    whitelist as SourceSpec.kafka: a prefix heuristic (startswith max/
+    min/...) emitted real CLIENT configs like max.poll.records as
+    unknown source options Spark silently ignores."""
+    from callysto_spark.config import ConsumerConfig
+
+    opts = ConsumerConfig(
+        extra={
+            "max.poll.records": "500",                     # client: needs prefix
+            "maxOffsetsPerTrigger": "100",                 # source-level: bare
+            "kafka.security.protocol": "SSL",              # already prefixed
+        },
+        security={"min.insync.replicas": "2"},             # client: needs prefix
+    ).to_source_options("t")
+    assert opts["kafka.max.poll.records"] == "500"
+    assert "max.poll.records" not in opts
+    assert opts["maxOffsetsPerTrigger"] == "100"
+    assert opts["kafka.security.protocol"] == "SSL"
+    assert opts["kafka.min.insync.replicas"] == "2"
