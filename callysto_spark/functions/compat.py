@@ -150,3 +150,48 @@ def rewrite_oracle_round(sql: str) -> str:
         repl = f"(floor(({expr}) * {scale}.0 + 0.5) / {scale}.0)"
         out = out[:s] + repl + out[e:]
         pos = s + len(repl)
+
+
+# ------------------------------------------------------ tokenizer contract
+# Java regex (Spark) and RE2 (DuckDB) disagree at two points that matter
+# for text kernels, found by the pathological-text fuzz
+# (tests/test_text_fuzz.py):
+#   - \s: Java includes \x0B (vertical tab); RE2 does not.
+#   - toLowerCase: Java applies Unicode SpecialCasing — final sigma is
+#     context-sensitive (ΣΑΣ → σας vs utf8proc's σασ) and İ (U+0130)
+#     lowers to i + combining dot above (U+0307) where utf8proc yields
+#     a bare i.
+# So the tokenizer contract is EXPLICIT and implemented identically on
+# both engines:
+#   whitespace  = [\t\n\x0B\f\r ] (ASCII, spelled out)
+#   casefold(x) = lower(x), then ς→σ, then strip U+0307
+WS_CHARS = r"\t\n\x0B\f\r "  # regex-escape spellings, valid in Java and RE2
+WS_CLASS = f"[{WS_CHARS}]"
+NON_WS_CLASS = f"[^{WS_CHARS}]"
+
+
+def casefold_col(text: Column) -> Column:
+    """Engine-side casefold per the contract: lower, fold final sigma,
+    strip the combining dot above that Java lowercasing introduces for
+    İ (translate deletes chars with no counterpart)."""
+    return F.translate(F.lower(text), "\u03c2\u0307", "\u03c3")
+
+
+def casefold_sql(col: str = "text") -> str:
+    """Oracle-side casefold — identical output to :func:`casefold_col`
+    (DuckDB's lower already folds sigma to σ and drops İ's dot; the
+    replaces align any PRE-EXISTING ς / U+0307 in the input)."""
+    return f"replace(replace(lower({col}), 'ς', 'σ'), chr(775), '')"
+
+
+def tokens_sql(col: str = "text") -> str:
+    """Oracle-side whitespace tokens of case-folded text — the exact
+    twin of ``operators.dedup.tokens_col``."""
+    return f"string_split_regex(trim({casefold_sql(col)}), '{WS_CLASS}+')"
+
+
+def ntokens_sql(col: str = "text") -> str:
+    """Oracle-side token count: number of non-whitespace runs (0 for
+    empty/blank — counting runs needs no trim/empty special-case, where
+    length(split(...)) yields 1 for '')."""
+    return f"length(regexp_extract_all({col}, '{NON_WS_CLASS}+'))"

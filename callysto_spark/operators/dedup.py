@@ -58,8 +58,14 @@ def dedup_exact(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column]) 
 
 
 def tokens_col(text: Column) -> Column:
-    """Whitespace tokens of lower-cased text (empty-safe)."""
-    return F.split(F.trim(F.lower(text)), r"\s+")
+    """Whitespace tokens of case-folded text (empty-safe), under the
+    pinned cross-engine tokenizer contract (functions/compat.py:
+    explicit ASCII whitespace class, casefold = lower + sigma fold +
+    U+0307 strip — the points where Java regex/toLowerCase and DuckDB's
+    RE2/utf8proc disagree)."""
+    from callysto_spark.functions.compat import WS_CLASS, casefold_col
+
+    return F.split(F.trim(casefold_col(text)), WS_CLASS + "+")
 
 
 def stage_text(df: DataFrame, text_col: str) -> DataFrame:

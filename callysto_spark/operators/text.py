@@ -22,13 +22,16 @@ LANG_MARKERS: dict[str, list[str]] = {
 def token_count(text: Column) -> Column:
     """Whitespace token count (0 for empty/blank strings).
 
-    ``regexp_count`` of non-space runs, not ``size(split(...))``: same
-    value (oracle-identical), but counting matches allocates no token
-    array — measured ~20% faster over the documents table.
+    ``regexp_count`` of non-whitespace runs, not ``size(split(...))``:
+    same value (oracle-identical), but counting matches allocates no
+    token array — measured ~20% faster over the documents table — and
+    counting runs needs no trim/empty special case (length(split(''))
+    is 1, not 0). The class is the pinned explicit whitespace contract
+    (functions/compat.py: Java's \\s includes \\x0B, RE2's does not).
     """
-    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
-        F.regexp_count(F.trim(text), F.lit(r"\S+"))
-    )
+    from callysto_spark.functions.compat import NON_WS_CLASS
+
+    return F.regexp_count(text, F.lit(NON_WS_CLASS + "+"))
 
 
 def char_classes(text: Column) -> dict[str, Column]:
@@ -65,12 +68,14 @@ def lang_scores(text: Column) -> dict[str, Column]:
     match counting equals split-pieces−1 (both consume the trailing
     separator), with no array allocation per marker — 16 markers make
     that saving matter."""
-    lowered = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    from callysto_spark.functions.compat import WS_CLASS, casefold_col
+
+    lowered = F.concat(F.lit(" "), casefold_col(text), F.lit(" "))
     out = {}
     for lang, words in LANG_MARKERS.items():
         score = None
         for wrd in words:
-            c = F.regexp_count(lowered, F.lit(rf"\s{wrd}\s"))
+            c = F.regexp_count(lowered, F.lit(f"{WS_CLASS}{wrd}{WS_CLASS}"))
             score = c if score is None else score + c
         out[lang] = score
     return out
@@ -80,7 +85,12 @@ def lang_scores(text: Column) -> dict[str, Column]:
 # (no lookahead) so the same pattern runs identically on Spark's Java
 # regex and DuckDB's RE2: contractions | space+letters | space+digits |
 # space+other | whitespace runs. Alternation is leftmost-first in both.
-BPE_TOKEN_PATTERN = r"'(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# Whitespace is the explicit contract class, not \s (Java's \s includes
+# \x0B, RE2's does not — functions/compat.py).
+BPE_TOKEN_PATTERN = (
+    r"'(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+    r"| ?[^\t\n\x0B\f\r \p{L}\p{N}]+|[\t\n\x0B\f\r ]+"
+)
 
 
 def bpe_token_count(text: Column) -> Column:
@@ -94,8 +104,12 @@ def fingerprint(text: Column) -> Column:
     """Normalization fingerprint: sha256 of lower-cased, punct-stripped,
     whitespace-collapsed text — the canonical key for fuzzy-exact dedup
     (case/spacing/punctuation-insensitive)."""
+    # explicit whitespace class on both strip and collapse: under \s,
+    # Java keeps \x0B here while RE2 strips it — different fingerprints
     norm = F.regexp_replace(
-        F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", "")), r"\s+", " "
+        F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9\t\n\x0B\f\r ]", "")),
+        r"[\t\n\x0B\f\r ]+",
+        " ",
     )
     return F.sha2(norm, 256)
 

@@ -40,7 +40,7 @@ def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_top20",
     oracle=r"""
 SELECT tok, count(*) AS n FROM (
-  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents
+  SELECT unnest(string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), chr(775), '')), '[\t\n\x0B\f\r ]+')) AS tok FROM documents
 ) GROUP BY tok
 ORDER BY n DESC, tok
 LIMIT 20

@@ -29,19 +29,27 @@ from callysto_spark.functions import rnd
 from callysto_spark.queries import register
 from callysto_spark.tables import load
 
-_TOKENS_SQL = r"string_split_regex(trim(lower(text)), '\s+')"
+from callysto_spark.functions.compat import casefold_sql as _casefold_sql
+from callysto_spark.functions.compat import ntokens_sql as _ntokens_sql
+from callysto_spark.functions.compat import tokens_sql as _tokens_sql
+from callysto_spark.functions.compat import WS_CLASS as _WS
+from callysto_spark.operators.text import BPE_TOKEN_PATTERN as _BPE_PAT
+
+_TOKENS_SQL = _tokens_sql()
+_NTOK_SQL = _ntokens_sql()
+_CASEFOLD = _casefold_sql("text")
 
 
 @register(
     "doc_token_stats",
     oracle=rf"""
 SELECT doc_id,
-       length({_TOKENS_SQL}) AS n_tokens,
+       {_NTOK_SQL} AS n_tokens,
        length(text) AS n_chars,
        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
        length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS n_space,
        CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-         / greatest(length({_TOKENS_SQL}), 1) AS mean_token_len
+         / greatest({_NTOK_SQL}, 1) AS mean_token_len
 FROM documents
 """,
     bench=True,
@@ -66,7 +74,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_quality_score",
     oracle=rf"""
 SELECT doc_id, lang,
-       (CASE WHEN length({_TOKENS_SQL}) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
+       (CASE WHEN {_NTOK_SQL} BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
          * (1 - CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
                   / greatest(length(text), 1)) AS quality
 FROM documents
@@ -80,26 +88,26 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_lang_scores",
-    oracle=r"""
-WITH t AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS padded FROM documents),
+    oracle=rf"""
+WITH t AS (SELECT doc_id, lang, ' ' || {_CASEFOLD} || ' ' AS padded FROM documents),
 sc AS (
   SELECT doc_id, lang,
-         length(string_split_regex(padded, '\sthe\s')) - 1
-       + length(string_split_regex(padded, '\sand\s')) - 1
-       + length(string_split_regex(padded, '\sof\s')) - 1
-       + length(string_split_regex(padded, '\sis\s')) - 1 AS score_en,
-         length(string_split_regex(padded, '\sder\s')) - 1
-       + length(string_split_regex(padded, '\sund\s')) - 1
-       + length(string_split_regex(padded, '\sdie\s')) - 1
-       + length(string_split_regex(padded, '\sist\s')) - 1 AS score_de,
-         length(string_split_regex(padded, '\sle\s')) - 1
-       + length(string_split_regex(padded, '\set\s')) - 1
-       + length(string_split_regex(padded, '\sla\s')) - 1
-       + length(string_split_regex(padded, '\sest\s')) - 1 AS score_fr,
-         length(string_split_regex(padded, '\sel\s')) - 1
-       + length(string_split_regex(padded, '\slos\s')) - 1
-       + length(string_split_regex(padded, '\sde\s')) - 1
-       + length(string_split_regex(padded, '\ses\s')) - 1 AS score_es
+         length(string_split_regex(padded, '{_WS}the{_WS}')) - 1
+       + length(string_split_regex(padded, '{_WS}and{_WS}')) - 1
+       + length(string_split_regex(padded, '{_WS}of{_WS}')) - 1
+       + length(string_split_regex(padded, '{_WS}is{_WS}')) - 1 AS score_en,
+         length(string_split_regex(padded, '{_WS}der{_WS}')) - 1
+       + length(string_split_regex(padded, '{_WS}und{_WS}')) - 1
+       + length(string_split_regex(padded, '{_WS}die{_WS}')) - 1
+       + length(string_split_regex(padded, '{_WS}ist{_WS}')) - 1 AS score_de,
+         length(string_split_regex(padded, '{_WS}le{_WS}')) - 1
+       + length(string_split_regex(padded, '{_WS}et{_WS}')) - 1
+       + length(string_split_regex(padded, '{_WS}la{_WS}')) - 1
+       + length(string_split_regex(padded, '{_WS}est{_WS}')) - 1 AS score_fr,
+         length(string_split_regex(padded, '{_WS}el{_WS}')) - 1
+       + length(string_split_regex(padded, '{_WS}los{_WS}')) - 1
+       + length(string_split_regex(padded, '{_WS}de{_WS}')) - 1
+       + length(string_split_regex(padded, '{_WS}es{_WS}')) - 1 AS score_es
   FROM t
 )
 SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
@@ -135,10 +143,17 @@ def doc_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_bpe_token_stats",
-    oracle=r"""
+    # plain concat, not an f-string: the BPE pattern contains {L}/{N}
+    # braces; the pattern is the ENGINE constant, quote-escaped, so the
+    # two engines can never drift
+    oracle="""
 SELECT doc_id,
-       length(regexp_extract_all(text, '''(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe_tokens,
-       length(string_split_regex(trim(lower(text)), '\s+')) AS n_ws_tokens
+       length(regexp_extract_all(text, '"""
+    + _BPE_PAT.replace("'", "''")
+    + """')) AS n_bpe_tokens,
+       """
+    + _NTOK_SQL
+    + """ AS n_ws_tokens
 FROM documents
 """,
 )
@@ -160,7 +175,7 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH toks AS (
   SELECT doc_id AS doc, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
-  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents)
+  FROM (SELECT doc_id, string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), chr(775), '')), '[\t\n\x0B\f\r ]+') AS t FROM documents)
 ),
 grams AS (
   SELECT doc, pos,
@@ -206,8 +221,8 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH fp AS (
   SELECT doc_id,
-         sha256(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')),
-                               '\s+', ' ', 'g')) AS fingerprint
+         sha256(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\t\n\x0B\f\r ]', '', 'g')),
+                               '[\t\n\x0B\f\r ]+', ' ', 'g')) AS fingerprint
   FROM documents
 )
 SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS canonical_doc
@@ -250,7 +265,7 @@ WITH sh AS (
   SELECT doc_id AS doc, unnest(list_distinct(
            [array_to_string(toks[i:i+3], ' ')
             for i in range(1, greatest(length(toks) - 3, 1) + 1)])) AS g
-  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
+  FROM (SELECT doc_id, string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), chr(775), '')), '[\t\n\x0B\f\r ]+') AS toks FROM documents)
 ),
 sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
 pairs AS (
@@ -289,7 +304,7 @@ WITH sh AS (
   SELECT doc_id AS doc, unnest(list_distinct(
            [array_to_string(toks[i:i+3], ' ')
             for i in range(1, greatest(length(toks) - 3, 1) + 1)])) AS g
-  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
+  FROM (SELECT doc_id, string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), chr(775), '')), '[\t\n\x0B\f\r ]+') AS toks FROM documents)
 ),
 sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
 kept AS (
@@ -326,7 +341,7 @@ WITH sh AS (
   SELECT doc_id AS doc, unnest(list_distinct(
            [array_to_string(toks[i:i+3], ' ')
             for i in range(1, greatest(length(toks) - 3, 1) + 1)])) AS g
-  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
+  FROM (SELECT doc_id, string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), chr(775), '')), '[\t\n\x0B\f\r ]+') AS toks FROM documents)
 ),
 sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
 pairs AS (
@@ -756,12 +771,12 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
 WITH scored AS (
   SELECT doc_id, lang, text,
-         length({_TOKENS_SQL}) AS n_tokens,
-         (CASE WHEN length({_TOKENS_SQL}) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
+         {_NTOK_SQL} AS n_tokens,
+         (CASE WHEN {_NTOK_SQL} BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
            * (1 - CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
                     / greatest(length(text), 1)) AS quality,
-         sha256(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')),
-                               '\s+', ' ', 'g')) AS fingerprint
+         sha256(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\t\n\x0B\f\r ]', '', 'g')),
+                               '[\t\n\x0B\f\r ]+', ' ', 'g')) AS fingerprint
   FROM documents
 ),
 filtered AS (SELECT * FROM scored WHERE quality >= 0.7 AND n_tokens >= 20),

@@ -317,7 +317,7 @@ def argmax_order_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        generate_subscripts(toks, 1) - 1 AS pos,
        unnest(toks) AS tok
-FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+FROM (SELECT doc_id, string_split_regex(trim(replace(replace(lower(text), 'ς', 'σ'), chr(775), '')), '[\t\n\x0B\f\r ]+') AS toks
       FROM documents WHERE doc_id < 10)
 """,
 )

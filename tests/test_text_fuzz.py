@@ -1,0 +1,104 @@
+"""Pathological-text parity: every text-consuming registry query vs its
+oracle with ~20% of document texts replaced by adversarial strings.
+
+The pinned testdata is benign ASCII, so the oracle harness never pushes
+unicode or degenerate whitespace through the token kernels — and the
+two engines genuinely disagree there. Divergences this sweep caught,
+each fixed by pinning ONE explicit contract on both sides
+(functions/compat.py, the tokenizer contract):
+
+- \\s: Java counts \\x0B (vertical tab) as whitespace, RE2 does not —
+  token boundaries differed on exotic-whitespace docs;
+- toLowerCase: Java applies Unicode SpecialCasing — ΣΑΣ → σας (final
+  sigma, context-sensitive) where utf8proc yields σασ, and İ → i +
+  combining dot above (U+0307) where utf8proc yields bare i — so token
+  hashes (simhash/winnow/minhash) differed on Greek/Turkish docs;
+- empty/blank text: length(string_split_regex('')) is 1 in SQL while
+  the engine counted 0 tokens — now both count non-whitespace RUNS.
+
+The substitution mask is crc32-deterministic, so failures reproduce.
+"""
+
+from __future__ import annotations
+
+import shutil
+import zlib
+
+import pytest
+
+from callysto_spark.queries import load_all
+
+REGISTRY = load_all()
+TARGETS = sorted(
+    n for n in REGISTRY
+    if n.startswith("doc_") or n in ("token_top20", "token_positions")
+)
+
+PATHOLOGICAL = [
+    "",                                       # empty
+    "   \t\n  ",                              # whitespace-only
+    "word nbsp emsp separated",     # unicode spaces (no split)
+    "你好世界 \U0001F600\U0001F680 mixed",    # CJK + emoji
+    "café café CAFÉ",         # precomposed vs combining
+    "STRASSE straße GROSS",              # German sharp s
+    "x" * 10000,                              # one huge token
+    ("tok " * 500).strip(),                   # many identical tokens
+    "a.b*c(d)e[f]g{h}|i\\j+k?l^m$n",          # regex metacharacters
+    "line1\r\nline2\rline3\nline4",           # CR/LF mixes
+    "'quote' “curly” ‘single’ —dash…",
+    "İstanbul Iı izmir",            # Turkish dotted/dotless i
+    "ΣΑΣ σιγμα",  # final sigma
+    "tab\tsep\x0bvtab\x0cff",                 # exotic ASCII whitespace
+    "  leading and trailing  ",
+    "​zero​width​joined",      # zero-width spaces
+]
+
+
+@pytest.fixture(scope="module")
+def fuzzed_sf(tmp_path_factory, sf_dir):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from callysto_spark.tables import TABLES
+
+    base = tmp_path_factory.mktemp("text_fuzz_sf")
+    tab = pq.read_table(f"{sf_dir}/documents.parquet")
+    texts = tab.column("text").to_pylist()
+    ids = tab.column("doc_id").to_pylist()
+    for i in range(len(texts)):
+        if (zlib.crc32(str(ids[i]).encode()) % 5) == 0:  # ~20%, deterministic
+            texts[i] = PATHOLOGICAL[ids[i] % len(PATHOLOGICAL)]
+    cols = {name: tab.column(name) for name in tab.column_names}
+    cols["text"] = pa.array(texts, type=pa.string())
+    pq.write_table(pa.table(cols), str(base / "documents.parquet"))
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(f"{sf_dir}/{t}.parquet", base / f"{t}.parquet")
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def fuzzed_ddb(fuzzed_sf):
+    import duckdb
+
+    from callysto_spark.tables import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{fuzzed_sf}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", TARGETS)
+def test_text_fuzz_parity(name, spark, fuzzed_sf, fuzzed_ddb):
+    q = REGISTRY[name]
+    srows = sorted(map(str, (tuple(r) for r in q.fn(spark, fuzzed_sf).collect())))
+    orows = sorted(map(str, (tuple(r) for r in fuzzed_ddb.execute(q.oracle).fetchall())))
+    assert len(srows) == len(orows), (
+        f"{name}: {len(srows)} vs {len(orows)} rows under text fuzz"
+    )
+    diffs = [(a, b) for a, b in zip(srows, orows) if a != b]
+    assert not diffs, f"{name}: {len(diffs)} rows diverge under text fuzz; first: {diffs[:2]}"
