@@ -41,12 +41,24 @@ def fixed_sum(col: Column | str, scale: int = 100) -> Column:
     Each ROW is rounded to a scaled integer (identical per-row doubles ⇒
     identical ints in every engine), summed exactly in int64 (addition
     is associative), then divided back. Semantics: "sum of per-row
-    values at 1/scale resolution" — bit-identical across engines and
-    partitionings at ANY row count. Oracle-side macro: MSUM(x) /
-    FSUM(x, scale) (see rewrite_oracle_fixed).
+    values at 1/scale resolution over rows whose scaled value is finite
+    and within ±2^53" — NaN/±Inf/overflow-range rows are excluded, not
+    crashed on (see the in-range CASE below). Bit-identical across
+    engines and partitionings at ANY row count. Oracle-side macro:
+    MSUM(x) / FSUM(x, scale) (see rewrite_oracle_fixed).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(F.floor(c * F.lit(float(scale)) + F.lit(0.5)).cast("long")) / F.lit(float(scale))
+    pre = c * F.lit(float(scale)) + F.lit(0.5)
+    # Robustness contract: rows whose scaled value is non-finite (NaN,
+    # ±Inf) or beyond ±2^53 are EXCLUDED (NULL) — fixed-point cannot
+    # represent them, and ranking them through would overflow the int64
+    # sum and kill the job under ANSI mode (one dirty 1e308 row in
+    # 100 TB would abort the whole pipeline). The check runs on the
+    # DOUBLE, before floor: Spark's floor(double) returns LONG and maps
+    # NaN to 0, so a post-floor check would silently count NaN rows as
+    # zero. Same pre-floor CASE on the oracle macro.
+    in_range = pre.between(F.lit(-(2.0**53)), F.lit(2.0**53))  # NaN/Inf ⇒ false
+    return F.sum(F.when(in_range, F.floor(pre)).cast("long")) / F.lit(float(scale))
 
 
 def _expand_macro(sql: str, name: str, build) -> str:
@@ -80,8 +92,18 @@ def rewrite_oracle_fixed(sql: str) -> str:
     """Expand MSUM(expr) and FSUM(expr, scale) macros in oracle SQL to
     the portable scaled-integer sum (DuckDB + any ANSI engine)."""
 
+    def _fixed(body: str, scale: str) -> str:
+        # mirror fixed_sum's robustness contract: non-finite / out-of-
+        # range scaled rows are excluded (NaN/Inf fail the pre-floor
+        # BETWEEN in DuckDB exactly as they fail it in Spark)
+        pre = f"(({body}) * {scale}.0 + 0.5)"
+        return (
+            f"(sum(CASE WHEN {pre} BETWEEN -9007199254740992.0 AND 9007199254740992.0 "
+            f"THEN CAST(floor{pre} AS BIGINT) END) / {scale}.0)"
+        )
+
     def msum(body: str) -> str:
-        return f"(sum(CAST(floor(({body}) * 100.0 + 0.5) AS BIGINT)) / 100.0)"
+        return _fixed(body, "100")
 
     def fsum(body: str) -> str:
         # split on last top-level comma
@@ -95,7 +117,7 @@ def rewrite_oracle_fixed(sql: str) -> str:
             elif ch == "," and depth == 0:
                 last = j
         expr, scale = body[:last].strip(), body[last + 1 :].strip()
-        return f"(sum(CAST(floor(({expr}) * {scale}.0 + 0.5) AS BIGINT)) / {scale}.0)"
+        return _fixed(expr, scale)
 
     return _expand_macro(_expand_macro(sql, "MSUM", msum), "FSUM", fsum)
 

@@ -158,3 +158,44 @@ def test_null_payload_decodes_to_null_struct(spark):
     rows = df.select(decode_avro_udf(s)(F.col("p")).alias("r")).collect()
     got = sorted((r["r"] is None, r["r"]["v"] if r["r"] is not None else None) for r in rows)
     assert got == [(False, 7), (True, None)]
+
+
+def test_property_round_trip_random_records():
+    """Hypothesis: encode∘decode is the identity for random records over
+    the full supported type surface (ints at the int64 edges, unicode
+    strings, unions, arrays, maps)."""
+    from hypothesis import given, settings, strategies as st
+
+    s = json.dumps(
+        {
+            "type": "record",
+            "name": "R",
+            "fields": [
+                {"name": "i", "type": "long"},
+                {"name": "u", "type": ["null", "long"]},
+                {"name": "t", "type": "string"},
+                {"name": "d", "type": "double"},
+                {"name": "a", "type": {"type": "array", "items": "long"}},
+                {"name": "m", "type": {"type": "map", "values": "string"}},
+            ],
+        }
+    )
+    longs = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.fixed_dictionaries(
+            {
+                "i": longs,
+                "u": st.one_of(st.none(), longs),
+                "t": st.text(max_size=80),
+                "d": st.floats(allow_nan=False),  # NaN encodes as null by contract
+                "a": st.lists(longs, max_size=8),
+                "m": st.dictionaries(st.text(max_size=10), st.text(max_size=10), max_size=6),
+            }
+        )
+    )
+    def check(rec):
+        assert decode_record(encode_record(rec, s), s) == rec
+
+    check()
