@@ -29,10 +29,17 @@ def rnd(col: Column | str, n: int) -> Column:
     For rounded SUMS/AVGS over many doubles use :func:`fixed_sum` —
     parallel accumulation order drifts between engines by ~n·ε·|x|,
     which crosses rounding-grid boundaries once row counts grow.
+
+    Non-finite / out-of-range values pass through UNCHANGED (same CASE
+    in the oracle rewrite): Spark's floor(double) returns LONG, so the
+    floor form silently turns Inf into a saturated long and NaN into 0
+    — rnd(Inf) must stay Inf on both engines.
     """
     c = F.col(col) if isinstance(col, str) else col
     scale = float(10**n)
-    return F.floor(c * scale + F.lit(0.5)) / scale
+    pre = c * scale + F.lit(0.5)
+    in_range = pre.between(F.lit(-(2.0**53)), F.lit(2.0**53))  # NaN/Inf ⇒ false
+    return F.when(in_range, F.floor(pre) / scale).otherwise(c)
 
 
 def fixed_sum(col: Column | str, scale: int = 100) -> Column:
@@ -169,7 +176,13 @@ def rewrite_oracle_round(sql: str) -> str:
             pos = e
             continue
         scale = 10 ** int(n)
-        repl = f"(floor(({expr}) * {scale}.0 + 0.5) / {scale}.0)"
+        pre = f"(({expr}) * {scale}.0 + 0.5)"
+        # same pass-through contract as rnd(): non-finite / out-of-range
+        # values survive unrounded (NaN/Inf fail BETWEEN in DuckDB too)
+        repl = (
+            f"(CASE WHEN {pre} BETWEEN -9007199254740992.0 AND 9007199254740992.0 "
+            f"THEN floor{pre} / {scale}.0 ELSE ({expr}) END)"
+        )
         out = out[:s] + repl + out[e:]
         pos = s + len(repl)
 

@@ -42,6 +42,60 @@ def _maybe_round(col: Column, ndigits: int | None) -> Column:
     return rnd(col, ndigits)
 
 
+def clean_vec(vec: Column, dim: int | None = None) -> Column:
+    """Vector-cleanliness contract for the L2/assignment paths: a
+    non-NULL array of the expected dimension whose elements are all
+    non-NULL and finite. Dirty vectors are EXCLUDED — row absent — on
+    BOTH engines: one NaN element must never poison an assignment, and
+    one dirty row in a 100 TB corpus must never abort the job under
+    ANSI mode. Cosine paths use :func:`valid_norm` instead (same
+    exclusions at zero extra fold cost, via the already-hoisted norm).
+    Oracle twin: :func:`clean_vec_sql`."""
+    bad_el = F.size(
+        F.filter(
+            vec,
+            lambda x: x.isNull()
+            | F.isnan(x.cast("double"))
+            | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+        )
+    ) > 0
+    ok = vec.isNotNull() & ~bad_el
+    return ok & ((F.size(vec) == F.lit(dim)) if dim is not None else (F.size(vec) > 0))
+
+
+def size_ok(vec: Column, dim: int | None) -> Column:
+    """O(1) pre-filter for the cosine paths (the rest of the contract
+    rides on the computed norm — :func:`valid_norm`)."""
+    return (F.size(vec) == F.lit(dim)) if dim is not None else (F.size(vec) > 0)
+
+
+def valid_norm(n: Column) -> Column:
+    """Cosine-path cleanliness, evaluated on the HOISTED norm column:
+    norm is NULL for a NULL vector or NULL element, NaN for a NaN
+    element, Inf for an Inf (or norm-overflowing ~1e200) element, and
+    0 for a zero vector — every dirty class collapses into one scalar
+    test, so the contract costs no extra per-row array fold."""
+    return n.isNotNull() & ~F.isnan(n) & (n != F.lit(float("inf"))) & (n > 0)
+
+
+def clean_vec_sql(col: str, dim: int, nonzero: bool = False) -> str:
+    """DuckDB predicate computing exactly the engine-side contract:
+    :func:`clean_vec` (default) or the cosine-path size+norm form
+    (``nonzero=True`` — NULL elements are checked explicitly because
+    DuckDB's list_sum IGNORES them where Spark's fold propagates)."""
+    if nonzero:
+        nrm = f"sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in {col}]))"
+        return (
+            f"({col} IS NOT NULL AND len({col}) = {dim} "
+            f"AND len(list_filter({col}, x -> x IS NULL)) = 0 "
+            f"AND isfinite({nrm}) AND {nrm} > 0)"
+        )
+    return (
+        f"({col} IS NOT NULL AND len({col}) = {dim} "
+        f"AND len(list_filter({col}, x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0)"
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     id_col: str,
@@ -50,8 +104,14 @@ def cosine_topk(
     k: int = 10,
     round_ndigits: int | None = None,
     engine: str = "expr",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for the given query ids.
+
+    Inputs pass the :func:`clean_vec` contract first (expected ``dim``
+    when given, finite elements, norm > 0): a dirty vector is excluded
+    from both the query and corpus sides rather than crashing the scan
+    with DIVIDE_BY_ZERO or ranking NaN similarities.
 
     The query side is tiny by construction ⇒ broadcast; the corpus scan
     is embarrassingly parallel (narrow), and the only shuffle is the
@@ -73,6 +133,9 @@ def cosine_topk(
     """
     from callysto_spark.operators.util import ensure_parallelism
 
+    # cleanliness: O(1) size gate here; the rest of the contract rides
+    # on the computed norms (valid_norm) at zero extra fold cost
+    corpus = corpus.filter(size_ok(F.col(vec_col), dim))
     if engine == "pandas":
         import numpy as np
         import pandas as pd
@@ -88,15 +151,31 @@ def cosine_topk(
             return corpus.sparkSession.createDataFrame(
                 [], "query_id long, neighbor_id long, cosine_sim double, rank int"
             )
-        Q = np.asarray([list(r[vec_col]) for r in qrows], dtype=np.float64)
+        Q = np.asarray(
+            [[x if x is not None else np.nan for x in r[vec_col]] for r in qrows],
+            dtype=np.float64,
+        )
         qids = np.asarray([r[id_col] for r in qrows], dtype=np.int64)
-        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        qn = np.linalg.norm(Q, axis=1)
+        good_q = np.isfinite(qn) & (qn > 0)  # valid_norm, kernel-side
+        Q, qids, qn = Q[good_q], qids[good_q], qn[good_q]
+        if not len(qids):
+            return corpus.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, cosine_sim double, rank int"
+            )
+        Qn = Q / qn[:, None]
 
         def score(batches):
             for pdf in batches:
                 X = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
                 ids = pdf[id_col].to_numpy()
-                S = (X / np.linalg.norm(X, axis=1, keepdims=True)) @ Qn.T  # n×|Q|
+                xn = np.linalg.norm(X, axis=1)
+                good = np.isfinite(xn) & (xn > 0)  # valid_norm, kernel-side
+                if not good.all():
+                    X, ids, xn = X[good], ids[good], xn[good]
+                if not len(ids):
+                    continue
+                S = (X / xn[:, None]) @ Qn.T  # n×|Q|
                 if round_ndigits is not None:
                     S = np.round(S, round_ndigits)
                 S[ids[:, None] == qids[None, :]] = -np.inf  # self-pairs out
@@ -115,13 +194,22 @@ def cosine_topk(
             score, "query_id long, neighbor_id long, cosine_sim double"
         )
     else:
-        q = corpus.filter(F.col(id_col).isin(list(query_ids))).select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn")
+        q = (
+            corpus.filter(F.col(id_col).isin(list(query_ids)))
+            .select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn")
+            )
+            .filter(valid_norm(F.col("qn")))
         )
         # corpus norm hoisted below the join: once per vector, not once per
-        # (vector × query) scored row — bit-identical arithmetic
-        c = ensure_parallelism(corpus).select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), norm(F.col(vec_col)).alias("cn")
+        # (vector × query) scored row — bit-identical arithmetic; the
+        # cleanliness contract filters on it for free
+        c = (
+            ensure_parallelism(corpus)
+            .select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), norm(F.col(vec_col)).alias("cn")
+            )
+            .filter(valid_norm(F.col("cn")))
         )
         scored = (
             c.crossJoin(F.broadcast(q))
@@ -183,6 +271,7 @@ def ivf_assign(
     vec_col: str,
     centroids: list[tuple[int, list[float]]],
     engine: str = "expr",
+    validate: bool = True,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid cell (IVF coarse
     quantization). Centroids are a driver-side list (id, vector) —
@@ -234,18 +323,57 @@ def ivf_assign(
             list(narrow.schema.fields) + [StructField("cell", IntegerType(), False)]
         )
 
+        dim_c = C.shape[1]
+
         def score(batches):
             for pdf in batches:
+                # cleanliness (kernel-side twin of the expr path's
+                # dist-validity filter): wrong-length/NULL vectors can't
+                # even enter the matmul; NaN/Inf/overflow rows surface
+                # as a non-finite best distance and are dropped
+                ok = pdf[vec_col].map(lambda v: v is not None and len(v) == dim_c)
+                pdf = pdf[ok]
+                if pdf.empty:
+                    continue
                 X = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
                 # first-min index on ascending cids = lower-cid tie-break
-                best = np.argmin(cnorm2[None, :] - 2.0 * (X @ C.T), axis=1)
+                score_m = cnorm2[None, :] - 2.0 * (X @ C.T)
+                best = np.argmin(score_m, axis=1)
+                dmin = (X * X).sum(axis=1) + score_m[np.arange(len(X)), best]
+                keep = np.isfinite(dmin)
                 yield pd.DataFrame(
-                    {id_col: pdf[id_col], vec_col: pdf[vec_col], "cell": cids[best]}
+                    {
+                        id_col: pdf[id_col].to_numpy()[keep],
+                        vec_col: pdf[vec_col].to_numpy()[keep],
+                        "cell": cids[best[keep]],
+                    }
                 )
 
         return narrow.mapInPandas(score, out_schema)
     best = F.array_min(_cell_structs(vec_col, centroids))
-    return narrow.select(F.col(id_col), F.col(vec_col), best.getField("cid").alias("cell"))
+    # Cleanliness contract at ZERO extra fold cost: a dirty element
+    # poisons EVERY centroid's distance identically (NaN el ⇒ all-NaN,
+    # ±Inf or norm-overflowing el ⇒ all-Inf, NULL el or wrong length ⇒
+    # all-NULL via zip_with padding, NULL vector ⇒ NULL), so "best dist
+    # is finite" is exactly "this vector has a well-defined nearest
+    # cell" — no per-element scan, no extra fold. Oracle twin: length +
+    # null-free + isfinite(dist) (DuckDB's list_sum ignores NULL
+    # elements, so the structural checks are explicit there).
+    if not validate:
+        # caller guarantees a downstream filter excludes dirty vectors
+        # (ivf_topk's valid_norm on the scoring side) — skip the
+        # validity stage and its Generate barrier entirely
+        return narrow.select(F.col(id_col), F.col(vec_col), best.getField("cid").alias("cell"))
+    # explode(array(...)) Generate barrier: the best struct is consumed
+    # TWICE (dist by the filter, cid by the projection) and CollapseProject
+    # would otherwise inline the k-fold array_min into both — doubling
+    # the assignment cost (measured 0.67s → 0.89s on the sf0.1 bench)
+    d = F.col("__b").getField("dist")
+    return (
+        narrow.select(F.col(id_col), F.col(vec_col), F.explode(F.array(best)).alias("__b"))
+        .filter(d.isNotNull() & ~F.isnan(d) & (d != F.lit(float("inf"))))
+        .select(F.col(id_col), F.col(vec_col), F.col("__b").getField("cid").alias("cell"))
+    )
 
 
 def nearest_cells(vec_col: str, centroids: list[tuple[int, list[float]]], nprobe: int) -> Column:
@@ -278,7 +406,10 @@ def kmeans_centroids(
     import numpy as np
 
     rows = (
-        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        # cleanliness contract on the FIT sample: one NaN vector in the
+        # sample would propagate NaN into every centroid mean
+        corpus.filter(clean_vec(F.col(vec_col)))
+        .select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
         .orderBy(F.xxhash64(F.col("i").cast("string"), F.lit(seed)), F.col("i"))
         .limit(sample)
         .collect()
@@ -327,23 +458,33 @@ def ivf_topk(
                 F.lit(0).alias("rank"),
             ).limit(0)
         )
-    assigned = ivf_assign(corpus, id_col, vec_col, centroids)
+    # validate=False: the c-side size_ok + valid_norm filters below
+    # exclude every dirty class themselves, so the assignment skips its
+    # own validity stage (and its Generate barrier) on this hot path
+    assigned = ivf_assign(corpus, id_col, vec_col, centroids, validate=False)
     # multi-probe: explode each query into its nprobe nearest cells —
-    # query side stays tiny (|queries|·nprobe rows) and broadcasts
+    # query side stays tiny (|queries|·nprobe rows) and broadcasts.
+    # Cosine scoring ⇒ the valid_norm contract on both sides.
     q = (
         corpus.filter(F.col(id_col).isin(list(query_ids)))
+        .filter(size_ok(F.col(vec_col), len(centroids[0][1])))
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
             norm(F.col(vec_col)).alias("qn"),
             F.explode(nearest_cells(vec_col, centroids, nprobe)).alias("qcell"),
         )
+        .filter(valid_norm(F.col("qn")))
     )
-    c = assigned.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        F.col("cell"),
-        norm(F.col(vec_col)).alias("cn"),
+    c = (
+        assigned.filter(size_ok(F.col(vec_col), len(centroids[0][1])))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            F.col("cell"),
+            norm(F.col(vec_col)).alias("cn"),
+        )
+        .filter(valid_norm(F.col("cn")))
     )
     scored = (
         c.join(F.broadcast(q), F.col("cell") == F.col("qcell"))
@@ -421,7 +562,7 @@ def ivf_topk_stored(
         F.col(vec_col).alias("cv"),
         "cell",
         norm(F.col(vec_col)).alias("cn"),
-    )
+    ).filter(valid_norm(F.col("cn")))  # a stored cell may hold zero-norm vectors
     scored = (
         c.join(F.broadcast(q), F.col("cell") == F.col("qcell"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -447,6 +588,7 @@ def cosine_pairs_blocked(
     vec_col: str,
     block_col: str,
     threshold: float,
+    dim: int | None = None,
 ) -> DataFrame:
     """All embedding pairs with cosine ≥ threshold, restricted to pairs
     sharing ``block_col`` (the IVF-style blocking key). The self-join
@@ -459,11 +601,17 @@ def cosine_pairs_blocked(
     form: same IEEE operations on the same values, so the ≥ threshold
     boundary and the oracle hash are unaffected.
     """
-    base = corpus.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        F.col(block_col).alias("blk"),
-        norm(F.col(vec_col)).alias("__nrm"),
+    base = (
+        corpus.filter(size_ok(F.col(vec_col), dim))
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            F.col(block_col).alias("blk"),
+            norm(F.col(vec_col)).alias("__nrm"),
+        )
+        # cleanliness on the hoisted norm: free, and one NaN/zero vector
+        # can neither crash the block join nor rank NaN pairs
+        .filter(valid_norm(F.col("__nrm")))
     )
     a = base.select(
         F.col("__id").alias("id_a"), F.col("__v").alias("va"), "blk", F.col("__nrm").alias("na")

@@ -75,11 +75,17 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the embedding column — all JVM-side, no UDF."""
     e = load(spark, sf_dir, "embeddings")["embeddings"]
     dbl = F.transform("embedding", lambda x: x.cast("double"))
+    # SQL aggregate semantics pinned on the fold: sum over the NON-NULL
+    # elements, empty/all-NULL array → NULL — matching DuckDB's
+    # list_sum, where a raw fold would turn [] into the 0.0 init and a
+    # NULL element into a NULL total
+    nn = F.filter(dbl, lambda x: x.isNotNull())
+    vec_sum = F.when(F.size(nn) > 0, F.aggregate(nn, F.lit(0.0), lambda a, x: a + x))
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
-        rnd(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 6).alias("vec_sum"),
+        rnd(vec_sum, 6).alias("vec_sum"),
         rnd(F.array_max(dbl), 6).alias("vec_max"),
     )
 

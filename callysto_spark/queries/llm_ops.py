@@ -35,6 +35,13 @@ from callysto_spark.functions.compat import tokens_sql as _tokens_sql
 from callysto_spark.functions.compat import WS_CLASS as _WS
 from callysto_spark.operators.text import BPE_TOKEN_PATTERN as _BPE_PAT
 
+from callysto_spark.operators.similarity import clean_vec, clean_vec_sql
+
+# vector-cleanliness predicates shared by every emb_* oracle (the SQL
+# twins of the operators' clean_vec contract)
+_CLEAN_VEC = clean_vec_sql("embedding", 64)
+_CLEAN_VEC_NZ = clean_vec_sql("embedding", 64, nonzero=True)
+
 _TOKENS_SQL = _tokens_sql()
 _NTOK_SQL = _ntokens_sql()
 _CASEFOLD = _casefold_sql("text")
@@ -618,8 +625,8 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_cosine_topk",
-    oracle="""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5 AND {_CLEAN_VEC_NZ}),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
          round(
@@ -627,7 +634,7 @@ scored AS (
            / (sqrt(list_sum([CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE) for i in range(1, 65)]))
               * sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)]))),
            6) AS cosine_sim
-  FROM embeddings e CROSS JOIN q
+  FROM (SELECT * FROM embeddings WHERE {_CLEAN_VEC_NZ}) e CROSS JOIN q
   WHERE e.vec_id <> q.query_id
 )
 SELECT query_id, neighbor_id, cosine_sim, rank FROM (
@@ -643,19 +650,20 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline. Ranking is on round(sim, 6) with neighbor-id tie-break so
     both engines order identically."""
     e = load(spark, sf_dir, "embeddings")["embeddings"]
-    return cosine_topk(e, "vec_id", "embedding", query_ids=[0, 1, 2, 3, 4], k=10, round_ndigits=6)
+    return cosine_topk(e, "vec_id", "embedding", query_ids=[0, 1, 2, 3, 4], k=10, round_ndigits=6, dim=64)
 
 
 @register(
     "emb_label_near_pairs",
-    oracle="""
+    oracle=f"""
 SELECT label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
        round(
          list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)])
          / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) for i in range(1, 65)]))
             * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)]))),
          6) AS cosine_sim
-FROM embeddings a JOIN embeddings b USING (label)
+FROM (SELECT * FROM embeddings WHERE {_CLEAN_VEC_NZ}) a
+JOIN (SELECT * FROM embeddings WHERE {_CLEAN_VEC_NZ}) b USING (label)
 WHERE a.vec_id < b.vec_id
   AND list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, 65)])
       / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) for i in range(1, 65)]))
@@ -666,7 +674,7 @@ def emb_label_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs within label blocks (the
     IVF-style blocked scale path for embedding-cosine dedup)."""
     e = load(spark, sf_dir, "embeddings")["embeddings"]
-    out = cosine_pairs_blocked(e, "vec_id", "embedding", "label", threshold=0.8)
+    out = cosine_pairs_blocked(e, "vec_id", "embedding", "label", threshold=0.8, dim=64)
     return out.withColumn("cosine_sim", rnd("cosine_sim", 6))
 
 
@@ -681,8 +689,12 @@ def _centroids(spark: SparkSession, sf_dir: str, k: int = 8) -> list[tuple[int, 
     if key in _CENTROID_CACHE:
         return _CENTROID_CACHE[key]
     rows = (
+        # first k CLEAN vectors (clean_vec contract): a NaN/short/NULL
+        # centroid would make every distance against it undefined
         load(spark, sf_dir, "embeddings")["embeddings"]
-        .filter(F.col("vec_id") < k)
+        .filter(clean_vec(F.col("embedding"), 64))
+        .orderBy("vec_id")
+        .limit(k)
         .select("vec_id", "embedding")
         .collect()
     )
@@ -698,16 +710,23 @@ _IVF_DIST = """list_sum([(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBL
 
 @register(
     "emb_ivf_assign",
+    # assignment contract = "the nearest-centroid distance is finite":
+    # the engine filters on the best struct's dist (free — computed
+    # anyway); here the structural checks are explicit because DuckDB's
+    # list_sum IGNORES NULL elements where Spark's fold propagates
     oracle=f"""
-WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+               WHERE {_CLEAN_VEC} ORDER BY vec_id LIMIT 8),
 d AS (
   SELECT e.vec_id, c.cid, {_IVF_DIST} AS dist
   FROM embeddings e CROSS JOIN cents c
+  WHERE len(e.embedding) = 64
+    AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
 )
 SELECT vec_id, cell FROM (
   SELECT vec_id, cid AS cell,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-  FROM d
+  FROM d WHERE isfinite(dist)
 ) WHERE rn = 1
 """,
 )
@@ -725,10 +744,11 @@ def emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_ivf_topk",
     bench=True,
     oracle=f"""
-WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+               WHERE {_CLEAN_VEC} ORDER BY vec_id LIMIT 8),
 d AS (
   SELECT e.vec_id, e.embedding, c.cid, {_IVF_DIST} AS dist
-  FROM embeddings e CROSS JOIN cents c
+  FROM (SELECT * FROM embeddings WHERE {_CLEAN_VEC_NZ}) e CROSS JOIN cents c
 ),
 assign AS (
   SELECT vec_id, embedding, cell FROM (
