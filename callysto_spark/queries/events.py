@@ -21,7 +21,7 @@ from callysto_spark.tables import load
     "events_json_kv",
     oracle="""
 SELECT event_id, event_type,
-       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       TRY_CAST(CASE WHEN trim(json_extract_string(TRY_CAST(props AS JSON), '$.k')) SIMILAR TO '[-+]?[0-9]+' THEN json_extract_string(TRY_CAST(props AS JSON), '$.k') END AS INT) AS k,
        value
 FROM events
 """,
@@ -32,7 +32,7 @@ def events_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "event_type",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k"),
         "value",
     )
 
@@ -42,7 +42,7 @@ def events_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        count(*) AS n,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(sum(TRY_CAST(CASE WHEN trim(json_extract_string(TRY_CAST(props AS JSON), '$.k')) SIMILAR TO '[-+]?[0-9]+' THEN json_extract_string(TRY_CAST(props AS JSON), '$.k') END AS INT)) AS BIGINT) AS sum_k,
        MSUM(value) / count(*) AS avg_value,
        min(ts) AS first_ts, max(ts) AS last_ts
 FROM events GROUP BY event_type
@@ -53,7 +53,7 @@ def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")["events"]
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k"),
+        F.sum(F.get_json_object("props", "$.k").try_cast("int")).alias("sum_k"),
         (fixed_sum("value") / F.count(F.lit(1))).alias("avg_value"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
