@@ -84,11 +84,14 @@ def clean_vec_sql(col: str, dim: int, nonzero: bool = False) -> str:
     (``nonzero=True`` — NULL elements are checked explicitly because
     DuckDB's list_sum IGNORES them where Spark's fold propagates)."""
     if nonzero:
-        nrm = f"sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in {col}]))"
+        # ONE norm-square evaluation: BETWEEN (smallest positive double,
+        # largest finite double) is exactly "finite AND > 0" (NaN and
+        # Inf both fail it) without inlining the 64-term fold twice
+        nrm2 = f"list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in {col}])"
         return (
             f"({col} IS NOT NULL AND len({col}) = {dim} "
             f"AND len(list_filter({col}, x -> x IS NULL)) = 0 "
-            f"AND isfinite({nrm}) AND {nrm} > 0)"
+            f"AND {nrm2} BETWEEN 5e-324 AND 1.7976931348623157e308)"
         )
     return (
         f"({col} IS NOT NULL AND len({col}) = {dim} "
@@ -151,6 +154,14 @@ def cosine_topk(
             return corpus.sparkSession.createDataFrame(
                 [], "query_id long, neighbor_id long, cosine_sim double, rank int"
             )
+        # with dim=None, size_ok only enforced size > 0 — drop length
+        # stragglers so ragged rows cannot crash np.asarray
+        dim_eff = dim if dim is not None else len(qrows[0][vec_col])
+        qrows = [r for r in qrows if len(r[vec_col]) == dim_eff]
+        if not qrows:
+            return corpus.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, cosine_sim double, rank int"
+            )
         Q = np.asarray(
             [[x if x is not None else np.nan for x in r[vec_col]] for r in qrows],
             dtype=np.float64,
@@ -167,6 +178,10 @@ def cosine_topk(
 
         def score(batches):
             for pdf in batches:
+                ok = pdf[vec_col].map(lambda v: v is not None and len(v) == dim_eff)
+                pdf = pdf[ok]
+                if pdf.empty:
+                    continue
                 X = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
                 ids = pdf[id_col].to_numpy()
                 xn = np.linalg.norm(X, axis=1)
@@ -218,6 +233,9 @@ def cosine_topk(
                 "cosine_sim",
                 _maybe_round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_ndigits),
             )
+            # with dim=None a mixed-length pair dots to NULL (zip_with
+            # padding) — a NULL sim is "no pair", not a trailing rank
+            .filter(F.col("cosine_sim").isNotNull())
             .select("query_id", "neighbor_id", "cosine_sim")
         )
     return top_k_per_group(
@@ -414,6 +432,12 @@ def kmeans_centroids(
         .limit(sample)
         .collect()
     )
+    # clean_vec without dim only enforces size > 0 — drop length
+    # stragglers so a single truncated vector cannot make the sample
+    # ragged and crash np.array (the fit dimension is the first clean
+    # row's, the corpus's modal dim in any sane dataset)
+    fit_dim = len(rows[0]["v"]) if rows else 0
+    rows = [r for r in rows if len(r["v"]) == fit_dim]
     X = np.array([[float(x) for x in r["v"]] for r in rows], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cents = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
@@ -544,15 +568,31 @@ def ivf_topk_stored(
     PartitionFilters, pruning every non-probed cell directory before
     any IO (pinned by tests/test_layout.py).
     """
+    import math
+
     probe_cells: set[int] = set()
     rows = []
+    exp_dim = len(centroids[0][1]) if centroids else 0
     for qid, qv in queries:
+        # driver-side cleanliness twin: a dirty caller-supplied query
+        # (wrong dim, NaN/Inf element, zero norm) would pick arbitrary
+        # probe cells and rank NaN sims FIRST — excluded instead, the
+        # same contract the distributed paths enforce
+        if qv is None or len(qv) != exp_dim or any(x is None for x in qv):
+            continue
+        n2 = sum(float(x) * float(x) for x in qv)
+        if not (math.isfinite(n2) and n2 > 0):
+            continue
         dists = sorted(
             (sum((float(x) - float(y)) ** 2 for x, y in zip(qv, cv)), cid) for cid, cv in centroids
         )
         cells = [cid for _, cid in dists[:nprobe]]
         probe_cells.update(cells)
         rows.append((qid, [float(x) for x in qv], cells))
+    if not rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank int"
+        )
     q = spark.createDataFrame(rows, f"query_id long, qv array<double>, qcells array<int>").select(
         "query_id", "qv", norm(F.col("qv")).alias("qn"), F.explode("qcells").alias("qcell")
     )
