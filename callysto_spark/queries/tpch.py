@@ -204,7 +204,9 @@ WITH daily AS (
   SELECT l_suppkey, CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
          sum(l_quantity) AS qty,
          MSUM(l_extendedprice * (1 - l_discount)) AS revenue
-  FROM lineitem GROUP BY 1, 2
+  FROM lineitem
+  WHERE l_shipdate IS NOT NULL
+  GROUP BY 1, 2
 )
 SELECT l_suppkey, day, qty, revenue,
        sum(qty)  OVER (PARTITION BY l_suppkey ORDER BY day
@@ -232,7 +234,11 @@ def supplier_daily_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load(spark, sf_dir, "lineitem")["lineitem"]
-    daily = li.repartition("l_suppkey").groupBy(
+    # a NULL ship date has no place on the daily time axis (same
+    # contract as the window()-bucket queries); without the filter the
+    # NULL-day group's running/lag/lead position depends on the
+    # engine's NULL ordering default (Spark FIRST, DuckDB LAST)
+    daily = li.filter(F.col("l_shipdate").isNotNull()).repartition("l_suppkey").groupBy(
         "l_suppkey", F.date_trunc("day", F.col("l_shipdate")).alias("day")
     ).agg(
         F.sum("l_quantity").alias("qty"),

@@ -212,12 +212,12 @@ def suppliers_many_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_price_range_frame",
     oracle="""
 SELECT o_orderkey, o_orderstatus, o_totalprice,
-       count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+       count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice NULLS FIRST
                       RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_within_1000,
        first_value(o_orderkey) OVER w AS cheapest_key,
        nth_value(o_orderkey, 2) OVER w AS second_key
 FROM orders
-WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice NULLS FIRST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """,
 )
@@ -225,12 +225,17 @@ def orders_price_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window frames: RANGE BETWEEN value offsets + first/nth_value over
     an unbounded rows frame (total order via o_orderkey tie-break)."""
     o = load(spark, sf_dir, "orders")["orders"]
+    # NULLS FIRST pinned explicitly on BOTH sides (Spark's ascending
+    # default vs DuckDB's NULLS LAST): without it a NULL price makes
+    # first_value/nth_value pick different keys per engine
     w_range = (
-        Window.partitionBy("o_orderstatus").orderBy("o_totalprice").rangeBetween(-1000, 1000)
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice").asc_nulls_first())
+        .rangeBetween(-1000, 1000)
     )
     w_full = (
         Window.partitionBy("o_orderstatus")
-        .orderBy("o_totalprice", "o_orderkey")
+        .orderBy(F.col("o_totalprice").asc_nulls_first(), F.col("o_orderkey").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return o.select(

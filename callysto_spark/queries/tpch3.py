@@ -279,6 +279,7 @@ WITH j AS (
   FROM orders
   JOIN customer ON o_custkey = c_custkey
   JOIN nation   ON c_nationkey = n_nationkey
+  WHERE o_totalprice IS NOT NULL
 ),
 r AS (
   SELECT n_name, o_orderkey, o_totalprice,
@@ -299,7 +300,11 @@ def argmax_order_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "orders", "customer", "nation")
     key = F.struct(F.col("o_totalprice"), F.col("o_orderkey").cast("double"))
     return (
+        # an argmax over a NULL compare key is undefined — those rows
+        # don't participate (max(o_totalprice) already ignores NULLs, so
+        # only the arg columns could have diverged between engines)
         t["orders"]
+        .filter(F.col("o_totalprice").isNotNull())
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")

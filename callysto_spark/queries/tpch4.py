@@ -272,7 +272,7 @@ SELECT c_custkey, c_mktsegment,
        percent_rank() OVER w AS bal_pct_rank,
        cume_dist() OVER w AS bal_cume_dist
 FROM customer
-WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal NULLS FIRST, c_custkey)
 """,
 )
 def customer_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,7 +280,12 @@ def customer_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     segment: (rank-1)/(n-1) and rank/n are int/int divisions of
     identical ranks ⇒ bit-deterministic with the custkey tie-break."""
     c = load(spark, sf_dir, "customer")["customer"]
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    # NULLS FIRST explicitly on BOTH sides: Spark's ascending default,
+    # but DuckDB defaults NULLS LAST — a NULL balance would otherwise
+    # shift every percent_rank/cume_dist in the segment differently
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc_nulls_first(), F.col("c_custkey").asc_nulls_first()
+    )
     return c.select(
         "c_custkey",
         "c_mktsegment",
@@ -296,8 +301,10 @@ WITH late AS (
   SELECT l_orderkey, l_suppkey
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    AND l_suppkey IS NOT NULL
 ),
-members AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+members AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_suppkey IS NOT NULL)
 SELECT s_name, count(*) AS numwait
 FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM late) l1
 JOIN supplier ON l1.l_suppkey = s_suppkey
@@ -327,9 +334,13 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = load(spark, sf_dir, "lineitem", "orders", "supplier")
+    # NULL-supplier lineitems can't witness EITHER correlated predicate
+    # (NULL <> x is never true), but a (order, NULL) pair WOULD inflate
+    # the decorrelated per-order counts — excluding them up front is
+    # exactly the EXISTS semantics, stated once on both engines
+    li = t["lineitem"].filter(F.col("l_suppkey").isNotNull())
     late = (
-        t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
         .select("l_orderkey", "l_suppkey")
         .distinct()
@@ -342,8 +353,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__n_late")
     )
     multi_supplier_orders = (
-        t["lineitem"]
-        .select("l_orderkey", "l_suppkey")
+        li.select("l_orderkey", "l_suppkey")
         .distinct()
         .groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).alias("__n_supp"))
