@@ -90,59 +90,66 @@ def load_all() -> dict[str, Query]:
     driver row, plus (b) the head queries whose last driver row predates
     the round-4 loader timestamp change (events_*, q5/q6,
     rollup/cube/grouping-sets/pivot, arrays/JSON, avro/raw-message
-    decode). r6 rotates back to the tpch2/3/4 tail (r4 rows, two rounds
-    stale by then). Left out of r5, by coverage elsewhere: the
-    bench-headline queries the per-round bench already executes on the
-    current loader (events_sessionize, events_asof_purchase_click,
-    supplier_daily_running, part_type_topk, q1_pricing_summary,
-    q3_shipping_priority — q1/q3 also hash-green three consecutive
-    rounds r1-r3) and price_quartiles_by_segment (r4-green;
-    exact-percentile pytest oracle at tests/test_oracle.py).
+    decode). r6 (THIS round, per the round-5 VERDICT item 1) promotes
+    (a) the five stalest rows in the registry — part_type_topk (r2) and
+    q1/q3/supplier_daily_running/events_asof_purchase_click (r3), the
+    bench-headline queries deliberately held out of r5 — and (b) the
+    tpch2/3/4 tail named by the judge (q2, q7, q10, q13, q14, q17-q19,
+    q21, q22, scalar_subquery_vs_max, setop_all_variants,
+    customer_balance_distribution; all r4 rows, two rounds stale) plus
+    as many of the remaining r4-row queries as fit. Five r4-green
+    queries with exact pytest oracles at two scales defer to r7
+    (left_join_customer_orders, full_outer_nation_activity,
+    token_positions, string_normalize_parts, null_handling_funcs) —
+    their rows are exactly 2 rounds old at r6, inside the freshness bar.
     """
     from callysto_spark.queries import llm_ops, tpch2, tpch3, tpch4, events, arrays, messages, tpch  # noqa: F401
 
     promoted = [
-        # never hash-checked before this round (new oracles):
-        "approx_distinct_parts",
-        "events_value_quantile_sketch",
-        "raw_message_decode_stats",
-        # head queries — last driver row predates the r4 loader change:
-        "events_json_kv",
-        "events_type_stats",
-        "events_hourly_tumbling",
-        "events_sliding_1h_30m",
-        "events_dedup_latest",
-        "user_spend_deciles",
-        "events_interval_join_clicks",
-        "events_user_salted_counts",
-        "events_changelog_materialize",
-        "user_event_type_sets",
-        "token_top20",
-        "embedding_array_stats",
-        "user_type_count_map",
-        "avro_roundtrip_stats",
-        "q5_supplier_volume",
-        "q6_forecast_revenue",
-        "top3_orders_per_customer",
-        "rollup_revenue",
-        "cube_status_priority",
-        "grouping_sets_order_stats",
-        "setop_customers_96_97",
-        "semi_anti_customers",
-        "case_bucket_orders",
-        "order_month_stats",
-        "pivot_linestatus",
-        "string_funcs_parts",
-        "distinct_counts_by_flag",
+        # the five stalest driver rows in the registry (r2/r3):
+        "part_type_topk",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "supplier_daily_running",
+        "events_asof_purchase_click",
+        # the tpch2/3/4 tail named in the round-5 VERDICT (r4 rows):
+        "q2_cheapest_supplier",
+        "q7_bilateral_volume",
+        "q10_returned_items",
+        "q13_customer_order_distribution",
+        "q14_promo_share",
+        "q17_small_quantity_revenue",
+        "q18_large_orders",
+        "q19_bracket_revenue",
+        "q21_waiting_suppliers",
+        "q22_idle_rich_customers",
+        "scalar_subquery_vs_max",
+        "setop_all_variants",
+        "customer_balance_distribution",
+        # remaining r4-row queries that fit the window:
+        "events_sessionize",
+        "price_quartiles_by_segment",
+        "argmax_order_per_nation",
+        "orders_price_range_frame",
+        "q4_priority_with_discounted_lines",
+        "q8_market_share",
+        "q9_profit_by_nation_year",
+        "q11_important_parts",
+        "q12_priority_by_bracket",
+        "q15_top_supplier",
+        "shipping_delay_histogram",
+        "suppliers_many_parts",
     ]
     # ValueError, not assert: these guard the driver-sample window and
     # must survive python -O (a stripped assert would silently ship a
     # mis-sized window and drop queries out of the first-50 sample)
     if len(promoted) != 30:
         raise ValueError(f"window is 20+30; got {len(promoted)} promoted")
-    # customer_balance_distribution waits for r7 (r4-green with an exact
-    # pytest oracle; first to promote next round, alongside the tpch
-    # tail whose rows will then be two rounds stale).
+    # r7 promotion queue (r4-green, exact pytest oracles at two scales;
+    # rows exactly 2 rounds old at r6): left_join_customer_orders,
+    # full_outer_nation_activity, token_positions,
+    # string_normalize_parts, null_handling_funcs — plus whatever r5
+    # head rows age out by then.
     missing = [n for n in promoted if n not in REGISTRY]
     if missing:
         raise ValueError(f"promoted queries not in registry: {missing}")
