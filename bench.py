@@ -105,9 +105,16 @@ def main() -> None:
         out["partial"] = True
         out["n_failed"] = len(errors)
     if ingest is not None:
-        out["ingest_mbps"] = ingest["best"]
-        out["ingest_mbps_median"] = ingest["median"]
+        # MEDIAN is the headline (round-5 verdict: a best whose median is
+        # half of it is not a trustworthy number on a shared VM); best
+        # and the per-trial list ride along, and a spread above the 25%
+        # ceiling flags the run as noisy rather than hiding it.
+        out["ingest_mbps"] = ingest["median"]
+        out["ingest_mbps_best"] = ingest["best"]
         out["ingest_mbps_trials"] = ingest["trials"]
+        out["ingest_spread_pct"] = ingest["spread_pct"]
+        if ingest["spread_pct"] > 25:
+            out["ingest_noisy"] = True
     print(json.dumps(out))
     spark.stop()
 
@@ -151,13 +158,13 @@ def ingest_bench(spark) -> dict | None:
     ×1000 — equally repetitive), staged as parquet ONCE, then drained
     through an App agent on the JVM file-stream path (fresh checkpoint
     per trial); MB/s = payload bytes / (last batch end − first batch
-    start). SPARK_GRAFT_INGEST_TRIALS (default 5) drains run; the BEST
-    is the headline (the steady-state convention as the query timings'
-    min-of-n: this box is a shared VM whose IO/CPU throughput swings
-    several-fold between runs, and the engine's capability is the
-    sustained figure, not the noisy-neighbor draw) and the MEDIAN +
-    per-trial list ride along so the spread is always on record. Set
-    the msgs env var to 0 to skip.
+    start). SPARK_GRAFT_INGEST_TRIALS (default 5) drains run; the
+    MEDIAN is the headline (round-5 verdict: on a shared VM whose IO/CPU
+    throughput swings several-fold between runs, a best-of-n headline
+    can sit at 2x its median — the median is the number a user would
+    actually see), with best + the per-trial list as sidecars and a 25%
+    spread ceiling that marks the JSON noisy when exceeded. Set the
+    msgs env var to 0 to skip.
     """
     import gc
     import shutil
@@ -251,6 +258,7 @@ def ingest_bench(spark) -> dict | None:
             "best": round(max(results), 1),
             "median": round(statistics.median(results), 1),
             "trials": [round(v, 1) for v in results],
+            "spread_pct": round(spread, 1),
         }
     except Exception as exc:  # never fail the bench line on the extra metric
         print(f"# ingest bench failed: {exc}", file=sys.stderr)
