@@ -28,6 +28,7 @@ Codec status by modality:
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -39,6 +40,11 @@ MEDIA_SCHEMA = (
 )
 
 FEATURE_SCHEMA = "media_id long, kind string, n_bytes int, digest string, feature array<float>"
+
+
+def _check_on_error(on_error: str) -> None:
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
 
 def _fake_features(payload: bytes, dim: int) -> list[float]:
@@ -206,9 +212,19 @@ def _decode_wav(payload: bytes):
 
     import numpy as np
 
-    with wave.open(io.BytesIO(payload)) as w:
-        nch, sw, fr, nf = w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
-        pcm = w.readframes(nf)
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            nch, sw, fr, nf = w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+            pcm = w.readframes(nf)
+    except (wave.Error, EOFError, struct.error) as exc:
+        # corruption contract (fuzz-tested): malformed RIFF/fmt headers
+        # raise ValueError like every other malformed-input path, never
+        # a module-specific error an executor-side caller won't expect
+        raise ValueError(f"malformed WAV payload: {exc}") from exc
+    if nch <= 0:
+        raise ValueError("malformed WAV payload: zero channels")
+    if len(pcm) % (sw * nch):  # truncated final frame
+        pcm = pcm[: len(pcm) - len(pcm) % (sw * nch)]
     if sw == 2:
         x = np.frombuffer(pcm, dtype="<i2").astype(np.float64) / 32768.0
     elif sw == 1:  # 8-bit WAV is unsigned
@@ -222,7 +238,7 @@ def _decode_wav(payload: bytes):
     return fr, nch, x
 
 
-def wav_features(media: DataFrame, dim: int = 16) -> DataFrame:
+def wav_features(media: DataFrame, dim: int = 16, on_error: str = "raise") -> DataFrame:
     """REAL audio decode + feature extraction for PCM WAV payloads —
     no external codec, runnable anywhere (stdlib ``wave`` + numpy).
 
@@ -231,8 +247,14 @@ def wav_features(media: DataFrame, dim: int = 16) -> DataFrame:
     amplitude envelope (the downsampled loudness contour — the audio
     analog of a thumbnail). One Arrow crossing; bytes never hit the
     driver; output is fixed-schema relational columns.
+
+    ``on_error='skip'`` drops rows whose payload fails to decode
+    (malformed/NULL bytes) instead of failing the task — the 100 TB
+    posture where one corrupt blob costs one row, not the job.
     """
     import numpy as np
+
+    _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -244,7 +266,12 @@ def wav_features(media: DataFrame, dim: int = 16) -> DataFrame:
                 )
             }
             for _, row in pdf.iterrows():
-                fr, nch, x = _decode_wav(row["content"])
+                try:
+                    fr, nch, x = _decode_wav(row["content"])
+                except (ValueError, TypeError):
+                    if on_error == "skip":
+                        continue
+                    raise
                 n = len(x)
                 rows["media_id"].append(row["media_id"])
                 rows["sample_rate"].append(fr)
@@ -257,7 +284,10 @@ def wav_features(media: DataFrame, dim: int = 16) -> DataFrame:
                 rows["envelope"].append(
                     [float(s.mean()) if len(s) else 0.0 for s in segs]
                 )
-            yield pd.DataFrame(rows)
+            if rows["media_id"]:  # an all-skipped batch yields nothing —
+                # an EMPTY pandas frame defaults columns to float64,
+                # which Arrow cannot cast to array<float>
+                yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)
 
@@ -267,17 +297,23 @@ AUDIO_SEGMENT_SCHEMA = (
 )
 
 
-def audio_segments(media: DataFrame, every_ms: int = 1000, max_segments: int = 32) -> DataFrame:
+def audio_segments(
+    media: DataFrame, every_ms: int = 1000, max_segments: int = 32, on_error: str = "raise"
+) -> DataFrame:
     """REAL audio frame-sampling: slice WAV payloads into fixed-period
     PCM segments, each re-encoded as a standalone WAV (1→N row
     expansion inside the Arrow batch — distributed, no shuffle, no
     driver involvement). The audio counterpart of ``sample_frames``,
     with an actual codec instead of a seam.
+
+    ``on_error='skip'`` drops undecodable payloads (see wav_features).
     """
     import io
     import wave as wave_mod
 
     import numpy as np
+
+    _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -286,7 +322,12 @@ def audio_segments(media: DataFrame, every_ms: int = 1000, max_segments: int = 3
                 for k in ("media_id", "segment_idx", "ts_ms", "content", "sample_rate", "n_samples")
             }
             for _, row in pdf.iterrows():
-                fr, _nch, x = _decode_wav(row["content"])
+                try:
+                    fr, _nch, x = _decode_wav(row["content"])
+                except (ValueError, TypeError):
+                    if on_error == "skip":
+                        continue
+                    raise
                 step = max(1, int(fr * every_ms / 1000))
                 n_seg = max(1, min((len(x) + step - 1) // step, max_segments))
                 for i in range(n_seg):
@@ -304,7 +345,8 @@ def audio_segments(media: DataFrame, every_ms: int = 1000, max_segments: int = 3
                     out["content"].append(buf.getvalue())
                     out["sample_rate"].append(fr)
                     out["n_samples"].append(len(seg))
-            yield pd.DataFrame(out)
+            if out["media_id"]:  # see wav_features: no empty-frame yield
+                yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=AUDIO_SEGMENT_SCHEMA)
 
@@ -315,7 +357,7 @@ PNG_FEATURE_SCHEMA = (
 )
 
 
-def png_features(media: DataFrame, grid: int = 4) -> DataFrame:
+def png_features(media: DataFrame, grid: int = 4, on_error: str = "raise") -> DataFrame:
     """REAL image decode + feature extraction for PNG payloads —
     dependency-free (stdlib zlib codec, ``operators/png_py.py``).
 
@@ -323,10 +365,14 @@ def png_features(media: DataFrame, grid: int = 4) -> DataFrame:
     ``grid×grid`` average-pooled luminance thumbnail (flattened
     row-major) — the image analog of ``wav_features``' envelope. One
     Arrow crossing, bytes stay on the executor.
+
+    ``on_error='skip'`` drops undecodable payloads (see wav_features).
     """
     import numpy as np
 
     from callysto_spark.operators.png_py import decode_png, resize_nearest
+
+    _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -334,7 +380,12 @@ def png_features(media: DataFrame, grid: int = 4) -> DataFrame:
                 k: [] for k in ("media_id", "width", "height", "channels", "mean", "std", "luma")
             }
             for _, row in pdf.iterrows():
-                arr = decode_png(row["content"])
+                try:
+                    arr = decode_png(row["content"])
+                except (ValueError, TypeError):
+                    if on_error == "skip":
+                        continue
+                    raise
                 h, w, ch = arr.shape
                 x = arr.astype(np.float64) / 255.0
                 # luminance: mean over color channels (alpha excluded)
@@ -348,6 +399,7 @@ def png_features(media: DataFrame, grid: int = 4) -> DataFrame:
                 rows["mean"].append(float(x.mean()))
                 rows["std"].append(float(x.std()))
                 rows["luma"].append([float(v) for v in pooled.reshape(-1)])
-            yield pd.DataFrame(rows)
+            if rows["media_id"]:  # see wav_features: no empty-frame yield
+                yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=PNG_FEATURE_SCHEMA)

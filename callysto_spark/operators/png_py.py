@@ -39,34 +39,59 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+# Decode-side safety cap on height*stride: corrupted IHDR dims paired
+# with a zlib bomb must fail cleanly, not OOM an executor. 256 MB of
+# raw scanlines ≈ a 8k×8k RGBA image — far above any thumbnail-scale
+# training payload; raise it if a pipeline genuinely ships larger.
+_MAX_RAW_BYTES = 1 << 28
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → uint8 array of shape (height, width, channels)."""
+    """PNG bytes → uint8 array of shape (height, width, channels).
+
+    Corruption contract (fuzz-tested, tests/test_serde_fuzz.py): any
+    malformed input raises ValueError — truncated chunks, bad zlib
+    streams, dimension/scanline mismatches, bomb-sized IHDR dims —
+    never struct.error/zlib.error, never unbounded decompression.
+    """
     if data[:8] != _SIGNATURE:
         raise ValueError("not a PNG: bad signature")
     width = height = None
     colortype = None
     idat = bytearray()
-    for ctype, body in _chunks(data):
-        if ctype == b"IHDR":
-            width, height, bitdepth, colortype, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if bitdepth != 8:
-                raise ValueError(f"unsupported PNG bit depth {bitdepth} (8 only)")
-            if colortype not in _CHANNELS:
-                raise ValueError(f"unsupported PNG color type {colortype}")
-            if interlace != 0:
-                raise ValueError("interlaced PNG not supported")
-        elif ctype == b"IDAT":
-            idat.extend(body)
-        elif ctype == b"IEND":
-            break
+    try:
+        for ctype, body in _chunks(data):
+            if ctype == b"IHDR":
+                width, height, bitdepth, colortype, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", body
+                )
+                if bitdepth != 8:
+                    raise ValueError(f"unsupported PNG bit depth {bitdepth} (8 only)")
+                if colortype not in _CHANNELS:
+                    raise ValueError(f"unsupported PNG color type {colortype}")
+                if interlace != 0:
+                    raise ValueError("interlaced PNG not supported")
+            elif ctype == b"IDAT":
+                idat.extend(body)
+            elif ctype == b"IEND":
+                break
+    except struct.error as exc:  # truncated chunk header / IHDR body
+        raise ValueError(f"malformed PNG chunk: {exc}") from exc
     if width is None:
         raise ValueError("PNG missing IHDR")
     ch = _CHANNELS[colortype]
-    raw = zlib.decompress(bytes(idat))
     stride = width * ch
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    if expected > _MAX_RAW_BYTES:
+        raise ValueError(f"PNG dimensions too large ({width}x{height}x{ch})")
+    try:
+        # bounded inflate: never produce more than expected+1 bytes no
+        # matter what the (possibly corrupted) stream claims
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"malformed PNG IDAT stream: {exc}") from exc
+    if len(raw) != expected or not (d.eof and d.unconsumed_tail == b""):
         raise ValueError("PNG scanline data size mismatch")
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint16)

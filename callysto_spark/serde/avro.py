@@ -140,20 +140,28 @@ def avro_jar_loaded() -> bool:
     return _JAR_LOADED[key]
 
 
-def decode_avro(col: Column | str, schema_json: str, engine: str = "auto") -> Column:
+def decode_avro(
+    col: Column | str, schema_json: str, engine: str = "auto", mode: str = "failfast"
+) -> Column:
     """Binary Avro payload column → struct column (S3/S4/S5).
 
     ``engine``: 'jvm' = spark-avro's from_avro (fastest, needs the jar);
     'python' = the pure-Python Arrow-batched codec (serde/avro_py.py, no
     jar); 'auto' = jvm if the jar is loaded, else python — so the Avro
     path always RUNS, jar or not.
+
+    ``mode``: 'failfast' (default) aborts the task on a malformed
+    payload; 'permissive' yields a NULL struct per bad record — same
+    option, same semantics, on BOTH engines (spark-avro takes it as
+    from_avro's option map; the python codec catches the decoder's
+    ValueError per record).
     """
     if engine == "jvm" or (engine == "auto" and avro_jar_loaded()):
         from_avro, _ = _avro_functions()
-        return from_avro(col, schema_json)
+        return from_avro(col, schema_json, {"mode": mode.upper()})
     from callysto_spark.serde.avro_py import decode_avro_udf
 
-    return decode_avro_udf(schema_json)(F.col(col) if isinstance(col, str) else col)
+    return decode_avro_udf(schema_json, mode=mode)(F.col(col) if isinstance(col, str) else col)
 
 
 def encode_avro(col: Column, schema_json: str | None = None, engine: str = "auto") -> Column:

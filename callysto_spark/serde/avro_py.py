@@ -52,17 +52,29 @@ class _Reader:
         return b
 
     def read_long(self) -> int:
-        # zigzag varint
+        # zigzag varint; bounds-checked so corrupted payloads fail as
+        # ValueError, and capped at 10 bytes (an int64 zigzag never
+        # needs more — an unbounded 0x80-run would otherwise build a
+        # giant Python int quadratically, a decode-time DoS)
         shift = 0
         acc = 0
+        buf, pos, end = self.buf, self.pos, len(self.buf)
         while True:
-            byte = self.buf[self.pos]
-            self.pos += 1
+            if pos >= end:
+                raise ValueError("truncated avro varint")
+            byte = buf[pos]
+            pos += 1
             acc |= (byte & 0x7F) << shift
             if not byte & 0x80:
                 break
             shift += 7
+            if shift > 63:
+                raise ValueError("overlong avro varint")
+        self.pos = pos
         return (acc >> 1) ^ -(acc & 1)
+
+    def remaining(self) -> int:
+        return len(self.buf) - self.pos
 
 
 def _decode(r: _Reader, schema: Any) -> Any:
@@ -70,6 +82,10 @@ def _decode(r: _Reader, schema: Any) -> Any:
         t = schema
     elif isinstance(schema, list):  # union: long index then value
         idx = r.read_long()
+        # explicit range check: a corrupted negative index would WRAP
+        # to the last branch and decode silently-wrong data
+        if not 0 <= idx < len(schema):
+            raise ValueError(f"bad avro union index {idx}")
         return _decode(r, schema[idx])
     else:
         t = schema["type"]
@@ -91,6 +107,13 @@ def _decode(r: _Reader, schema: Any) -> Any:
                 if n < 0:  # block with byte size prefix
                     r.read_long()
                     n = -n
+                # a corrupted count can't exceed the bytes left (every
+                # well-formed non-empty block's items occupy ≥1 byte
+                # each except arrays of nulls, which nothing emits) —
+                # without this a bogus 2^50-null block would materialize
+                # a list that size and OOM the executor
+                if n > r.remaining() + 1:
+                    raise ValueError(f"overlong avro array block ({n})")
                 out.extend(_decode(r, schema["items"]) for _ in range(n))
         if t == "map":
             out_m: dict[str, Any] = {}
@@ -101,11 +124,16 @@ def _decode(r: _Reader, schema: Any) -> Any:
                 if n < 0:
                     r.read_long()
                     n = -n
+                if n > r.remaining() + 1:
+                    raise ValueError(f"overlong avro map block ({n})")
                 for _ in range(n):
                     k = r.read(r.read_long()).decode("utf-8")
                     out_m[k] = _decode(r, schema["values"])
         if t == "enum":
-            return schema["symbols"][r.read_long()]
+            sym = r.read_long()
+            if not 0 <= sym < len(schema["symbols"]):  # same wrap hazard as unions
+                raise ValueError(f"bad avro enum index {sym}")
+            return schema["symbols"][sym]
         if t == "fixed":
             return r.read(schema["size"])
         return _decode(r, t)
@@ -127,10 +155,21 @@ def _decode(r: _Reader, schema: Any) -> Any:
 
 
 def decode_record(payload: bytes, schema: dict | str) -> dict:
-    """One Avro-binary record → dict (schema = parsed JSON or string)."""
+    """One Avro-binary record → dict (schema = parsed JSON or string).
+
+    Corruption contract (fuzz-tested, tests/test_serde_fuzz.py): ANY
+    malformed payload raises ValueError — truncated/overlong varints,
+    out-of-range union/enum indexes, block counts beyond the buffer —
+    never IndexError/OverflowError, never a silent wrong-branch decode,
+    never unbounded memory. Mirrors the reference's per-record
+    AvroResult error wrapping (callysto-avro/src/avro.rs:31-74)."""
     if isinstance(schema, str):
         schema = json.loads(schema)
-    return _decode(_Reader(payload), schema)
+    try:
+        return _decode(_Reader(payload), schema)
+    except OverflowError as exc:
+        # corrupted timestamp/date varints overflow datetime arithmetic
+        raise ValueError(f"malformed avro payload: {exc}") from exc
 
 
 # --------------------------------------------------------------- encoding
@@ -257,21 +296,40 @@ def encode_record(value: dict, schema: dict | str) -> bytes:
 # (The previous pandas_udf crossing routed a nullable long through
 # float64, silently rounding values above 2^53 — e.g. an event_id of
 # 9007199254740993 round-tripped as ...992 with no error.)
-def decode_avro_udf(schema_json: str):
+def decode_avro_udf(schema_json: str, mode: str = "failfast"):
     """Arrow-batched UDF: binary Avro payload column → struct column
     typed by ``avro_schema_to_spark(schema_json)``. The jar-free
     counterpart of ``from_avro`` (use ``decode_avro`` when the
-    spark-avro jar is on the classpath — JVM-side is faster)."""
+    spark-avro jar is on the classpath — JVM-side is faster).
+
+    ``mode`` mirrors spark-avro's option of the same name:
+    ``failfast`` (default) lets a malformed payload fail the task with
+    the decoder's ValueError; ``permissive`` turns each malformed
+    record into a NULL struct and keeps going — the 100 TB posture,
+    where one corrupt Kafka message must cost one row, not the job."""
     from pyspark.sql.functions import arrow_udf
     from pyspark.sql.pandas.types import to_arrow_type
 
     from callysto_spark.serde.avro import avro_schema_to_spark
 
+    if mode not in ("failfast", "permissive"):
+        raise ValueError(f"mode must be 'failfast' or 'permissive', got {mode!r}")
     spark_type = avro_schema_to_spark(schema_json)
     schema = json.loads(schema_json)
     # timestamps decode to naive-UTC datetimes; tz=UTC in the arrow type
     # makes pyarrow interpret them as the UTC instants they are
     arrow_type = to_arrow_type(spark_type)
+    permissive = mode == "permissive"
+
+    def _one(b: bytes | None):
+        if b is None:
+            return None
+        if not permissive:
+            return decode_record(b, schema)
+        try:
+            return decode_record(b, schema)
+        except ValueError:
+            return None
 
     @arrow_udf(spark_type)
     def _decode_arrow(payloads: pa.Array) -> pa.Array:
@@ -279,9 +337,7 @@ def decode_avro_udf(schema_json: str):
         # (Kafka tombstone) decodes to a NULL STRUCT — matching the JVM
         # from_avro's null-intolerant eval, so engine='auto' results
         # cannot depend on whether the jar is loaded
-        records = [
-            None if b is None else decode_record(b, schema) for b in payloads.to_pylist()
-        ]
+        records = [_one(b) for b in payloads.to_pylist()]
         return pa.array(records, type=arrow_type)
 
     return _decode_arrow
