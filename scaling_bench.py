@@ -23,7 +23,14 @@ region reads from parquet like every other bench. Results go to stderr
 plus ONE JSON line on stdout; run with --update-md to rewrite the
 measured table in SCALING.md.
 
+Each (pipeline, scale) point also records shuffle volume per execution
+and the PEAK single-task shuffle bytes (REST stage metrics; max of any
+task's shuffle read/write) — the per-partition number that explodes
+under key skew while stage totals stay flat, so skew blowup is
+measured, not inferred.
+
 Usage: python scaling_bench.py [--update-md] [--scales 1,10]
+       python scaling_bench.py --update-md --scales 1,3,10,30,100  # full curve
 Env: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SCALE_RUNS (default 3),
      SPARK_GRAFT_SCALE_BASE_DOCS (default 5000 — sf0.1's documents count).
 """
@@ -149,7 +156,46 @@ def pipelines(spark, data_dir: str):
     }
 
 
-def time_pipeline(spark, build, n_runs: int) -> tuple[float, int]:
+def _completed_stages(spark) -> list[dict]:
+    """Completed-stage metrics from the UI REST API (the session is
+    built with spark.ui.enabled for exactly this). Returns [] rather
+    than failing the bench if the endpoint is unavailable."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return []
+    app = spark.sparkContext.applicationId
+    url = f"{ui}/api/v1/applications/{app}/stages?status=COMPLETE&withSummaries=true&quantiles=1.0"
+    try:
+        with urllib.request.urlopen(url, timeout=10) as resp:
+            return json.load(resp)
+    except Exception as exc:
+        print(f"# stage-metrics fetch failed: {exc}", file=sys.stderr)
+        return []
+
+
+def _shuffle_stats(stages: list[dict], min_stage: int, n_execs: int) -> tuple[float, float]:
+    """(total shuffle-write MB per execution, PEAK per-task shuffle MB)
+    over stages newer than min_stage. The peak is the larger of any
+    task's shuffle-read or shuffle-write bytes (quantiles=1.0 → max) —
+    the per-partition figure that blows up under key skew while stage
+    totals stay flat, so it is measured, not inferred."""
+    write_total = 0.0
+    peak_task = 0.0
+    for st in stages:
+        if st.get("stageId", -1) < min_stage:
+            continue
+        write_total += st.get("shuffleWriteBytes", 0) or 0
+        tmd = st.get("taskMetricsDistributions") or {}
+        for metrics, key in (("shuffleReadMetrics", "readBytes"), ("shuffleWriteMetrics", "writeBytes")):
+            q = (tmd.get(metrics) or {}).get(key) or [0]
+            peak_task = max(peak_task, q[-1])
+    mb = 1024 * 1024
+    return write_total / max(n_execs, 1) / mb, peak_task / mb
+
+
+def time_pipeline(spark, build, n_runs: int) -> tuple[float, int, float, float]:
     from callysto_spark.operators.util import release_transient_persists
 
     def run():
@@ -158,6 +204,8 @@ def time_pipeline(spark, build, n_runs: int) -> tuple[float, int]:
         df.write.format("noop").mode("overwrite").save()
         return df
 
+    prior = _completed_stages(spark)
+    watermark = max((st.get("stageId", -1) for st in prior), default=-1) + 1
     df = run()  # codegen/JIT warm, untimed
     # row count off the warm plan — counting via a FRESH run() would
     # execute the whole pipeline twice more (noop write + count)
@@ -170,7 +218,11 @@ def time_pipeline(spark, build, n_runs: int) -> tuple[float, int]:
         best = min(best, time.perf_counter() - t0)
         spark.catalog.clearCache()
     release_transient_persists()
-    return best, rows
+    # shuffle stats span the warm run + count + n_runs timed executions
+    # over the SAME data — totals are normalized per execution, the peak
+    # is scale-invariant across repeats
+    shuffle_mb, peak_task_mb = _shuffle_stats(_completed_stages(spark), watermark, n_runs + 2)
+    return best, rows, shuffle_mb, peak_task_mb
 
 
 def main() -> None:
@@ -183,9 +235,11 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
     base_docs = int(os.environ.get("SPARK_GRAFT_SCALE_BASE_DOCS", "5000"))
     base_vecs = int(os.environ.get("SPARK_GRAFT_SCALE_BASE_VECS", "2000"))
-    spark = get_spark("callysto-scaling", cpus=cpus)
+    # UI on for this session only: the per-stage REST metrics are how
+    # the shuffle-bytes columns are measured
+    spark = get_spark("callysto-scaling", cpus=cpus, extra_conf={"spark.ui.enabled": "true"})
     root = tempfile.mkdtemp(prefix="callysto_scaling_")
-    results: dict[str, dict[int, tuple[float, int]]] = {}
+    results: dict[str, dict[int, tuple[float, int, float, float]]] = {}
     errors: list[dict] = []
     try:
         for s in scales:
@@ -197,21 +251,32 @@ def main() -> None:
                 # scale must not discard every other measurement (the
                 # r3 bench lost a whole round's signal this way)
                 try:
-                    best, rows = time_pipeline(spark, build, n_runs)
+                    best, rows, shuffle_mb, peak_task_mb = time_pipeline(spark, build, n_runs)
                 except Exception as exc:
                     print(f"# {name} @ {s}x FAILED: {exc}", file=sys.stderr)
                     errors.append({"pipeline": name, "scale": s, "error": str(exc)[:300]})
                     continue
-                results.setdefault(name, {})[s] = (best, rows)
-                print(f"# {name} @ {s}x: {best:.3f}s ({rows} rows)", file=sys.stderr)
+                results.setdefault(name, {})[s] = (best, rows, shuffle_mb, peak_task_mb)
+                print(
+                    f"# {name} @ {s}x: {best:.3f}s ({rows} rows, "
+                    f"{shuffle_mb:.1f} MB shuffled/run, peak task {peak_task_mb:.2f} MB)",
+                    file=sys.stderr,
+                )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+    def _point_fields(by_scale, have):
+        return {
+            "t_sec": {str(s): round(by_scale[s][0], 3) for s in have},
+            "rows": {str(s): by_scale[s][1] for s in have},
+            "shuffle_mb": {str(s): round(by_scale[s][2], 1) for s in have},
+            "peak_task_shuffle_mb": {str(s): round(by_scale[s][3], 2) for s in have},
+        }
 
     if len(scales) < 2:
         # single point: report times, nothing to fit or gate
         report = {
-            name: {"t_sec": {str(s): round(t, 3) for s, (t, _) in by_scale.items()},
-                   "rows": {str(s): r for s, (_, r) in by_scale.items()}}
+            name: _point_fields(by_scale, sorted(by_scale))
             for name, by_scale in results.items()
         }
         print(json.dumps({"metric": "scaleup_exponents", "scales": scales,
@@ -230,8 +295,7 @@ def main() -> None:
         have = [s for s in scales if s in by_scale]  # a scale may have failed
         if len(have) < 2:
             failed.append(name)  # can't gate an unmeasurable pipeline
-            report[name] = {"t_sec": {str(s): round(by_scale[s][0], 3) for s in have},
-                            "rows": {str(s): by_scale[s][1] for s in have}}
+            report[name] = _point_fields(by_scale, have)
             continue
         xs = [math.log(s) for s in have]
         ys = [math.log(by_scale[s][0]) for s in have]
@@ -240,10 +304,9 @@ def main() -> None:
         s1, s2 = have[-2], have[-1]
         tail = math.log(by_scale[s2][0] / by_scale[s1][0]) / math.log(s2 / s1)
         report[name] = {
-            "t_sec": {str(s): round(by_scale[s][0], 3) for s in have},
+            **_point_fields(by_scale, have),
             "exponent": round(exp, 3),
             "tail_exponent": round(tail, 3),
-            "rows": {str(s): by_scale[s][1] for s in have},
         }
         print(f"# {name}: exponent fit={exp:.3f} tail={tail:.3f}", file=sys.stderr)
         if tail > EXPONENT_MAX:
@@ -289,6 +352,23 @@ def update_md(report, scales, cpus, n_runs, base_docs, base_vecs) -> None:
             f"| {name} | {ts} | {r.get('exponent', 'n/a')} | {tails[name]} "
             f"| {rows.get(str(min(scales)), '—')} -> {rows.get(str(hi), '—')} |"
         )
+    lines += [
+        "",
+        "Shuffle volume per point (REST stage metrics, averaged per",
+        "execution) and PEAK single-task shuffle bytes (max of any task's",
+        "shuffle read or write — the per-partition figure that blows up",
+        "under key skew while stage totals stay flat; near-flat peaks at",
+        "growing totals = the work spreads across partitions instead of",
+        "piling onto a hot one):",
+        "",
+        "| pipeline | " + " | ".join(f"shuffle @{s}x (MB/run)" for s in scales)
+        + " | " + " | ".join(f"peak task @{s}x (MB)" for s in scales) + " |",
+        "|---|" + "---|" * (2 * len(scales)),
+    ]
+    for name, r in report.items():
+        sh = " | ".join(str(r.get("shuffle_mb", {}).get(str(s), "—")) for s in scales)
+        pk = " | ".join(str(r.get("peak_task_shuffle_mb", {}).get(str(s), "—")) for s in scales)
+        lines.append(f"| {name} | {sh} | {pk} |")
     s1, s2 = scales[-2], scales[-1]
     lines += [
         "",

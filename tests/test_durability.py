@@ -1,0 +1,133 @@
+"""Randomized crash-soak durability (round-5 VERDICT item 6): a memtopic
+consumer driven through ≥20 micro-batches while being killed at batch
+boundaries AND mid-commit across ≥5 app restart cycles, with an
+exactly-once assertion over the final sink contents.
+
+Reference analog: the 'fallback restart loop (types/agent.rs:120-147)
+and recovery service (runtime/recovery.rs:51-99) — an agent crash must
+never lose or duplicate a message once the sink is idempotent per
+batch_id.
+
+Crash schedule is DETERMINISTIC (batch_id modular, first attempt only)
+so both injected modes provably fire and failures reproduce exactly:
+- pre-write crash  = the batch fails before any output (a batch-boundary
+  kill: replay must re-deliver identical content under the same id);
+- post-write crash = output written, marker NOT yet committed (the
+  mid-commit kill: the replay re-runs the write, and exactly-once comes
+  from the write being an overwrite of a batch_id-addressed path — the
+  documented filesystem-sink idempotency pattern, sinks/exactly_once.py).
+External kills come from a seeded RNG: each cycle stops the app at a
+random point in flight, then a fresh App resumes from the checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import time
+
+import pytest
+
+from callysto_spark.app import App
+from callysto_spark.sinks.exactly_once import idempotent
+from callysto_spark.sources import SourceSpec
+from callysto_spark.sources.memtopic import produce
+
+TOTAL_MSGS = 2000
+CYCLES = 6
+PER_PARTITION_CAP = 25  # × 4 partitions ⇒ ≥20 micro-batches for 2000 msgs
+
+
+def test_randomized_crash_soak_exactly_once(spark, tmp_path):
+    rng = random.Random(0xC0FFEE)  # external-kill timing only
+    broker = str(tmp_path / "broker")
+    out = str(tmp_path / "out")
+    markers = str(tmp_path / "markers")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(out)
+
+    chunks = [TOTAL_MSGS // CYCLES] * CYCLES
+    chunks[0] += TOTAL_MSGS - sum(chunks)
+    produced = 0
+
+    attempts: dict[int, int] = {}  # batch_id → attempt count
+    crashes = {"pre": 0, "post": 0, "kills": 0}
+    delivered: set[int] = set()  # progress indicator (assertion reads parquet)
+
+    def write(df, batch_id):
+        attempts[batch_id] = attempts.get(batch_id, 0) + 1
+        first = attempts[batch_id] == 1
+        if first and batch_id % 9 == 3:
+            crashes["pre"] += 1
+            raise RuntimeError(f"injected pre-write crash (batch {batch_id})")
+        rows = [json.loads(r["value"])["i"] for r in df.select("value").collect()]
+        # exactly-once under replay: the path is addressed by batch_id and
+        # OVERWRITTEN — a replayed batch (same id, same checkpointed
+        # offsets ⇒ same content) lands in the same place
+        df.select("value").write.mode("overwrite").parquet(f"{out}/b{batch_id}")
+        if first and batch_id % 9 == 6:
+            crashes["post"] += 1
+            raise RuntimeError(f"injected post-write crash (batch {batch_id})")
+        delivered.update(rows)
+
+    sink = idempotent(write, markers)
+
+    def run_cycle(final: bool) -> None:
+        a = App("soak", spark=spark, checkpoint_root=ckpt)
+        src = SourceSpec.memtopic(
+            "soak", broker, partitions=4, maxRecordsPerTrigger=str(PER_PARTITION_CAP)
+        )
+
+        @a.agent("eater", src, trigger={"processingTime": "0 seconds"})
+        def eater(df, ctx):
+            sink(df, ctx.batch_id)
+
+        a.enable_auto_restart(poll_seconds=0.25, max_restarts=100)
+        a.run(await_termination=False)
+        deadline = time.time() + (120 if final else rng.uniform(2.0, 7.0))
+        try:
+            while time.time() < deadline:
+                if len(delivered) >= produced:
+                    return  # drained everything produced so far
+                time.sleep(0.2)
+            if final:
+                pytest.fail(
+                    f"final drain incomplete: {len(delivered)}/{produced} "
+                    f"(crashes={crashes}, batches={len(attempts)})"
+                )
+            crashes["kills"] += 1  # external kill, mid-flight
+        finally:
+            a.stop()
+
+    for c in range(CYCLES):
+        produce(
+            broker,
+            "soak",
+            [(f"k{i % 7}", json.dumps({"i": i})) for i in range(produced, produced + chunks[c])],
+            n_partitions=4,
+        )
+        produced += chunks[c]
+        run_cycle(final=False)
+    run_cycle(final=True)  # no kill: drain to the end
+
+    # ---- exactly-once assertion from the SINK's actual contents
+    import pyarrow.parquet as pq
+
+    ids: list[int] = []
+    for d in sorted(os.listdir(out)):
+        tab = pq.read_table(os.path.join(out, d))
+        ids.extend(json.loads(v)["i"] for v in tab.column("value").to_pylist())
+    assert len(ids) == TOTAL_MSGS, (
+        f"lost or duplicated rows: {len(ids)} != {TOTAL_MSGS} "
+        f"(dups={len(ids) - len(set(ids))}, crashes={crashes})"
+    )
+    assert sorted(ids) == list(range(TOTAL_MSGS))
+
+    # ---- the soak actually soaked
+    assert len(attempts) >= 20, f"only {len(attempts)} micro-batches"
+    assert crashes["pre"] >= 1, "pre-write crash mode never fired"
+    assert crashes["post"] >= 1, "post-write crash mode never fired"
+    assert crashes["kills"] >= 1, "no external mid-flight kill happened"
+    replayed = [b for b, n in attempts.items() if n > 1]
+    assert replayed, "no batch was ever replayed — the soak proved nothing"
