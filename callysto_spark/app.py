@@ -48,8 +48,28 @@ def _as_foreach_batch(sink: Callable) -> Callable[[DataFrame, int], None]:
 
     try:
         params = list(inspect.signature(sink).parameters.values())
-    except (TypeError, ValueError):  # builtins/partials without signatures
-        return lambda b, i: sink(b)
+    except (TypeError, ValueError):  # builtins/C-callables without signatures
+        # Arity unknown — PREFER the 2-arg form (dropping batch_id from
+        # an exactly-once wrapper would silently void its replay-dedup
+        # contract) and fall back to 1-arg on the first TypeError, then
+        # lock whichever arity worked.
+        state = {"arity": None}
+
+        def adaptive(b: DataFrame, i: int) -> None:
+            if state["arity"] == 2:
+                return sink(b, i)
+            if state["arity"] == 1:
+                return sink(b)
+            try:
+                out = sink(b, i)
+            except TypeError:
+                out = sink(b)
+                state["arity"] = 1
+            else:
+                state["arity"] = 2
+            return out
+
+        return adaptive
     positional = [
         p for p in params
         if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
@@ -144,6 +164,12 @@ class App:
         self._stopped_agents: set[str] = set()
         self._supervised = False  # set by enable_auto_restart
         self._supervision_poll = 2.0
+        # >0 while the monitor is mid-restart: the supervised await must
+        # treat "failure detected, restart in flight" as ACTIVE — a
+        # multi-second query start() can outlast the idle grace window
+        self._restarting = 0
+        # ephemeral memory-sink checkpoints (mkdtemp) — removed in stop()
+        self._ephemeral_dirs: list[str] = []
         self._threads: list[threading.Thread] = []
         self._pages: dict[str, Callable[[], Any]] = {}
         self._web: Any = None
@@ -353,6 +379,7 @@ class App:
 
                 writer = writer.format("memory")
                 ckpt = tempfile.mkdtemp(prefix=f"callysto_mem_{agent.name}_")
+                self._ephemeral_dirs.append(ckpt)
             q = (
                 writer.queryName(qname)
                 .option("checkpointLocation", ckpt)
@@ -393,14 +420,13 @@ class App:
             # a persistent location would break every rerun)
             import tempfile
 
+            ckpt = tempfile.mkdtemp(prefix=f"callysto_mem_{flow.name}_")
+            self._ephemeral_dirs.append(ckpt)
             q = (
                 df.writeStream.outputMode(flow.output_mode)
                 .format("memory")
                 .queryName(flow.collect_to)
-                .option(
-                    "checkpointLocation",
-                    tempfile.mkdtemp(prefix=f"callysto_mem_{flow.name}_"),
-                )
+                .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
                 .start()
             )
@@ -464,7 +490,11 @@ class App:
                 while True:
                     if deadline is not None and time.time() >= deadline:
                         break
-                    if any(q.isActive for q in list(self._queries)):
+                    # a restart in flight counts as active: the monitor
+                    # flags it before start() so the grace window bounds
+                    # crash DETECTION + the restart itself, not just
+                    # detection (see enable_auto_restart)
+                    if self._restarting > 0 or any(q.isActive for q in list(self._queries)):
                         idle_since = None
                     elif idle_since is None:
                         idle_since = time.time()
@@ -525,10 +555,17 @@ class App:
                         continue
                     if restarts.get(name, 0) < max_restarts:
                         restarts[name] = restarts.get(name, 0) + 1
+                        # mark the restart in flight BEFORE starting: a
+                        # streaming query start() can take seconds, and
+                        # the supervised await must not conclude "all
+                        # idle" while the replacement query is being built
+                        self._restarting += 1
                         try:
                             self._start_agent(self._agents[name])
                         except Exception:
                             log.exception("restart of agent %r failed", name)
+                        finally:
+                            self._restarting -= 1
                     else:
                         log.error("agent %r exceeded max_restarts=%d: %s", name, max_restarts, exc)
 
@@ -576,6 +613,13 @@ class App:
             except Exception:
                 pass
         self._queries.clear()
+        # ephemeral memory-sink checkpoints would otherwise leak one
+        # temp dir (plus Spark checkpoint contents) per run
+        import shutil
+
+        for d in self._ephemeral_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        self._ephemeral_dirs.clear()
 
     # ------------------------------------------------------------- queries
     @property

@@ -473,13 +473,19 @@ def ivf_topk(
     """
     if not centroids:
         # no cells ⇒ nothing to probe (empty-corpus fit); empty result
-        # with the output schema, same as the assign path
+        # whose schema matches the scored path EXACTLY so callers can
+        # union/compare the two: query_id/neighbor_id keep id_col's
+        # type (as the scored select does), cosine_sim is a NULLABLE
+        # double (a computed division is nullable; a bare literal is
+        # not), rank a non-null int (row_number's type)
         return (
             corpus.select(
                 F.col(id_col).alias("query_id"),
                 F.col(id_col).alias("neighbor_id"),
-                F.lit(0.0).alias("cosine_sim"),
-                F.lit(0).alias("rank"),
+                # NULL literal, not when(true, 0.0): Catalyst constant-
+                # folds the latter back to a non-nullable literal
+                F.lit(None).cast("double").alias("cosine_sim"),
+                F.lit(0).cast("int").alias("rank"),
             ).limit(0)
         )
     # validate=False: the c-side size_ok + valid_norm filters below

@@ -186,32 +186,38 @@ def _zigzag(n: int) -> bytes:
             return bytes(out)
 
 
-def _is_null(value: Any) -> bool:
-    """Null for union-branch selection. The Spark crossing is Arrow-
-    native (real nulls arrive as None), but dict-level callers may hand
-    us pandas-derived values where a NULL long/double became float NaN
-    and a NULL string/struct became pd.NA/pd.NaT — all take the union's
-    null branch. Consequence: a LITERAL NaN in a nullable double field
-    encodes as null; the documented convention for pandas-sourced
-    records."""
+def _is_null(value: Any, nan_as_null: bool = True) -> bool:
+    """Null for union-branch selection. Two conventions:
+
+    - dict-level / pandas-sourced callers (``nan_as_null=True``, the
+      encode_record default): a NULL long/double that pandas rendered
+      as float NaN, and pd.NA/pd.NaT, all take the union's null branch.
+    - the Arrow-native Spark crossing (``nan_as_null=False``): Arrow
+      distinguishes real NULL slots (None) from literal NaN doubles, so
+      ONLY None is null and a genuine NaN value encodes as an IEEE NaN
+      double — matching the JVM to_avro engine bit-for-bit, so
+      engine='auto' output cannot depend on jar presence.
+    """
     if value is None:
         return True
+    if not nan_as_null:
+        return False
     if isinstance(value, float):
         return value != value  # NaN
     return value is pd.NA or value is pd.NaT
 
 
-def _encode(value: Any, schema: Any, out: bytearray) -> None:
+def _encode(value: Any, schema: Any, out: bytearray, nan_as_null: bool = True) -> None:
     if isinstance(schema, str):
         t = schema
     elif isinstance(schema, list):  # union: pick null vs the non-null branch
-        if _is_null(value):
+        if _is_null(value, nan_as_null):
             idx = schema.index("null")
             out += _zigzag(idx)
             return
         idx = next(i for i, s in enumerate(schema) if s != "null")
         out += _zigzag(idx)
-        _encode(value, schema[idx], out)
+        _encode(value, schema[idx], out, nan_as_null)
         return
     else:
         t = schema["type"]
@@ -231,14 +237,14 @@ def _encode(value: Any, schema: Any, out: bytearray) -> None:
             return
         if t == "record":
             for f in schema["fields"]:
-                _encode(value[f["name"]], f["type"], out)
+                _encode(value[f["name"]], f["type"], out, nan_as_null)
             return
         if t == "array":
             # len() check, not truthiness: Arrow hands numpy arrays here
             if value is not None and len(value) > 0:
                 out += _zigzag(len(value))
                 for v in value:
-                    _encode(v, schema["items"], out)
+                    _encode(v, schema["items"], out, nan_as_null)
             out += _zigzag(0)
             return
         if t == "map":
@@ -250,7 +256,7 @@ def _encode(value: Any, schema: Any, out: bytearray) -> None:
                 for k, v in pairs:
                     kb = k.encode("utf-8")
                     out += _zigzag(len(kb)) + kb
-                    _encode(v, schema["values"], out)
+                    _encode(v, schema["values"], out, nan_as_null)
             out += _zigzag(0)
             return
         if t == "enum":
@@ -259,7 +265,7 @@ def _encode(value: Any, schema: Any, out: bytearray) -> None:
         if t == "fixed":
             out += value
             return
-        _encode(value, t, out)
+        _encode(value, t, out, nan_as_null)
         return
     if t == "null":
         return
@@ -280,12 +286,19 @@ def _encode(value: Any, schema: Any, out: bytearray) -> None:
         raise ValueError(f"unsupported avro type: {t}")
 
 
-def encode_record(value: dict, schema: dict | str) -> bytes:
-    """dict → Avro-binary record bytes."""
+def encode_record(value: dict, schema: dict | str, nan_as_null: bool = True) -> bytes:
+    """dict → Avro-binary record bytes.
+
+    ``nan_as_null=True`` (default) is the dict-level/pandas convention:
+    a float NaN in a nullable field encodes as the union's null branch.
+    The Arrow-native Spark crossing passes False — Arrow already
+    distinguishes NULL slots (None) from literal NaN doubles, and a
+    genuine NaN must encode as an IEEE NaN exactly like the JVM
+    to_avro engine does (see _is_null)."""
     if isinstance(schema, str):
         schema = json.loads(schema)
     out = bytearray()
-    _encode(value, schema, out)
+    _encode(value, schema, out, nan_as_null)
     return bytes(out)
 
 
@@ -353,8 +366,13 @@ def encode_avro_udf(schema_json: str):
 
     @arrow_udf(BinaryType())
     def _encode_arrow(structs: pa.Array) -> pa.Array:
+        # nan_as_null=False: to_pylist renders a NULL double slot as
+        # None and a literal NaN as float('nan') — the distinction is
+        # real here, and a genuine NaN must encode as an IEEE NaN double
+        # (JVM-engine parity), not be silently folded to the null branch
         payloads = [
-            None if rec is None else encode_record(rec, schema) for rec in structs.to_pylist()
+            None if rec is None else encode_record(rec, schema, nan_as_null=False)
+            for rec in structs.to_pylist()
         ]
         return pa.array(payloads, type=pa.binary())
 
