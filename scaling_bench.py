@@ -57,11 +57,26 @@ _VOCAB = (
 
 
 def gen_documents(spark, n_docs: int, out_dir: str) -> None:
-    """Word-salad documents shaped like testdata (20-100 words from a
-    ~40-word vocab ⇒ heavy shingle overlap), plus 1% planted near-dup
-    twins so LSH→verify has real positives at every scale. All
-    hash-derived: deterministic, embarrassingly parallel, no driver data."""
-    vocab = "array(" + ",".join(f"'{w}'" for w in _VOCAB) + ")"
+    """Word-salad documents shaped like testdata (20-100 words, heavy
+    shingle overlap), plus 1% planted near-dup twins so LSH→verify has
+    real positives at every scale. All hash-derived: deterministic,
+    embarrassingly parallel, no driver data.
+
+    The vocabulary GROWS with the corpus (V ∝ n_docs^(1/4), so the
+    4-gram shingle space ~V^4 ∝ n_docs): shingle-group density — and
+    with it the true near-dup pair rate — stays constant across scales,
+    which is what a real growing corpus looks like. A FIXED vocab
+    saturates its shingle space as the corpus grows (measured: the r6
+    100x point produced 8.9x more Jaccard pairs for 3.3x more docs),
+    so the curve would measure the synthetic workload densifying
+    quadratically, not the algorithm's growth. The first 40 words stay
+    the human-readable base vocab so small-scale corpora keep their
+    shape; beyond that, words are synthetic 'w{k}' tokens."""
+    v_size = max(len(_VOCAB), int(len(_VOCAB) * (n_docs / 5000.0) ** 0.25))
+    vocab = (
+        "array(" + ",".join(f"'{w}'" for w in _VOCAB)
+        + "".join(f",'w{k}'" for k in range(len(_VOCAB), v_size)) + ")"
+    )
     base = (
         spark.range(n_docs)
         .repartition(32)
@@ -69,7 +84,7 @@ def gen_documents(spark, n_docs: int, out_dir: str) -> None:
             F.col("id").alias("doc_id"),
             F.expr(
                 f"""array_join(transform(sequence(1, 20 + pmod(xxhash64(id), 80)),
-                       i -> element_at({vocab}, CAST(pmod(xxhash64(id * 1000 + i), {len(_VOCAB)}) + 1 AS INT))), ' ')"""
+                       i -> element_at({vocab}, CAST(pmod(xxhash64(id * 1000 + i), {v_size}) + 1 AS INT))), ' ')"""
             ).alias("text"),
             F.expr("element_at(array('en','de','fr','zh','es'), CAST(pmod(xxhash64(id + 7), 5) + 1 AS INT))").alias("lang"),
         )
@@ -371,6 +386,17 @@ def update_md(report, scales, cpus, n_runs, base_docs, base_vecs) -> None:
         lines.append(f"| {name} | {sh} | {pk} |")
     s1, s2 = scales[-2], scales[-1]
     lines += [
+        "",
+        "Corpus shape note (r6): the document generator's vocabulary grows",
+        "with the corpus (V ∝ n_docs^(1/4) ⇒ 4-gram shingle space ∝ n_docs),",
+        "holding shingle-group density — and the true near-dup pair rate —",
+        "constant across scales, as in a real growing corpus. The previous",
+        "FIXED 40-word vocab saturated its ~2.6M-shingle space at large",
+        "scales: the measured r6 100x point under it produced 8.9x more",
+        "Jaccard pairs for 3.3x more docs (tail exponent 1.865), i.e. the",
+        "synthetic workload itself densified quadratically — a",
+        "generator artifact, not algorithmic growth. Absolute times are",
+        "therefore not comparable to the r5 table; exponents are.",
         "",
         "Why these: the first three are the operators whose naive formulations",
         "go quadratic (all-pairs Jaccard, corpus self-join LSH, brute-force",
