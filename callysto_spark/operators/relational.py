@@ -79,9 +79,26 @@ def global_rank(
        by cluster width, not data size) and broadcast-joined back.
 
     ``order_by`` must be a total order for deterministic ranks.
+
+    The ranged table is persisted (transient, released at the next
+    registry-query boundary) because BOTH consumers below — the local
+    row_number and the per-partition counts — must observe the SAME
+    partitioning. Without the persist each branch compiles its own
+    range exchange, and repartitionByRange's boundary SAMPLING is not
+    stable across executions when the upstream's intra-partition row
+    order varies (hash-aggregate iteration order does): the sf1
+    oracle run caught offsets computed against different boundaries
+    than the local numbering — ~8% of ntile assignments off by one
+    bucket, varying run to run. One materialization pins boundaries
+    and halves the scans; the persisted set is whatever the caller
+    ranks (typically an aggregate, not the raw fact table).
     """
+    from callysto_spark.operators.util import transient_persist
+
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *order_by).withColumn("__pid", F.spark_partition_id())
+    ranged = transient_persist(
+        df.repartitionByRange(n, *order_by).withColumn("__pid", F.spark_partition_id())
+    )
     w_local = Window.partitionBy("__pid").orderBy(*order_by)
     local = ranged.withColumn("__lrn", F.row_number().over(w_local))
     counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Generate an sf1-equivalent dataset (10x sf0.1 row counts) for the
+one-off large-scale oracle parity run (round-5 VERDICT item 7).
+
+The driver's testdata is read-only and capped at sf0.1, so this builds
+sf1 by REPLICATING sf0.1 ten times with disjoint key spaces: copy c
+shifts every key column by c*SHIFT (foreign keys shifted consistently,
+so join cardinalities scale exactly 10x), perturbs price-like doubles
+by (1 + c*1e-4) so accumulated sums see 10x distinct magnitudes (the
+point of the run: certify the fixed-point/rnd contracts at row counts
+where float accumulation-order drift is largest), rotates document
+word order and embedding coordinates per copy (so replicas are
+distinct texts/directions, not 10-deep exact-dup groups that would
+quadratically explode the near-dup oracles), and leaves dimension-like
+tables (region, nation) as-is.
+
+Oracle parity needs no distributional fidelity beyond schema + ranges:
+the driver-style check runs Spark AND DuckDB on the SAME files and
+compares values, so any well-shaped corpus exercises the contracts.
+
+Usage: python tools/gen_sf1.py [out_dir]   (default /tmp/sf1)
+Then:  SPARK_GRAFT_TEST_SF_DIR=/tmp/sf1 python -m pytest tests/test_oracle.py -q
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+SHIFT = 10_000_000
+
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+PERTURB_COLS = {
+    "customer": ["c_acctbal"],
+    "supplier": ["s_acctbal"],
+    "part": ["p_retailprice"],
+    "orders": ["o_totalprice"],
+    "lineitem": ["l_extendedprice"],
+    "events": ["value"],
+}
+COPY_AS_IS = ["region", "nation"]
+
+
+def _rotate_text(text: str, c: int) -> str:
+    words = text.split(" ")
+    k = (c * 3) % max(len(words), 1)
+    return " ".join(words[k:] + words[:k])
+
+
+def make_copy(name: str, tab: pa.Table, c: int) -> pa.Table:
+    cols = {col: tab.column(col) for col in tab.column_names}
+    for k in KEY_COLS.get(name, []):
+        cols[k] = pc.add(cols[k], pa.scalar(c * SHIFT, type=cols[k].type))
+    for k in PERTURB_COLS.get(name, []):
+        cols[k] = pc.multiply(cols[k], pa.scalar(1.0 + c * 1e-4))
+    if name == "documents" and c > 0:
+        texts = [_rotate_text(t, c) for t in cols["text"].to_pylist()]
+        cols["text"] = pa.chunked_array([pa.array(texts, type=pa.string())])
+        # n_chars stays correct: rotation preserves length
+    if name == "embeddings" and c > 0:
+        vecs = [v[c % len(v) :] + v[: c % len(v)] if v else v for v in cols["embedding"].to_pylist()]
+        cols["embedding"] = pa.chunked_array(
+            [pa.array(vecs, type=pa.list_(pa.float32()))]
+        )
+    return pa.table({n: cols[n] for n in tab.column_names})
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    os.makedirs(out, exist_ok=True)
+    for name in COPY_AS_IS:
+        tab = pq.read_table(f"{SRC}/{name}.parquet")
+        pq.write_table(tab, f"{out}/{name}.parquet")
+        print(f"{name}: {tab.num_rows} rows (copied)")
+    for name in KEY_COLS:
+        tab = pq.read_table(f"{SRC}/{name}.parquet")
+        parts = [make_copy(name, tab, c) for c in range(COPIES)]
+        big = pa.concat_tables(parts)
+        pq.write_table(big, f"{out}/{name}.parquet")
+        print(f"{name}: {tab.num_rows} -> {big.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()
