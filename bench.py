@@ -97,6 +97,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # measurement honesty: 1-minute load average at the END of the
+        # run (the box is a shared VM; the r5 ingest spread was traced
+        # to concurrent load). Own JVM contributes too — values far
+        # above the core count mean the numbers ran under contention.
+        "loadavg_1m": round(os.getloadavg()[0], 1),
     }
     if errors:
         # the total above sums only SURVIVING queries — flag it so a

@@ -632,6 +632,48 @@ def test_tws_state_value_schema_encoding_roundtrip(spark):
         assert not ts.exists and ts.get() is None
 
 
+def test_foreach_batch_adapter_without_signature_keeps_batch_id():
+    """Sinks whose signature inspect can't see (C-callables, exotic
+    wrappers) must still get batch_id when they accept it — dropping it
+    from an exactly-once wrapper silently voids the replay-dedup
+    contract. The adapter probes the 2-arg form first and locks
+    whichever arity works (app.py::_as_foreach_batch)."""
+    from callysto_spark.app import _as_foreach_batch
+
+    class _NoSig:
+        # accessing __signature__ raises → inspect.signature() fails →
+        # the adapter's unknown-arity fallback path
+        @property
+        def __signature__(self):
+            raise ValueError("signature unavailable")
+
+    class TwoArg(_NoSig):
+        def __init__(self):
+            self.seen = []
+
+        def __call__(self, df, batch_id):
+            self.seen.append(batch_id)
+
+    class OneArg(_NoSig):
+        def __init__(self):
+            self.seen = []
+
+        def __call__(self, df):
+            self.seen.append("no-id")
+
+    two = TwoArg()
+    adapted = _as_foreach_batch(two)
+    adapted("df", 7)
+    adapted("df", 8)
+    assert two.seen == [7, 8], "2-arg sink must receive real batch ids"
+
+    one = OneArg()
+    adapted = _as_foreach_batch(one)
+    adapted("df", 7)  # first call probes 2-arg, falls back once
+    adapted("df", 8)  # locked to 1-arg: no second probe
+    assert one.seen == ["no-id", "no-id"]
+
+
 def test_agent_sink_receives_batch_id_for_exactly_once(spark, tmp_path, sf_dir):
     """The exactly-once wrappers are Callable[[DataFrame, int], None] —
     batch_id is their replay-dedup key. Wiring idempotent(...) as a

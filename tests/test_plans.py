@@ -121,6 +121,19 @@ def test_deciles_no_global_window_funnel(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") <= 1, (
         "only the tiny per-partition-counts branch may single-partition"
     )
+    # The ranged table must be read from ONE materialization (persist →
+    # InMemory scan) by BOTH the local-row_number branch and the counts
+    # branch. Two independently compiled range exchanges re-SAMPLE
+    # boundaries, and sampling is not stable when the upstream
+    # hash-agg's row order varies — the sf1 oracle run caught ~8% of
+    # ntile assignments off by one bucket, nondeterministically
+    # (global_rank docstring). Dropping the persist reintroduces that.
+    assert plan.lower().count("inmemorytablescan") >= 2, (
+        "both global_rank branches must scan the persisted ranged table"
+    )
+    assert plan.lower().count("rangepartitioning") <= plan.lower().count("inmemory") + 1, (
+        "a second range exchange means a branch recomputes its own boundaries"
+    )
 
 
 def test_jaccard_capped_prunes_candidate_pairs(spark, sf_dir):
