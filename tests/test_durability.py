@@ -131,3 +131,83 @@ def test_randomized_crash_soak_exactly_once(spark, tmp_path):
     assert crashes["kills"] >= 1, "no external mid-flight kill happened"
     replayed = [b for b, n in attempts.items() if n > 1]
     assert replayed, "no batch was ever replayed — the soak proved nothing"
+
+
+def test_stateful_table_agent_crash_cycle_soak(spark, tmp_path):
+    """State-surface twin of the crash soak (reference recovery.rs +
+    inmemory.rs): a table_agent's keyed state must survive repeated
+    kill/restart cycles over a memtopic source — per-key counts and
+    sums CONTINUE from the checkpoint, never reset and never
+    double-apply a replayed batch. Crash modes: a sink that fails the
+    FIRST attempt of every third batch (the batch replays with the
+    same id and identical content), plus the hard cycle boundary (the
+    App object is discarded and rebuilt on the same checkpoint).
+    """
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    broker = str(tmp_path / "broker")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(out)
+    truth_cnt: dict[str, int] = {}
+    truth_sum: dict[str, int] = {}
+    attempts: dict[int, int] = {}
+    produced = 0
+
+    def run_cycle(chunk: int) -> None:
+        nonlocal produced
+        msgs = []
+        for i in range(produced, produced + chunk):
+            k = f"k{i % 5}"
+            msgs.append((k, json.dumps({"i": i})))
+            truth_cnt[k] = truth_cnt.get(k, 0) + 1
+            truth_sum[k] = truth_sum.get(k, 0) + i
+        produce(broker, "state_soak", msgs, n_partitions=4)
+        produced += chunk
+
+        a = App("state_soak", spark=spark, checkpoint_root=ckpt)
+        src = SourceSpec.memtopic("state_soak", broker, partitions=4)
+        stream = src.load(spark).selectExpr(
+            "key", "CAST(get_json_object(value, '$.i') AS LONG) AS i"
+        )
+        table = a.table("soak_counts", key_schema="key string", value_schema="cnt long, total long")
+        table.output_schema = "key string, cnt long, total long"
+
+        def sink(df, batch_id):
+            attempts[batch_id] = attempts.get(batch_id, 0) + 1
+            if attempts[batch_id] == 1 and batch_id % 3 == 2:
+                raise RuntimeError(f"injected sink crash (batch {batch_id})")
+            df.write.mode("overwrite").parquet(f"{out}/b{batch_id}")
+
+        @a.table_agent("soak_agent", stream, table, sink=sink)
+        def soak_agent(key, pdf, state):
+            prev = state.get()
+            cnt = (prev[0] if prev else 0) + len(pdf)
+            total = (prev[1] if prev else 0) + int(pdf["i"].sum())
+            state.set(cnt, total)
+            return pd.DataFrame({"key": [key[0]], "cnt": [cnt], "total": [total]})
+
+        a.enable_auto_restart(poll_seconds=0.25, max_restarts=20)
+        a.run(await_termination=True, timeout=120)
+        a.stop()
+
+    for c in range(5):
+        run_cycle(200)
+
+    # latest state per key across all batch outputs = the final counters
+    latest: dict[str, tuple[int, int, int]] = {}
+    for d in sorted(os.listdir(out), key=lambda s: int(s[1:])):
+        b = int(d[1:])
+        tab = pq.read_table(os.path.join(out, d))
+        if "key" not in tab.column_names:
+            continue  # empty batch: zero-partition writes emit no part files
+        for k, cnt, total in zip(*(tab.column(c).to_pylist() for c in ("key", "cnt", "total"))):
+            if k not in latest or b >= latest[k][0]:
+                latest[k] = (b, cnt, total)
+    got_cnt = {k: v[1] for k, v in latest.items()}
+    got_sum = {k: v[2] for k, v in latest.items()}
+    assert got_cnt == truth_cnt, f"state lost or double-applied: {got_cnt} != {truth_cnt}"
+    assert got_sum == truth_sum
+    replayed = [b for b, n in attempts.items() if n > 1]
+    assert replayed, "no batch was ever crashed+replayed — the soak proved nothing"
