@@ -553,6 +553,14 @@ class App:
                         # crash) — honoring the stop beats resurrecting
                         log.info("agent %r crashed but was stopped; not restarting", name)
                         continue
+                    if self._stop_event.is_set():
+                        # stop() won the race while this iteration was
+                        # already scanning — restarting now would
+                        # resurrect a query after stop() cleared the
+                        # list (and collide with a same-named query if
+                        # the caller builds a fresh App on the same
+                        # session, as restart-cycle tests do)
+                        continue
                     if restarts.get(name, 0) < max_restarts:
                         restarts[name] = restarts.get(name, 0) + 1
                         # mark the restart in flight BEFORE starting: a
@@ -606,6 +614,13 @@ class App:
         if self._web is not None:
             self._web.stop()
             self._web = None
+        # A restart already in flight when the event was set would
+        # otherwise register its new query AFTER the loop below cleared
+        # the list — leaving an orphan active query that collides with
+        # the next same-named start. Wait it out (bounded), THEN snapshot.
+        deadline = time.time() + 30
+        while self._restarting > 0 and time.time() < deadline:
+            time.sleep(0.05)
         # snapshot: the supervision monitor mutates self._queries
         for q in list(self._queries):
             try:
