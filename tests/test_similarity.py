@@ -202,3 +202,23 @@ def test_cosine_topk_engines_degrade_identically_on_missing_queries(spark, sf_di
     assert expr.collect() == [] and blas.collect() == []
     assert expr.columns == blas.columns
     assert dict(expr.dtypes) == dict(blas.dtypes)
+
+
+def test_ivf_empty_centroids_schema_matches_scored_path(spark, sf_dir):
+    """The empty-centroid early returns must have EXACTLY the scored
+    path's schema (types and nullability) so callers can union/compare
+    the two — r5 ADVICE: literals used to make cosine_sim non-nullable
+    and rank inherit a literal's type."""
+    from callysto_spark.operators.similarity import ivf_assign, ivf_topk, kmeans_centroids
+    from callysto_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    cents = kmeans_centroids(e, "vec_id", "embedding", k=4, iters=2, sample=64)
+    full = ivf_topk(e, "vec_id", "embedding", [0, 1], cents, k=3, nprobe=1)
+    empty = ivf_topk(e, "vec_id", "embedding", [0, 1], [], k=3, nprobe=1)
+    assert full.schema == empty.schema, f"{full.schema} != {empty.schema}"
+    assert full.unionByName(empty).count() == full.count()
+    fa = ivf_assign(e, "vec_id", "embedding", cents)
+    ea = ivf_assign(e, "vec_id", "embedding", [])
+    assert fa.schema == ea.schema
+    assert ea.count() == 0
