@@ -70,6 +70,12 @@ class _Reader:
             shift += 7
             if shift > 63:
                 raise ValueError("overlong avro varint")
+        if acc > 0xFFFFFFFFFFFFFFFF:
+            # a 10-byte varint can carry up to 70 bits; bits beyond 64
+            # cannot come from an int64 zigzag — and letting them through
+            # would produce a Python int that overflows the int64 Arrow
+            # conversion AFTER the permissive-mode catch
+            raise ValueError("avro varint exceeds int64 range")
         self.pos = pos
         return (acc >> 1) ^ -(acc & 1)
 

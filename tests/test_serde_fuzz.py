@@ -302,3 +302,57 @@ def test_media_on_error_skip_contract(spark):
         png_features(imgs).collect()
     with pytest.raises(Exception):
         wav_features(auds).collect()
+
+
+def test_permissive_decode_through_agent_loop(spark, tmp_path):
+    """End-to-end consume→decode parity with the reference's Avro agent
+    loop (callysto-avro avro.rs: every record decode yields AvroResult,
+    the loop continues past bad messages): a memtopic topic carrying
+    ~25% corrupted Avro payloads drained through an App agent with
+    mode='permissive' — every valid record lands, every corrupt one
+    becomes a NULL struct, and the query never fails."""
+    from pyspark.sql import functions as F
+
+    from callysto_spark.app import App
+    from callysto_spark.serde.avro import decode_avro
+    from callysto_spark.sources import SourceSpec
+    from callysto_spark.sources.memtopic import produce
+
+    import base64
+
+    schema_json = json.dumps(FUZZ_SCHEMA)
+    broker = str(tmp_path / "broker")
+    msgs, expect_good = [], set()
+    for i in range(80):
+        payload = encode_record(_record(i), FUZZ_SCHEMA)
+        if zlib.crc32(f"agent{i}".encode()) % 4 == 0:
+            payload = _corrupt(payload, i)
+        else:
+            expect_good.add(i * 7919)
+        # memtopic values are strings; base64 is the binary transport shim
+        msgs.append((f"k{i % 3}", base64.b64encode(payload).decode("ascii")))
+    produce(broker, "avro_in", msgs, n_partitions=4)
+
+    got = {"ids": set(), "nulls": 0, "rows": 0}
+    app = App("avro_perm", spark=spark, checkpoint_root=str(tmp_path / "ckpt"))
+    src = SourceSpec.memtopic("avro_in", broker, partitions=4)
+
+    @app.agent("decoder", src)
+    def decoder(df, ctx):
+        out = df.select(
+            decode_avro(F.unbase64("value"), schema_json, engine="python", mode="permissive").alias("r")
+        ).collect()
+        got["rows"] += len(out)
+        for row in out:
+            if row["r"] is None:
+                got["nulls"] += 1
+            else:
+                got["ids"].add(row["r"]["id"])
+
+    app.run(await_termination=True, timeout=120)
+    app.stop()
+    assert got["rows"] == 80, "every message must flow through, corrupt or not"
+    # ids of records whose corruption left a decodable payload may appear
+    # too — but every UNcorrupted record must have arrived intact
+    assert expect_good <= got["ids"], f"lost valid records: {sorted(expect_good - got['ids'])[:5]}"
+    assert got["nulls"] >= 1, "corruption mask produced no undecodable payload"
