@@ -51,8 +51,13 @@ def _as_foreach_batch(sink: Callable) -> Callable[[DataFrame, int], None]:
     except (TypeError, ValueError):  # builtins/C-callables without signatures
         # Arity unknown — PREFER the 2-arg form (dropping batch_id from
         # an exactly-once wrapper would silently void its replay-dedup
-        # contract) and fall back to 1-arg on the first TypeError, then
-        # lock whichever arity worked.
+        # contract) and fall back to 1-arg on the first BIND failure,
+        # then lock whichever arity worked. Only a TypeError raised AT
+        # the call boundary (no deeper traceback frame — the call never
+        # entered the sink) counts as an arity mismatch: a TypeError
+        # from INSIDE the sink body re-raises untouched, because
+        # retrying then would re-execute the sink's side effects within
+        # one batch and mask the real error.
         state = {"arity": None}
 
         def adaptive(b: DataFrame, i: int) -> None:
@@ -62,7 +67,9 @@ def _as_foreach_batch(sink: Callable) -> Callable[[DataFrame, int], None]:
                 return sink(b)
             try:
                 out = sink(b, i)
-            except TypeError:
+            except TypeError as exc:
+                if exc.__traceback__ is not None and exc.__traceback__.tb_next is not None:
+                    raise  # raised inside the sink body, not by binding
                 out = sink(b)
                 state["arity"] = 1
             else:
@@ -166,8 +173,13 @@ class App:
         self._supervision_poll = 2.0
         # >0 while the monitor is mid-restart: the supervised await must
         # treat "failure detected, restart in flight" as ACTIVE — a
-        # multi-second query start() can outlast the idle grace window
+        # multi-second query start() can outlast the idle grace window.
+        # The lock makes [stop-event check → increment] atomic against
+        # stop(), which barriers on it — without it a monitor thread
+        # could pass the check, lose the CPU, and start an orphan query
+        # after stop() finished clearing the list.
         self._restarting = 0
+        self._restart_lock = threading.Lock()
         # ephemeral memory-sink checkpoints (mkdtemp) — removed in stop()
         self._ephemeral_dirs: list[str] = []
         self._threads: list[threading.Thread] = []
@@ -553,29 +565,35 @@ class App:
                         # crash) — honoring the stop beats resurrecting
                         log.info("agent %r crashed but was stopped; not restarting", name)
                         continue
-                    if self._stop_event.is_set():
-                        # stop() won the race while this iteration was
-                        # already scanning — restarting now would
-                        # resurrect a query after stop() cleared the
-                        # list (and collide with a same-named query if
-                        # the caller builds a fresh App on the same
-                        # session, as restart-cycle tests do)
-                        continue
-                    if restarts.get(name, 0) < max_restarts:
+                    # Atomically [check stop → mark restart in flight]:
+                    # stop() sets the event and then barriers on this
+                    # lock, so after its barrier every monitor thread
+                    # has either registered in _restarting (stop waits
+                    # it out) or will observe the event and skip —
+                    # restarting now can never resurrect a query after
+                    # stop() cleared the list (which would collide with
+                    # a same-named query when the caller builds a fresh
+                    # App on the same session, as restart-cycle tests do)
+                    with self._restart_lock:
+                        if self._stop_event.is_set():
+                            continue
+                        if restarts.get(name, 0) >= max_restarts:
+                            log.error(
+                                "agent %r exceeded max_restarts=%d: %s", name, max_restarts, exc
+                            )
+                            continue
                         restarts[name] = restarts.get(name, 0) + 1
                         # mark the restart in flight BEFORE starting: a
                         # streaming query start() can take seconds, and
                         # the supervised await must not conclude "all
                         # idle" while the replacement query is being built
                         self._restarting += 1
-                        try:
-                            self._start_agent(self._agents[name])
-                        except Exception:
-                            log.exception("restart of agent %r failed", name)
-                        finally:
-                            self._restarting -= 1
-                    else:
-                        log.error("agent %r exceeded max_restarts=%d: %s", name, max_restarts, exc)
+                    try:
+                        self._start_agent(self._agents[name])
+                    except Exception:
+                        log.exception("restart of agent %r failed", name)
+                    finally:
+                        self._restarting -= 1
 
         t = threading.Thread(target=monitor, daemon=True)
         t.start()
@@ -617,7 +635,12 @@ class App:
         # A restart already in flight when the event was set would
         # otherwise register its new query AFTER the loop below cleared
         # the list — leaving an orphan active query that collides with
-        # the next same-named start. Wait it out (bounded), THEN snapshot.
+        # the next same-named start. Barrier on the restart lock (any
+        # monitor thread between its stop-event check and its
+        # _restarting increment finishes that atomic step first), then
+        # wait out registered restarts (bounded), THEN snapshot.
+        with self._restart_lock:
+            pass
         deadline = time.time() + 30
         while self._restarting > 0 and time.time() < deadline:
             time.sleep(0.05)

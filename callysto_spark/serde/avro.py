@@ -151,11 +151,18 @@ def decode_avro(
     path always RUNS, jar or not.
 
     ``mode``: 'failfast' (default) aborts the task on a malformed
-    payload; 'permissive' yields a NULL struct per bad record — same
-    option, same semantics, on BOTH engines (spark-avro takes it as
-    from_avro's option map; the python codec catches the decoder's
-    ValueError per record).
+    payload; 'permissive' yields a struct with all fields NULL per bad
+    record — same option, same semantics, on BOTH engines (spark-avro
+    takes it as from_avro's option map and emits nullResultRow; the
+    python codec catches the decoder's ValueError per record and emits
+    the same all-null-fields struct).
     """
+    # validate BEFORE the engine split: Spark's ParseMode.fromString
+    # silently coerces unknown strings to PERMISSIVE, so a typo'd
+    # 'fail_fast' on the jvm path would flip strict decoding to silent
+    # nulling with only a log warning
+    if mode not in ("failfast", "permissive"):
+        raise ValueError(f"mode must be 'failfast' or 'permissive', got {mode!r}")
     if engine == "jvm" or (engine == "auto" and avro_jar_loaded()):
         from_avro, _ = _avro_functions()
         return from_avro(col, schema_json, {"mode": mode.upper()})

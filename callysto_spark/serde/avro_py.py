@@ -106,6 +106,11 @@ def _decode(r: _Reader, schema: Any) -> Any:
             return {f["name"]: _decode(r, f["type"]) for f in schema["fields"]}
         if t == "array":
             out = []
+            # zero-byte items (type 'null') make the bytes-remaining
+            # bound meaningless — a conforming writer CAN emit a large
+            # count in 3 bytes; cap those at 2^24 items instead so a
+            # corrupted 2^50 count still cannot OOM the executor
+            zero_size = schema["items"] == "null"
             while True:
                 n = r.read_long()
                 if n == 0:
@@ -114,11 +119,8 @@ def _decode(r: _Reader, schema: Any) -> Any:
                     r.read_long()
                     n = -n
                 # a corrupted count can't exceed the bytes left (every
-                # well-formed non-empty block's items occupy ≥1 byte
-                # each except arrays of nulls, which nothing emits) —
-                # without this a bogus 2^50-null block would materialize
-                # a list that size and OOM the executor
-                if n > r.remaining() + 1:
+                # well-formed non-empty block's items occupy ≥1 byte)
+                if n > ((1 << 24) if zero_size else r.remaining() + 1):
                     raise ValueError(f"overlong avro array block ({n})")
                 out.extend(_decode(r, schema["items"]) for _ in range(n))
         if t == "map":
@@ -147,7 +149,15 @@ def _decode(r: _Reader, schema: Any) -> Any:
         return None
     if t == "boolean":
         return r.read(1) != b"\x00"
-    if t in ("int", "long"):
+    if t == "int":
+        v = r.read_long()
+        # avro 'int' is 32-bit; a corrupted wider varint would survive
+        # decode only to overflow the int32 Arrow conversion LATER,
+        # outside permissive mode's per-record catch
+        if not -(1 << 31) <= v < (1 << 31):
+            raise ValueError(f"avro int out of range ({v})")
+        return v
+    if t == "long":
         return r.read_long()
     if t == "float":
         return _struct.unpack("<f", r.read(4))[0]
@@ -308,6 +318,22 @@ def encode_record(value: dict, schema: dict | str, nan_as_null: bool = True) -> 
     return bytes(out)
 
 
+def _fully_nullable(dt):
+    """Deep-nullable copy of a Spark DataType (struct fields, array
+    elements, map values) — spark-avro's nullableSchema equivalent."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _fully_nullable(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_fully_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(dt.keyType, _fully_nullable(dt.valueType), True)
+    return dt
+
+
 # ------------------------------------------------------- Spark integration
 #
 # Both crossings are Arrow-NATIVE (arrow_udf, Spark 4): values never pass
@@ -324,8 +350,12 @@ def decode_avro_udf(schema_json: str, mode: str = "failfast"):
     ``mode`` mirrors spark-avro's option of the same name:
     ``failfast`` (default) lets a malformed payload fail the task with
     the decoder's ValueError; ``permissive`` turns each malformed
-    record into a NULL struct and keeps going — the 100 TB posture,
-    where one corrupt Kafka message must cost one row, not the job."""
+    record into a struct with every field NULL and keeps going — the
+    100 TB posture, where one corrupt Kafka message must cost one row,
+    not the job. All-null FIELDS, not a null row: that is exactly what
+    the JVM engine emits (AvroDataToCatalyst's nullResultRow), so
+    engine='auto' output cannot depend on jar presence; a NULL payload
+    (tombstone) still decodes to a NULL struct on both engines."""
     from pyspark.sql.functions import arrow_udf
     from pyspark.sql.pandas.types import to_arrow_type
 
@@ -335,10 +365,20 @@ def decode_avro_udf(schema_json: str, mode: str = "failfast"):
         raise ValueError(f"mode must be 'failfast' or 'permissive', got {mode!r}")
     spark_type = avro_schema_to_spark(schema_json)
     schema = json.loads(schema_json)
+    permissive = mode == "permissive"
+    if permissive:
+        # spark-avro parity: PERMISSIVE forces the result type fully
+        # NULLABLE (AvroDataToCatalyst uses nullableSchema) — the
+        # all-null nullResultRow must be representable even for fields
+        # the avro schema declares non-null
+        spark_type = _fully_nullable(spark_type)
     # timestamps decode to naive-UTC datetimes; tz=UTC in the arrow type
     # makes pyarrow interpret them as the UTC instants they are
     arrow_type = to_arrow_type(spark_type)
-    permissive = mode == "permissive"
+    # spark-avro parity: PermissiveMode yields a row whose FIELDS are
+    # all null (nullResultRow), distinct from the NULL row a null
+    # payload produces
+    null_row = {f.name: None for f in spark_type.fields}
 
     def _one(b: bytes | None):
         if b is None:
@@ -348,7 +388,7 @@ def decode_avro_udf(schema_json: str, mode: str = "failfast"):
         try:
             return decode_record(b, schema)
         except ValueError:
-            return None
+            return dict(null_row)
 
     @arrow_udf(spark_type)
     def _decode_arrow(payloads: pa.Array) -> pa.Array:

@@ -172,13 +172,18 @@ def test_avro_permissive_mode_nulls_bad_records(spark):
     ).collect()
     for row in out:
         if row["corrupt"]:
-            # NULL struct OR a still-decodable mutation (some corruptions
-            # leave a parseable prefix) — but never an exception
+            # all-null-fields struct (spark-avro's nullResultRow) OR a
+            # still-decodable mutation — but never an exception, and
+            # never a NULL row (that is the tombstone signature)
+            assert row["r"] is not None
             continue
         assert row["r"] is not None, f"valid row {row['rid']} decoded to NULL"
         assert row["r"]["id"] == row["rid"] * 7919
     # at least one corrupted row must actually have been nulled
-    nulled = [r for r in out if r["corrupt"] and r["r"] is None]
+    nulled = [
+        r for r in out
+        if r["corrupt"] and r["r"] is not None and all(v is None for v in r["r"])
+    ]
     assert nulled, "no corrupted record was nulled — corruption mask too weak"
 
 
@@ -344,7 +349,10 @@ def test_permissive_decode_through_agent_loop(spark, tmp_path):
         ).collect()
         got["rows"] += len(out)
         for row in out:
-            if row["r"] is None:
+            # corrupt record = all-null-fields struct (nullResultRow);
+            # a NULL ROW would mean a tombstone, which this topic has none of
+            assert row["r"] is not None
+            if row["r"]["id"] is None:
                 got["nulls"] += 1
             else:
                 got["ids"].add(row["r"]["id"])

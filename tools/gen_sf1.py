@@ -8,11 +8,13 @@ shifts every key column by c*SHIFT (foreign keys shifted consistently,
 so join cardinalities scale exactly 10x), perturbs price-like doubles
 by (1 + c*1e-4) so accumulated sums see 10x distinct magnitudes (the
 point of the run: certify the fixed-point/rnd contracts at row counts
-where float accumulation-order drift is largest), rotates document
-word order and embedding coordinates per copy (so replicas are
-distinct texts/directions, not 10-deep exact-dup groups that would
-quadratically explode the near-dup oracles), and leaves dimension-like
-tables (region, nation) as-is.
+where float accumulation-order drift is largest), rewrites each
+document copy's text with copy-specific marker tokens interleaved at
+every 4th position (rotation alone keeps replicas as 10-deep NEAR-dup
+cliques — see _vary_text — which would quadratically explode the
+near-dup oracles; the markers break every spanning 4-gram), rotates
+embedding coordinates per copy, and leaves dimension-like tables
+(region, nation) as-is.
 
 Oracle parity needs no distributional fidelity beyond schema + ranges:
 the driver-style check runs Spark AND DuckDB on the SAME files and
@@ -56,10 +58,24 @@ PERTURB_COLS = {
 COPY_AS_IS = ["region", "nation"]
 
 
-def _rotate_text(text: str, c: int) -> str:
+def _vary_text(text: str, c: int) -> str:
+    """Rewrite copy c's text so replicas are genuinely DISTINCT under
+    shingling, not near-dups: a pure rotation preserves almost the
+    whole linear n-gram set (a 100-word doc rotated by 3 shares ~94 of
+    ~97 4-gram shingles — a 10-deep near-dup clique per source doc,
+    and byte-identical copies whenever len(words) divides the shift).
+    Interleaving a copy-specific marker token every 4th position breaks
+    every 4-gram that would span it, leaving cross-copy Jaccard near
+    zero while keeping realistic text shape."""
     words = text.split(" ")
     k = (c * 3) % max(len(words), 1)
-    return " ".join(words[k:] + words[:k])
+    words = words[k:] + words[:k]
+    out = []
+    for j, w in enumerate(words):
+        if j % 4 == 0:
+            out.append(f"c{c}x{j // 4 % 7}")
+        out.append(w)
+    return " ".join(out)
 
 
 def make_copy(name: str, tab: pa.Table, c: int) -> pa.Table:
@@ -69,9 +85,11 @@ def make_copy(name: str, tab: pa.Table, c: int) -> pa.Table:
     for k in PERTURB_COLS.get(name, []):
         cols[k] = pc.multiply(cols[k], pa.scalar(1.0 + c * 1e-4))
     if name == "documents" and c > 0:
-        texts = [_rotate_text(t, c) for t in cols["text"].to_pylist()]
+        texts = [_vary_text(t, c) for t in cols["text"].to_pylist()]
         cols["text"] = pa.chunked_array([pa.array(texts, type=pa.string())])
-        # n_chars stays correct: rotation preserves length
+        cols["n_chars"] = pa.chunked_array(
+            [pa.array([len(t) for t in texts], type=pa.int64())]
+        )
     if name == "embeddings" and c > 0:
         vecs = [v[c % len(v) :] + v[: c % len(v)] if v else v for v in cols["embedding"].to_pylist()]
         cols["embedding"] = pa.chunked_array(
