@@ -125,8 +125,20 @@ def _read_slice(
                 break  # partial trailing write: same visibility rule as _partition_sizes
             if offset < start:
                 continue
-            rec = json.loads(line)
-            yield (rec["k"], rec["v"], topic, pid, offset, rec["ts"])
+            try:
+                rec = json.loads(line)
+                k, v, ts = rec["k"], rec["v"], rec["ts"]
+            except (ValueError, KeyError, TypeError) as exc:
+                # a corrupted COMMITTED line (disk corruption, manual
+                # edit) fails the read — silently skipping would shift
+                # every later offset and re-deliver/lose records — but
+                # it fails NAMED: topic/partition/offset locate the bad
+                # record instead of a bare KeyError from a task. Same
+                # failfast stance as Kafka's CorruptRecordException.
+                raise ValueError(
+                    f"corrupt memtopic log record {topic}/p{pid}@{offset}: {exc!r}"
+                ) from exc
+            yield (k, v, topic, pid, offset, ts)
 
 
 @dataclass

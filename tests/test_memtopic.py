@@ -379,3 +379,24 @@ def test_consumer_config_routes_client_options_through_whitelist():
     assert opts["maxOffsetsPerTrigger"] == "100"
     assert opts["kafka.security.protocol"] == "SSL"
     assert opts["kafka.min.insync.replicas"] == "2"
+
+
+def test_corrupt_log_record_fails_named(spark, broker):
+    """A corrupted COMMITTED log line must fail the read with a located
+    error (topic/partition/offset), never a bare KeyError from a task —
+    and never be silently skipped, which would shift every later offset
+    (Kafka parity: CorruptRecordException is failfast too)."""
+    from callysto_spark.sources.memtopic import _log_path
+
+    register(spark)
+    produce(broker, "corrupt_t", [(None, f"m{i}") for i in range(8)], n_partitions=1)
+    path = _log_path(broker, "corrupt_t", 0)
+    lines = open(path).read().splitlines(keepends=True)
+    lines[3] = '{"k": null, "wrong_shape": 1}\n'
+    lines[5] = "not json at all\n"
+    open(path, "w").write("".join(lines))
+    df = spark.read.format("memtopic").option("brokerDir", broker).option("topic", "corrupt_t").option("partitions", "1").load()
+    with pytest.raises(Exception) as err:
+        df.collect()
+    msg = str(err.value)
+    assert "corrupt memtopic log record" in msg and "corrupt_t/p0@3" in msg, msg
