@@ -149,8 +149,11 @@ def test_query_matches_oracle(name, spark, ddb, sf_dir):
 def test_load_all_idempotent_and_windowed():
     """The driver imports the registry via __spark_entry__ and samples
     the first ~50 entries; load_all() must be idempotent (repeat calls
-    keep the same order), keep all 85 queries, and keep every north-star
-    doc_/emb_ query inside the sampled window."""
+    keep the same order), keep all 85 queries, and keep the core
+    north-star dedup/ANN surface inside the sampled window. (The r7
+    rotation defers five single-pass llm kernels ONE round to fit the
+    freshness-invariant promotion — any other doc_/emb_ absence from the
+    window is a bug.)"""
     from callysto_spark.queries import load_all
 
     first = list(load_all())
@@ -158,7 +161,18 @@ def test_load_all_idempotent_and_windowed():
     assert first == second, "load_all must be order-stable across calls"
     assert len(first) == len(set(first)) == 85
     head = first[:50]
-    missing = [n for n in first if n.startswith(("doc_", "emb_")) and n not in head]
+    deferred_r7 = {
+        "doc_quality_score",
+        "doc_lang_scores",
+        "doc_bpe_token_stats",
+        "doc_stratified_sample",
+        "emb_label_near_pairs",
+    }
+    missing = [
+        n
+        for n in first
+        if n.startswith(("doc_", "emb_")) and n not in head and n not in deferred_r7
+    ]
     assert not missing, f"north-star queries fell out of the sampled window: {missing}"
 
 
