@@ -19,6 +19,9 @@ def test_bench_survives_single_query_failure():
         SPARK_GRAFT_BENCH_RUNS="1",
         SPARK_GRAFT_INGEST_MSGS="0",
         SPARK_GRAFT_BENCH_FAIL="q3_shipping_priority",
+        # keep this test about FAILURE isolation, not machine load: the
+        # suite itself loads the box, so disarm the admission gate here
+        SPARK_GRAFT_LOAD_MAX="1e9",
     )
     proc = subprocess.run(
         [sys.executable, "bench.py"],
@@ -40,3 +43,40 @@ def test_bench_survives_single_query_failure():
     # queries and is NOT comparable to a clean round's total
     assert out["partial"] is True
     assert out["n_failed"] == 1
+    # the clean (disarmed-gate) path records the gate sample and does
+    # NOT carry the contamination flag
+    assert "loadavg_at_gate" in out
+    assert "load_contaminated" not in out
+
+
+def test_bench_flags_load_contaminated_run():
+    """BENCH_r06.json was committed at loadavg 11.2 — a load artifact a
+    reader could mistake for a regression. The admission gate must make
+    that impossible: with an unsatisfiable load ceiling and a zero retry
+    budget, the bench still emits its JSON line (a flagged number beats
+    no number) but marks it load_contaminated and exits 2 so the round
+    artifact's rc shows the contamination."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="8",
+        SPARK_GRAFT_BENCH_RUNS="1",
+        SPARK_GRAFT_INGEST_MSGS="0",
+        SPARK_GRAFT_LOAD_MAX="-1",  # loadavg >= 0 > -1 always: forced contamination
+        SPARK_GRAFT_LOAD_RETRIES="2",
+        SPARK_GRAFT_LOAD_WAIT="0",
+    )
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 2, (proc.returncode, proc.stderr[-2000:])
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["load_contaminated"] is True
+    assert out["value"] > 0  # the numbers are still there, just flagged
+    assert "load gate" in proc.stderr
