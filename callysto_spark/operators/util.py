@@ -34,8 +34,22 @@ def transient_persist(df: DataFrame) -> DataFrame:
 
 def release_transient_persists() -> int:
     """Unpersist every tracked transient cache; returns how many were
-    released. Safe to call anytime: a consumer that somehow re-runs an
-    action afterwards just recomputes (correctness unaffected)."""
+    released.
+
+    Contract: a released cache recomputes on the next action, and for
+    most operators recompute is value-identical. The EXCEPTION is
+    ``global_rank`` (operators/relational.py): its persist pins ONE
+    draw of repartitionByRange's sampled boundaries across the two
+    consuming branches — a recompute AFTER this sweep re-draws
+    boundaries per branch and can re-introduce the off-by-one-bucket
+    rank drift the persist exists to fix. So the sweep runs only at
+    REGISTRY-QUERY BOUNDARIES (queries/__init__.py wrapper, bench
+    loop), where the previous query's result has already been fully
+    consumed; callers holding a global_rank-derived DataFrame across a
+    boundary must re-invoke the query function rather than re-run
+    actions on the stale handle. The standing plan audit
+    (tests/test_determinism.py) enforces the within-query half of this
+    invariant."""
     released = 0
     while _TRANSIENT:
         df = _TRANSIENT.pop()

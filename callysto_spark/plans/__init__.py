@@ -4,6 +4,7 @@ from callysto_spark.plans.audit import (
     broadcast_join_count,
     exchange_count,
     codegen_stage_count,
+    nondet_dual_consumption,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "broadcast_join_count",
     "exchange_count",
     "codegen_stage_count",
+    "nondet_dual_consumption",
 ]

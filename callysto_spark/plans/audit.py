@@ -42,6 +42,76 @@ def exchange_count(df: DataFrame) -> int:
     return len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan))
 
 
+def _walk_logical(node):
+    """Depth-first over a logical plan INCLUDING expression-embedded
+    subquery plans (scalar/exists subqueries carry whole plans inside
+    expressions, invisible to children())."""
+    yield node
+    subs = node.subqueries()
+    for i in range(subs.size()):
+        yield from _walk_logical(subs.apply(i))
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk_logical(ch.apply(i))
+
+
+def _is_nondet_source(node) -> bool:
+    """Does THIS node introduce run-to-run nondeterminism?
+
+    Three classes (the round-6 package audit's taxonomy):
+    - any nondeterministic expression (rand/spark_partition_id/
+      monotonically_increasing_id/...): ``Expression.deterministic``
+      already recurses, so top-level expressions suffice;
+    - ``Sample`` (seeded, but output still depends on the upstream
+      partitioning/row order);
+    - ``RepartitionByExpression`` over SortOrder keys — i.e.
+      ``repartitionByRange`` — whose boundary SAMPLING re-draws per
+      compiled exchange. This one is invisible to ``deterministic``
+      and is exactly what skewed global_rank's ntile assignments at
+      sf1 (see operators/relational.py).
+    """
+    cls = node.getClass().getSimpleName()
+    if cls == "Sample":
+        return True
+    if cls == "RepartitionByExpression":
+        pexprs = node.partitionExpressions()
+        for i in range(pexprs.size()):
+            if pexprs.apply(i).getClass().getSimpleName() == "SortOrder":
+                return True
+    exprs = node.expressions()
+    for i in range(exprs.size()):
+        if not exprs.apply(i).deterministic():
+            return True
+    return False
+
+
+def nondet_dual_consumption(df: DataFrame) -> list[str]:
+    """Nondeterministic subtrees consumed by MORE THAN ONE branch of the
+    plan — the bug class the sf1 parity run caught in global_rank: a
+    shared DataFrame holding a nondeterminism source (range-sampled
+    exchange, rand salt, partition id) appears as N identical subtrees
+    in the logical plan, each compiled and EXECUTED independently, so
+    the branches can observe different draws of the same 'value'.
+
+    Audits the optimized plan AFTER cache substitution: a persisted
+    shared subtree becomes an InMemoryRelation leaf (one materialization,
+    consistent across consumers) and correctly stops matching. Returns a
+    description per duplicated source subtree; empty list = clean.
+    Canonicalized ``semanticHash`` keys the duplicate detection, so
+    alias/exprId differences between the branches don't hide a match.
+    """
+    plan = df._jdf.queryExecution().optimizedPlan()
+    counts: dict[int, int] = {}
+    reprs: dict[int, str] = {}
+    for node in _walk_logical(plan):
+        if _is_nondet_source(node):
+            h = node.semanticHash()
+            counts[h] = counts.get(h, 0) + 1
+            if h not in reprs:
+                reprs[h] = f"{node.nodeName()}: {node.simpleString(25)}"
+    return [reprs[h] for h, c in sorted(counts.items()) if c > 1]
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Distinct whole-stage-codegen stages (simple-mode `*(n)` markers).
 

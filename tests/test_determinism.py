@@ -35,6 +35,54 @@ def _run(spark, name, sf_dir):
     return normalize(cols, rows)
 
 
+def test_nondet_auditor_catches_dual_consumed_range_exchange(spark):
+    """Self-test on the exact bug class sf1 caught in global_rank: a
+    repartitionByRange (+ spark_partition_id) subtree consumed by two
+    branches compiles two exchanges with independently SAMPLED
+    boundaries — the auditor must flag it, and must stop flagging once
+    a persist pins one materialization (cache substitution turns the
+    shared subtree into an InMemoryRelation leaf)."""
+    from pyspark.sql import functions as F
+
+    from callysto_spark.plans import nondet_dual_consumption
+
+    base = spark.range(1000).withColumn("x", (F.col("id") * 37) % 1001)
+    ranged = base.repartitionByRange(8, "x").withColumn("pid", F.spark_partition_id())
+    bad = ranged.groupBy("pid").count().join(ranged.select("pid", "x"), "pid")
+    flags = nondet_dual_consumption(bad)
+    assert flags and any("RepartitionByExpression" in f for f in flags), flags
+
+    p = ranged.persist()
+    try:
+        good = p.groupBy("pid").count().join(p.select("pid", "x"), "pid")
+        assert nondet_dual_consumption(good) == []
+    finally:
+        p.unpersist()
+
+    # single consumption of a nondeterminism source is fine by design
+    assert nondet_dual_consumption(ranged.groupBy("pid").count()) == []
+
+
+def test_registry_no_dual_consumed_nondeterminism(spark, sf_dir):
+    """Every registry query's optimized plan, every run: no
+    nondeterministic subtree (range-sampled exchange, rand salt,
+    partition id, Sample) may feed more than one consumer without an
+    intervening persist. This encodes the one-time round-6 package
+    audit (commit 6879344) as a standing gate — it would have caught
+    the global_rank boundary-drift bug before the sf1 run did."""
+    from callysto_spark.plans import nondet_dual_consumption
+
+    failures = {}
+    for name in sorted(REGISTRY):
+        flags = nondet_dual_consumption(REGISTRY[name].fn(spark, sf_dir))
+        if flags:
+            failures[name] = flags
+    assert not failures, (
+        f"nondeterministic subtrees consumed by >1 branch (persist the "
+        f"shared table or make the source single-consumer): {failures}"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_partition_topology_invariance(name, spark, sf_dir):
     saved = {

@@ -120,8 +120,10 @@ def normalize(cols, rows):
     return [cols[i] for i in order], out
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
-def test_query_matches_oracle(name, spark, ddb, sf_dir):
+def run_oracle_parity(name, spark, ddb, sf_dir):
+    """Driver-style parity for ONE registry query: Spark vs DuckDB on the
+    same parquet, exact values. Shared by the default-SF suite below and
+    the env-gated sf1 suite (tests/test_sf1_parity.py)."""
     q = REGISTRY[name]
     sdf = q.fn(spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
@@ -144,6 +146,11 @@ def test_query_matches_oracle(name, spark, ddb, sf_dir):
         (i, a, b) for i, (a, b) in enumerate(zip(s_norm, o_norm)) if a != b
     ]
     assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(name, spark, ddb, sf_dir):
+    run_oracle_parity(name, spark, ddb, sf_dir)
 
 
 def test_load_all_idempotent_and_windowed():

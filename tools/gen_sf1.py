@@ -98,8 +98,10 @@ def make_copy(name: str, tab: pa.Table, c: int) -> pa.Table:
     return pa.table({n: cols[n] for n in tab.column_names})
 
 
-def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+def generate(out: str) -> None:
+    """Build the sf1 corpus at ``out``. Importable so the env-gated sf1
+    parity suite (tests/test_sf1_parity.py) can regenerate a missing
+    corpus instead of depending on a manual one-off run."""
     os.makedirs(out, exist_ok=True)
     for name in COPY_AS_IS:
         tab = pq.read_table(f"{SRC}/{name}.parquet")
@@ -111,6 +113,10 @@ def main() -> None:
         big = pa.concat_tables(parts)
         pq.write_table(big, f"{out}/{name}.parquet")
         print(f"{name}: {tab.num_rows} -> {big.num_rows} rows")
+
+
+def main() -> None:
+    generate(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1")
 
 
 if __name__ == "__main__":
