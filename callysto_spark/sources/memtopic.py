@@ -206,8 +206,29 @@ class MemTopicStreamReader(DataSourceStreamReader):
             if int(n) > self._advanced.get(p, 0):
                 self._advanced[p] = int(n)
 
+    def _check_truncation(self, committed: dict, visible: dict) -> None:
+        """A visible log SHORTER than a committed offset means committed
+        records were destroyed (torn write truncating a flushed line,
+        manual edit, disk loss). Silently proceeding is the worst
+        failure mode: the reader would wait for the log to regrow past
+        the committed offset and then misread NEW records as the lost
+        ones' replacements — offsets shifted, records skipped, no error.
+        Fail located instead (Kafka analog: OffsetOutOfRangeException
+        when the committed position is beyond the log end offset)."""
+        for p, n in visible.items():
+            c = int(committed.get(str(p), 0))
+            if int(n) < c:
+                raise ValueError(
+                    f"memtopic log truncated below committed offset "
+                    f"{self.o.topic}/p{p}: committed {c}, visible {int(n)} — "
+                    f"committed records were destroyed; refusing to "
+                    f"silently re-map offsets"
+                )
+
     def latestOffset(self) -> dict:
         sizes = _partition_sizes(self.o.broker_dir, self.o.topic, self.o.n_partitions)
+        if self._advanced is not None:
+            self._check_truncation(self._advanced, sizes)
         cap = self.o.max_records_per_trigger
         if cap is None:
             return sizes
@@ -227,6 +248,12 @@ class MemTopicStreamReader(DataSourceStreamReader):
         # `start` carries Spark's committed position (checkpointed after a
         # restart) — fold it into the watermark so latestOffset() resumes
         # from there, not from a fresh initialOffset().
+        # Restart-path truncation check: on the first post-restart batch
+        # the watermark was not yet seeded from the checkpoint when
+        # latestOffset() ran, so a truncated log surfaces HERE as
+        # end < checkpointed start — which the slice filter below would
+        # otherwise silently swallow.
+        self._check_truncation(start, end)
         self._ratchet(start)
         self._ratchet(end)
         return [

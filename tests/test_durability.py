@@ -211,3 +211,86 @@ def test_stateful_table_agent_crash_cycle_soak(spark, tmp_path):
     assert got_sum == truth_sum
     replayed = [b for b, n in attempts.items() if n > 1]
     assert replayed, "no batch was ever crashed+replayed — the soak proved nothing"
+
+
+def test_torn_write_truncation_soak(spark, tmp_path):
+    """Torn-write chaos on the memtopic log (round-6 VERDICT item 5):
+    partial-line writes cut at seeded-random byte offsets.
+
+    Two torn-write classes, two required outcomes:
+    - a torn APPEND (the trailing, never-committed record lands without
+      its newline): invisible to readers until the producer completes
+      it — every drain resumes cleanly past the recovery point and the
+      completed record arrives exactly once, no loss, no dup;
+    - a truncation DESTROYING committed records (torn flush of an
+      already-visible region, disk loss): the restarted consumer must
+      fail with a LOCATED error naming topic/partition and the
+      committed-vs-visible offsets — never silently re-map new records
+      onto the lost offsets (which would skip records with no error at
+      all, the worst failure mode).
+
+    Reference analog: changelog replay idempotence,
+    runtime/recovery.rs:51-99.
+    """
+    from callysto_spark.sources.memtopic import _log_path, produce, register
+
+    register(spark)
+    broker = str(tmp_path / "broker")
+    ckpt = str(tmp_path / "ckpt")
+    topic = "torn"
+    rng = random.Random(0xBEEF)
+    seen: list[str] = []
+
+    def drain() -> None:
+        stream = (
+            spark.readStream.format("memtopic")
+            .option("brokerDir", broker)
+            .option("topic", topic)
+            .option("partitions", "1")
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: seen.extend(r["value"] for r in df.select("value").collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    produce(broker, topic, [(None, f"m{i}") for i in range(60)], n_partitions=1)
+    drain()
+    assert len(seen) == 60
+    path = _log_path(broker, topic, 0)
+
+    # -- class 1: torn appends at arbitrary byte offsets, 4 cycles
+    expected = 60
+    for cycle in range(4):
+        line = json.dumps({"k": None, "v": f"new{cycle}", "ts": 1.0}) + "\n"
+        cut = rng.randrange(1, len(line) - 1)
+        with open(path, "a", encoding="utf-8") as fh:
+            fh.write(line[:cut])  # torn mid-record: no trailing newline
+        drain()  # restart on the same checkpoint: clean, nothing new admitted
+        assert len(seen) == expected, (
+            f"cycle {cycle}: a partial record (cut at byte {cut}) leaked into a batch"
+        )
+        with open(path, "a", encoding="utf-8") as fh:
+            fh.write(line[cut:])  # producer completes the record
+        drain()
+        expected += 1
+        assert len(seen) == expected
+        assert seen.count(f"new{cycle}") == 1, f"cycle {cycle}: lost or duplicated"
+
+    # -- class 2: truncation destroying committed records
+    size = os.path.getsize(path)
+    cut = rng.randrange(1, size - 1)
+    with open(path, "r+b") as fh:
+        fh.truncate(cut)
+    before = list(seen)
+    with pytest.raises(Exception) as exc_info:
+        drain()
+    msg = str(exc_info.value)
+    assert "truncated below committed offset" in msg, msg
+    assert f"{topic}/p0" in msg, msg
+    assert seen == before, "a batch ran against the truncated log"
