@@ -52,12 +52,25 @@ def _as_foreach_batch(sink: Callable) -> Callable[[DataFrame, int], None]:
         # Arity unknown — PREFER the 2-arg form (dropping batch_id from
         # an exactly-once wrapper would silently void its replay-dedup
         # contract) and fall back to 1-arg on the first BIND failure,
-        # then lock whichever arity worked. Only a TypeError raised AT
-        # the call boundary (no deeper traceback frame — the call never
-        # entered the sink) counts as an arity mismatch: a TypeError
-        # from INSIDE the sink body re-raises untouched, because
-        # retrying then would re-execute the sink's side effects within
-        # one batch and mask the real error.
+        # then lock whichever arity worked. Two conditions BOTH required
+        # to call it a bind failure: (a) no deeper traceback frame (the
+        # call never entered Python code), AND (b) the message reads
+        # like CPython's argument-count complaints ("takes exactly 1
+        # argument (2 given)", "no positional arguments", ...). (a)
+        # alone is not enough: a C-IMPLEMENTED sink raising TypeError
+        # internally also adds no Python frame, and retrying it with 1
+        # arg would re-execute its side effects within one batch.
+        # Residual risk (documented): a C sink whose internal TypeError
+        # ALSO matches the argument-count wording is indistinguishable
+        # from a bind failure and may be invoked twice on the first
+        # batch — pass a Python wrapper (or anything inspectable by
+        # inspect.signature) to get exact wiring-time arity instead.
+        import re as _re
+
+        _bindish = _re.compile(
+            r"takes (exactly |at most |at least |no |from )?"
+            r"|positional argument|argument[s]? \(\d+ given\)|expected at"
+        )
         state = {"arity": None}
 
         def adaptive(b: DataFrame, i: int) -> None:
@@ -68,8 +81,12 @@ def _as_foreach_batch(sink: Callable) -> Callable[[DataFrame, int], None]:
             try:
                 out = sink(b, i)
             except TypeError as exc:
-                if exc.__traceback__ is not None and exc.__traceback__.tb_next is not None:
-                    raise  # raised inside the sink body, not by binding
+                raised_inside = (
+                    exc.__traceback__ is not None
+                    and exc.__traceback__.tb_next is not None
+                )
+                if raised_inside or not _bindish.search(str(exc)):
+                    raise  # the sink's own error, not an arity mismatch
                 out = sink(b)
                 state["arity"] = 1
             else:
@@ -530,7 +547,14 @@ class App:
         `types/service.rs:24-93`: Crashed → Restarting via the outer
         'fallback loop). A monitor thread polls query exceptions and
         restarts the owning agent from its checkpoint, up to
-        ``max_restarts`` per agent."""
+        ``max_restarts`` per agent.
+
+        Idempotent: a second call is a no-op rather than a second
+        monitor thread — duplicate monitors would race each other on
+        the same crashed query (double-restart) and keep separate
+        restart budgets."""
+        if self._supervised:
+            return
         restarts: dict[str, int] = {}
         self._supervised = True
         self._supervision_poll = poll_seconds
@@ -593,7 +617,12 @@ class App:
                     except Exception:
                         log.exception("restart of agent %r failed", name)
                     finally:
-                        self._restarting -= 1
+                        # under the lock: a bare `-= 1` read-modify-write
+                        # can interleave with another thread's locked
+                        # `+= 1` and lose a count, letting stop() finish
+                        # its wait while a restart is still in flight
+                        with self._restart_lock:
+                            self._restarting -= 1
 
         t = threading.Thread(target=monitor, daemon=True)
         t.start()

@@ -83,6 +83,33 @@ class _Reader:
         return len(self.buf) - self.pos
 
 
+def _zero_size_items(schema: Any) -> bool:
+    """Can a CONFORMING value of this schema occupy zero bytes? True for
+    'null' in any spelling (bare string, ``{"type": "null"}``, nested
+    type objects), ``fixed`` of size 0, and records all of whose fields
+    are themselves zero-size. Unions cost a ≥1-byte branch index and
+    arrays/maps a ≥1-byte terminator, so they never qualify. Used to
+    pick the overlong-block bound below: with zero-byte items the
+    bytes-remaining bound is meaningless and a conforming writer CAN
+    legitimately pack a huge count into a few bytes."""
+    if isinstance(schema, str):
+        return schema == "null"
+    if isinstance(schema, list):
+        return False
+    if isinstance(schema, dict):
+        t = schema.get("type")
+        if t == "null":
+            return True
+        if t == "record":
+            return all(_zero_size_items(f["type"]) for f in schema["fields"])
+        if t == "fixed":
+            return schema["size"] == 0
+        if isinstance(t, (dict, list)):
+            return _zero_size_items(t)
+        return False
+    return False
+
+
 def _decode(r: _Reader, schema: Any) -> Any:
     if isinstance(schema, str):
         t = schema
@@ -106,11 +133,12 @@ def _decode(r: _Reader, schema: Any) -> Any:
             return {f["name"]: _decode(r, f["type"]) for f in schema["fields"]}
         if t == "array":
             out = []
-            # zero-byte items (type 'null') make the bytes-remaining
+            # zero-byte items (null in any spelling, empty records,
+            # fixed(0) — see _zero_size_items) make the bytes-remaining
             # bound meaningless — a conforming writer CAN emit a large
             # count in 3 bytes; cap those at 2^24 items instead so a
             # corrupted 2^50 count still cannot OOM the executor
-            zero_size = schema["items"] == "null"
+            zero_size = _zero_size_items(schema["items"])
             while True:
                 n = r.read_long()
                 if n == 0:

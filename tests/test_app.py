@@ -674,6 +674,34 @@ def test_foreach_batch_adapter_without_signature_keeps_batch_id():
     assert one.seen == ["no-id", "no-id"]
 
 
+def test_foreach_batch_adapter_c_sink_internal_typeerror_not_retried():
+    """A C-implemented sink that raises TypeError INTERNALLY adds no
+    Python traceback frame — indistinguishable from a bind failure by
+    frame depth alone, and a retry would re-execute its side effects
+    within one batch. The probe therefore also requires the message to
+    read like CPython's argument-count complaints before falling back.
+
+    `getattr` is a real specimen: inspect.signature() fails on it (so
+    the adaptive path engages) and getattr('df', 7) raises a C-level
+    TypeError ('attribute name must be string') with tb_next=None. The
+    adapter must surface THAT error, not retry 1-arg (whose distinct
+    'expected at least 2 arguments' error would mask the real one).
+    `dir` is the genuine-bind-failure control: 'expected at most 1
+    argument, got 2' IS argument-count wording, so the adapter falls
+    back and locks 1-arg."""
+    import pytest
+
+    from callysto_spark.app import _as_foreach_batch
+
+    adapted = _as_foreach_batch(getattr)
+    with pytest.raises(TypeError, match="attribute name must be string"):
+        adapted("df", 7)
+
+    adapted = _as_foreach_batch(dir)
+    assert adapted("df", 0) == dir("df")  # fell back to 1-arg
+    assert adapted("df", 1) == dir("df")  # locked: no re-probe
+
+
 def test_agent_sink_receives_batch_id_for_exactly_once(spark, tmp_path, sf_dir):
     """The exactly-once wrappers are Callable[[DataFrame, int], None] —
     batch_id is their replay-dedup key. Wiring idempotent(...) as a
@@ -796,6 +824,70 @@ def test_auto_restart_survives_crash_and_run_returns(app, spark, tmp_path, sf_di
     assert app.state.get("rows", 0) > 0, "restarted agent must reprocess the batch"
     assert app.failures and app.failures[0][0] == "flaky"
     assert "boom" in app.failures[0][1]
+
+
+def test_auto_restart_slow_start_holds_run_open(app, spark, tmp_path, sf_dir):
+    """The supervised-await gating under a SLOW restart: starting a
+    streaming query can take multi-second synchronous work inside
+    _start_agent, during which no query is active. run()'s poll loop
+    must count an in-flight restart (_restarting > 0) as activity —
+    otherwise it concludes 'all idle' past the grace window and returns
+    while the replacement query is still being built, tearing down
+    around a half-started agent. Injects a 2-second delay into the
+    RESTART invocation of _start_agent (grace is 0.6s) and requires the
+    reprocessed batch to have landed by the time run() returns."""
+    import shutil
+    import time
+
+    from callysto_spark.sources import SourceSpec
+
+    stream_dir = tmp_path / "s"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "a.parquet")
+    src = SourceSpec.parquet_stream(
+        str(stream_dir),
+        schema="event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    crashes = {"n": 0}
+
+    @app.agent("slowflaky", src)
+    def slowflaky(df, ctx):
+        if crashes["n"] == 0:
+            crashes["n"] += 1
+            raise RuntimeError("boom (injected once)")
+        ctx.state["rows"] = ctx.state.get("rows", 0) + df.count()
+
+    real_start = app._start_agent
+    starts = {"n": 0}
+
+    def slow_start(agent):
+        starts["n"] += 1
+        if starts["n"] > 1:  # delay only the restart path, not initial start
+            time.sleep(2.0)
+        return real_start(agent)
+
+    app._start_agent = slow_start
+    app.enable_auto_restart(poll_seconds=0.3, max_restarts=3)
+    app.run(await_termination=True, timeout=120)
+    assert crashes["n"] == 1
+    assert starts["n"] >= 2, "monitor never attempted the restart"
+    assert app.state.get("rows", 0) > 0, (
+        "run() returned before the delayed restart delivered the batch — "
+        "the in-flight-restart gate failed"
+    )
+
+
+def test_enable_auto_restart_idempotent(app):
+    """Calling enable_auto_restart twice must not spawn a second
+    monitor thread: duplicate monitors race on the same crashed query
+    (double-restart) and keep separate restart budgets, and their
+    unlocked interleavings are exactly the lost-count hazard the
+    restart lock exists to prevent."""
+    n0 = len(app._threads)
+    app.enable_auto_restart(poll_seconds=0.5)
+    app.enable_auto_restart(poll_seconds=0.5)
+    assert len(app._threads) == n0 + 1, "second call must be a no-op"
+    assert app._supervised
 
 
 def test_stop_agent_wins_over_restart_and_rearms(app, spark, tmp_path, sf_dir):

@@ -199,3 +199,42 @@ def test_property_round_trip_random_records():
         assert decode_record(encode_record(rec, s), s) == rec
 
     check()
+
+
+def test_dict_form_null_array_large_block_accepted():
+    """The overlong-block guard must classify zero-byte item types by
+    NORMALIZED schema, not string spelling: an array whose items are
+    spelled {"type": "null"} (or an empty record) is zero bytes per
+    item, so a conforming writer legitimately packs a huge count into a
+    few bytes. The old string-only check ('items == "null"') applied
+    the bytes-remaining bound and wrongly rejected such blocks as
+    corrupt."""
+    from callysto_spark.serde.avro_py import _zigzag, decode_record
+
+    n = 200_000  # far beyond remaining+1 (~a dozen bytes)
+    for items in ("null", {"type": "null"}, {"type": "record", "name": "E", "fields": []}):
+        schema = {
+            "type": "record",
+            "name": "R",
+            "fields": [{"name": "a", "type": {"type": "array", "items": items}}],
+        }
+        payload = bytes(_zigzag(n)) + bytes(_zigzag(0))  # one block of n, terminator
+        rec = decode_record(payload, schema)
+        assert len(rec["a"]) == n, f"items={items!r}"
+
+    # the guard itself must still hold: zero-size blocks cap at 2^24 …
+    import pytest
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "a", "type": {"type": "array", "items": {"type": "null"}}}
+        ],
+    }
+    with pytest.raises(ValueError, match="overlong avro array block"):
+        decode_record(bytes(_zigzag(1 << 25)) + bytes(_zigzag(0)), schema)
+    # … and NON-zero-size items keep the tight bytes-remaining bound
+    schema["fields"][0]["type"]["items"] = "int"
+    with pytest.raises(ValueError, match="overlong avro array block"):
+        decode_record(bytes(_zigzag(200_000)) + bytes(_zigzag(0)), schema)
