@@ -115,8 +115,16 @@ def _read_slice(
     broker_dir: str, topic: str, pid: int, start: int, end: int
 ) -> Iterator[tuple]:
     path = _log_path(broker_dir, topic, pid)
-    if end <= start or not os.path.exists(path):
+    if end <= start:
         return
+    if not os.path.exists(path):
+        # a slice is only planned for offsets the reader ADMITTED (and,
+        # on replay, offsets the checkpoint committed) — a missing log
+        # under a non-empty slice is destroyed data, not an empty topic
+        raise ValueError(
+            f"memtopic log missing for committed slice {topic}/p{pid}[{start},{end})"
+        )
+    served = 0
     with open(path, "r", encoding="utf-8") as fh:
         for offset, line in enumerate(fh):
             if offset >= end:
@@ -138,7 +146,21 @@ def _read_slice(
                 raise ValueError(
                     f"corrupt memtopic log record {topic}/p{pid}@{offset}: {exc!r}"
                 ) from exc
+            served += 1
             yield (k, v, topic, pid, offset, ts)
+    if served < end - start:
+        # Every offset in a planned slice was a TERMINATED line when it
+        # was admitted (latestOffset counts only those) or when the
+        # checkpoint committed it (replayed pending batch). Coming up
+        # short means the log shrank underneath the slice — a REPLAY
+        # against a truncated log, the one truncation path the
+        # stream-reader watermark checks cannot see (the slice bounds
+        # come from the offset log, not from latestOffset).
+        raise ValueError(
+            f"memtopic log truncated under committed slice {topic}/p{pid}"
+            f"[{start},{end}): only {served} record(s) readable — refusing "
+            f"to silently drop committed records"
+        )
 
 
 @dataclass

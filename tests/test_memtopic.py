@@ -142,9 +142,15 @@ def test_rate_limited_micro_batches(spark, broker, tmp_path):
 def test_partial_trailing_line_invisible(broker):
     """A producer flush can land mid-record (large appends cross write()
     syscalls); lock-free readers must treat an unterminated trailing line
-    as not-yet-visible instead of mis-framing or crashing json.loads."""
+    as not-yet-visible instead of mis-framing or crashing json.loads.
+    Admission (_partition_sizes) counts only terminated lines, so a
+    planned slice never spans the partial record; a slice that DOES
+    over-ask can only mean the log shrank under committed offsets and
+    fails located (see _read_slice)."""
     from callysto_spark.sources.memtopic import _log_path, _partition_sizes, _read_slice
     import os
+
+    import pytest
 
     os.makedirs(os.path.join(broker, "pp"), exist_ok=True)
     path = _log_path(broker, "pp", 0)
@@ -152,7 +158,9 @@ def test_partial_trailing_line_invisible(broker):
         fh.write(json.dumps({"k": None, "v": "a", "ts": 1.0}) + "\n")
         fh.write('{"k": null, "v": "tr')  # partial write, no newline
     assert _partition_sizes(broker, "pp", 1) == {"0": 1}
-    assert [r[1] for r in _read_slice(broker, "pp", 0, 0, 2)] == ["a"]
+    assert [r[1] for r in _read_slice(broker, "pp", 0, 0, 1)] == ["a"]
+    with pytest.raises(ValueError, match="truncated under committed slice"):
+        list(_read_slice(broker, "pp", 0, 0, 2))  # over-ask: offset 1 was never admitted
     with open(path, "a", encoding="utf-8") as fh:  # producer finishes the record
         fh.write('uncated", "ts": 2.0}\n')
     assert _partition_sizes(broker, "pp", 1) == {"0": 2}
@@ -400,3 +408,39 @@ def test_corrupt_log_record_fails_named(spark, broker):
         df.collect()
     msg = str(err.value)
     assert "corrupt memtopic log record" in msg and "corrupt_t/p0@3" in msg, msg
+
+
+def test_read_slice_of_truncated_or_missing_log_fails_located():
+    """The slice-level half of the truncation contract: a REPLAYED
+    pending batch gets its offsets from Spark's offset log, not from
+    latestOffset, so the stream-reader watermark checks never see it.
+    _read_slice itself must therefore refuse to come up short: a slice
+    planned for committed offsets that finds fewer terminated lines
+    (log truncated underneath it) or no file at all (log destroyed)
+    fails located instead of silently yielding fewer records."""
+    import os
+    import tempfile
+
+    import pytest
+
+    from callysto_spark.sources.memtopic import _log_path, _read_slice, produce
+
+    broker = tempfile.mkdtemp(prefix="mt_slice_")
+    produce(broker, "sl", [(None, f"m{i}") for i in range(5)], n_partitions=1)
+    assert [r[1] for r in _read_slice(broker, "sl", 0, 0, 5)] == [f"m{i}" for i in range(5)]
+
+    path = _log_path(broker, "sl", 0)
+    with open(path, "r", encoding="utf-8") as fh:
+        two_lines = "".join(fh.readlines()[:2])
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(two_lines)
+    with pytest.raises(ValueError, match=r"truncated under committed slice sl/p0\[0,5\)"):
+        list(_read_slice(broker, "sl", 0, 0, 5))
+    # a shorter slice over the surviving prefix still reads cleanly
+    assert [r[1] for r in _read_slice(broker, "sl", 0, 0, 2)] == ["m0", "m1"]
+
+    os.remove(path)
+    with pytest.raises(ValueError, match=r"log missing for committed slice sl/p0"):
+        list(_read_slice(broker, "sl", 0, 0, 5))
+    # empty slice over a missing log is fine (empty topic, nothing planned)
+    assert list(_read_slice(broker, "sl", 0, 0, 0)) == []
