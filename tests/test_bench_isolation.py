@@ -47,6 +47,10 @@ def test_bench_survives_single_query_failure():
     # NOT carry the contamination flag
     assert "loadavg_at_gate" in out
     assert "load_contaminated" not in out
+    # the host-speed reference rides every artifact: cross-round query
+    # deltas are divided by the canary ratio before being called
+    # regressions (the shared host's clock swings ~2x within a session)
+    assert 0.01 < out["cpu_canary_s"] < 10, out["cpu_canary_s"]
 
 
 def test_bench_flags_load_contaminated_run():
