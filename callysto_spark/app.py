@@ -67,9 +67,20 @@ def _as_foreach_batch(sink: Callable) -> Callable[[DataFrame, int], None]:
         # inspect.signature) to get exact wiring-time arity instead.
         import re as _re
 
+        # Every branch requires explicit argument-COUNT wording: a bare
+        # "takes " or "expected at" prefix also matches unrelated C-sink
+        # internals ("expected attributes dict", "takes time"), and a
+        # false positive here re-invokes the sink — re-executing its
+        # side effects within one batch. Covers CPython's arity forms:
+        # "takes {N|no|exactly one|at most N} [positional] argument(s)",
+        # "takes from N to M positional arguments", argument-clinic
+        # "expected at most N arguments", and the "(N given)" suffix.
         _bindish = _re.compile(
-            r"takes (exactly |at most |at least |no |from )?"
-            r"|positional argument|argument[s]? \(\d+ given\)|expected at"
+            r"takes (?:exactly |at most |at least )?(?:no |one |two |\d+ )"
+            r"(?:positional )?arguments?"
+            r"|takes from \d+ to \d+ (?:positional )?arguments?"
+            r"|expected at most \d+ arguments?"
+            r"|arguments? \(\d+ given\)"
         )
         state = {"arity": None}
 

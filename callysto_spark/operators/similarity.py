@@ -555,6 +555,41 @@ def ivf_write(
     assigned.write.mode(mode).partitionBy("cell").parquet(path)
 
 
+def probe_cells_for_queries(
+    queries: list[tuple[int, list[float]]],
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+) -> list[tuple[int, list[float], list[int]]]:
+    """Driver-side probe-cell selection: for each CLEAN query, the
+    ``nprobe`` nearest centroids by squared L2 (ties broken by cell id).
+
+    A dirty caller-supplied query (wrong dim, NaN/Inf element, zero
+    norm) would pick arbitrary probe cells and rank NaN sims FIRST —
+    excluded instead, the same contract the distributed paths enforce.
+
+    Shared by the :func:`ivf_topk_stored` serve path AND the scaling
+    probe's scoring-volume measurement (scaling_bench.ivf_probe):
+    measurement and serving MUST share this rule — a separate copy that
+    drifts (different metric, tie-break, or a skipped cleanliness
+    filter) certifies a different algorithm than the one served.
+    """
+    import math
+
+    out: list[tuple[int, list[float], list[int]]] = []
+    exp_dim = len(centroids[0][1]) if centroids else 0
+    for qid, qv in queries:
+        if qv is None or len(qv) != exp_dim or any(x is None for x in qv):
+            continue
+        n2 = sum(float(x) * float(x) for x in qv)
+        if not (math.isfinite(n2) and n2 > 0):
+            continue
+        dists = sorted(
+            (sum((float(x) - float(y)) ** 2 for x, y in zip(qv, cv)), cid) for cid, cv in centroids
+        )
+        out.append((qid, [float(x) for x in qv], [cid for _, cid in dists[:nprobe]]))
+    return out
+
+
 def ivf_topk_stored(
     spark,
     path: str,
@@ -569,32 +604,14 @@ def ivf_topk_stored(
     """Serve ANN top-k from an :func:`ivf_write` index.
 
     Query vectors are driver-side (the serving shape); their probe
-    cells are computed driver-side against the same centroids, and the
-    scan filters ``cell IN (probe cells)`` — which lands in the parquet
+    cells are computed driver-side against the same centroids
+    (:func:`probe_cells_for_queries`), and the scan filters
+    ``cell IN (probe cells)`` — which lands in the parquet
     PartitionFilters, pruning every non-probed cell directory before
     any IO (pinned by tests/test_layout.py).
     """
-    import math
-
-    probe_cells: set[int] = set()
-    rows = []
-    exp_dim = len(centroids[0][1]) if centroids else 0
-    for qid, qv in queries:
-        # driver-side cleanliness twin: a dirty caller-supplied query
-        # (wrong dim, NaN/Inf element, zero norm) would pick arbitrary
-        # probe cells and rank NaN sims FIRST — excluded instead, the
-        # same contract the distributed paths enforce
-        if qv is None or len(qv) != exp_dim or any(x is None for x in qv):
-            continue
-        n2 = sum(float(x) * float(x) for x in qv)
-        if not (math.isfinite(n2) and n2 > 0):
-            continue
-        dists = sorted(
-            (sum((float(x) - float(y)) ** 2 for x, y in zip(qv, cv)), cid) for cid, cv in centroids
-        )
-        cells = [cid for _, cid in dists[:nprobe]]
-        probe_cells.update(cells)
-        rows.append((qid, [float(x) for x in qv], cells))
+    rows = probe_cells_for_queries(queries, centroids, nprobe)
+    probe_cells = {c for _, _, cells in rows for c in cells}
     if not rows:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine_sim double, rank int"

@@ -83,31 +83,44 @@ class _Reader:
         return len(self.buf) - self.pos
 
 
-def _zero_size_items(schema: Any) -> bool:
-    """Can a CONFORMING value of this schema occupy zero bytes? True for
-    'null' in any spelling (bare string, ``{"type": "null"}``, nested
-    type objects), ``fixed`` of size 0, and records all of whose fields
-    are themselves zero-size. Unions cost a ≥1-byte branch index and
-    arrays/maps a ≥1-byte terminator, so they never qualify. Used to
-    pick the overlong-block bound below: with zero-byte items the
-    bytes-remaining bound is meaningless and a conforming writer CAN
-    legitimately pack a huge count into a few bytes."""
+#: _zero_size_items classifications
+_SIZED = 0  # items occupy ≥1 byte — the bytes-remaining bound applies
+_ZERO_SHARED = 1  # zero bytes, decodes to a shared singleton (None, b"")
+_ZERO_FRESH = 2  # zero bytes, but each decode allocates (empty records)
+
+
+def _zero_size_items(schema: Any) -> int:
+    """Can a CONFORMING value of this schema occupy zero bytes — and if
+    so, what does decoding one COST? Returns ``_SIZED`` when every item
+    takes ≥1 byte (the bytes-remaining bound applies), ``_ZERO_SHARED``
+    for 'null' in any spelling and ``fixed`` of size 0 (decoded value is
+    a shared ``None``/``b""`` — one pointer per item), and
+    ``_ZERO_FRESH`` for records all of whose fields are themselves
+    zero-size (each decode allocates a fresh dict, ~72 B/item — 16.7M of
+    them is >1 GiB, so these get a 16× tighter count cap). Unions cost a
+    ≥1-byte branch index and arrays/maps a ≥1-byte terminator, so they
+    never qualify. Used to pick the overlong-block bound below: with
+    zero-byte items the bytes-remaining bound is meaningless and a
+    conforming writer CAN legitimately pack a huge count into a few
+    bytes."""
     if isinstance(schema, str):
-        return schema == "null"
+        return _ZERO_SHARED if schema == "null" else _SIZED
     if isinstance(schema, list):
-        return False
+        return _SIZED
     if isinstance(schema, dict):
         t = schema.get("type")
         if t == "null":
-            return True
+            return _ZERO_SHARED
         if t == "record":
-            return all(_zero_size_items(f["type"]) for f in schema["fields"])
+            if all(_zero_size_items(f["type"]) for f in schema["fields"]):
+                return _ZERO_FRESH
+            return _SIZED
         if t == "fixed":
-            return schema["size"] == 0
+            return _ZERO_SHARED if schema["size"] == 0 else _SIZED
         if isinstance(t, (dict, list)):
             return _zero_size_items(t)
-        return False
-    return False
+        return _SIZED
+    return _SIZED
 
 
 def _decode(r: _Reader, schema: Any) -> Any:
@@ -136,9 +149,15 @@ def _decode(r: _Reader, schema: Any) -> Any:
             # zero-byte items (null in any spelling, empty records,
             # fixed(0) — see _zero_size_items) make the bytes-remaining
             # bound meaningless — a conforming writer CAN emit a large
-            # count in 3 bytes; cap those at 2^24 items instead so a
-            # corrupted 2^50 count still cannot OOM the executor
+            # count in 3 bytes; cap those by COUNT instead so a
+            # corrupted 2^50 count still cannot OOM the executor. The
+            # cap is sized to what each decoded item costs: null/
+            # fixed(0) yield a shared singleton (8 B pointer; 2^24 ≈
+            # 128 MB of list), empty records a fresh ~72 B dict each
+            # (2^24 would be >1 GiB — capped at 2^20 ≈ 75 MB; an array
+            # of a million empty records is already pathological)
             zero_size = _zero_size_items(schema["items"])
+            zero_cap = (1 << 24) if zero_size == _ZERO_SHARED else (1 << 20)
             while True:
                 n = r.read_long()
                 if n == 0:
@@ -148,7 +167,7 @@ def _decode(r: _Reader, schema: Any) -> Any:
                     n = -n
                 # a corrupted count can't exceed the bytes left (every
                 # well-formed non-empty block's items occupy ≥1 byte)
-                if n > ((1 << 24) if zero_size else r.remaining() + 1):
+                if n > (zero_cap if zero_size else r.remaining() + 1):
                     raise ValueError(f"overlong avro array block ({n})")
                 out.extend(_decode(r, schema["items"]) for _ in range(n))
         if t == "map":

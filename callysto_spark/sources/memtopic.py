@@ -270,11 +270,15 @@ class MemTopicStreamReader(DataSourceStreamReader):
         # `start` carries Spark's committed position (checkpointed after a
         # restart) — fold it into the watermark so latestOffset() resumes
         # from there, not from a fresh initialOffset().
-        # Restart-path truncation check: on the first post-restart batch
-        # the watermark was not yet seeded from the checkpoint when
-        # latestOffset() ran, so a truncated log surfaces HERE as
-        # end < checkpointed start — which the slice filter below would
-        # otherwise silently swallow.
+        # Truncation check here is DEFENSE-IN-DEPTH, not the restart
+        # path's primary detector: traced on Spark 4.1.2, a restart
+        # replays the last committed batch via partitions(committed,
+        # committed) BEFORE the first latestOffset() call, so the
+        # watermark is already seeded when latestOffset() runs and its
+        # own truncation check (plus the per-record one in _read_slice)
+        # catches a shrunken log. Kept because the planner contract
+        # doesn't promise that ordering across Spark versions, and the
+        # slice filter below would silently swallow end < start.
         self._check_truncation(start, end)
         self._ratchet(start)
         self._ratchet(end)

@@ -267,6 +267,7 @@ def ivf_probe(spark, base_vecs: int, scale: int, n_runs: int) -> dict:
         ivf_topk_stored,
         ivf_write,
         kmeans_centroids,
+        probe_cells_for_queries,
     )
     from callysto_spark.plans.audit import _walk_logical
 
@@ -295,15 +296,15 @@ def ivf_probe(spark, base_vecs: int, scale: int, n_runs: int) -> dict:
 
             # the per-row SCORING volume (what 'scales with nprobe, not
             # k' actually predicts): candidate pairs = sum over queries
-            # of the probed cells' populations — measured by replicating
-            # the serve join's cell matching, counted before top-k
+            # of the probed cells' populations, counted before top-k.
+            # Cell selection comes from the SAME helper the serve path
+            # uses (probe_cells_for_queries, incl. its query-cleanliness
+            # filter) — a re-implementation here could drift and certify
+            # a different algorithm than the one served
             qcells = [
                 (qid, cid)
-                for qid, qv in queries
-                for _, cid in sorted(
-                    (sum((float(x) - float(y)) ** 2 for x, y in zip(qv, cv)), c)
-                    for c, cv in cents
-                )[:nprobe]
+                for qid, _, cells in probe_cells_for_queries(queries, cents, nprobe)
+                for cid in cells
             ]
             qdf = spark.createDataFrame(qcells, "query_id long, qcell int")
             idx_df = spark.read.parquet(idx)
@@ -338,50 +339,83 @@ def ivf_probe(spark, base_vecs: int, scale: int, n_runs: int) -> dict:
 
 
 def _ivf_md_section(probe: dict, cpus: int) -> str:
+    """Render the SCALING.md probe section. Every figure and every
+    verdict in the prose is DERIVED from the probe dict — an earlier
+    revision hardcoded one run's numbers ("132 of 256 dirs", "~5x less
+    scoring", "k=256 is SLOWER") into the template, so re-running with
+    a different --ivf-probe scale or on faster storage would commit a
+    section whose prose contradicted its own table."""
     base = probe["configs"]["k8_nprobe2"]
     big = probe["configs"]["k256_nprobe8"]
-    return "\n".join(
-        [
-            IVF_MARKER,
-            "",
-            f"`python scaling_bench.py --ivf-probe` at the {probe['scale']}x corpus",
-            f"({probe['n_vecs']} vectors, dim 64, local[{cpus}]): k=256/nprobe=8",
-            "(a realistic index shape) against the curve's k=8/nprobe=2, serving",
-            "32 queries from the stored partitionBy(cell) index.",
-            "",
-            "| config | plan nodes | plan build+analyze (s) | scored pairs | probed cell dirs | serve (s) | fit (s) | index build (s) |",
-            "|---|---|---|---|---|---|---|---|",
-            f"| k=8, nprobe=2 | {base['plan_nodes']} | {base['plan_build_sec']} | {base['scored_pairs']} | {base['probed_dirs']} | {base['serve_sec']} | {base['fit_sec']} | {base['build_sec']} |",
-            f"| k=256, nprobe=8 | {big['plan_nodes']} | {big['plan_build_sec']} | {big['scored_pairs']} | {big['probed_dirs']} | {big['serve_sec']} | {big['fit_sec']} | {big['build_sec']} |",
-            "",
-            "Findings, honestly separated:",
-            "- **O(1)-plan-nodes: certified.** Equal node counts at 32x the",
-            "  centroids (the centroid matrix is ONE 2-D array literal —",
-            "  similarity.py::_cell_structs). Analysis cost grows only via",
-            "  parsing that single bigger literal (k*dim doubles, ~1.5s at",
-            "  k=256*dim64), not via plan STRUCTURE — the unrolled alternative",
-            "  grows the node count ~32x and analysis superlinearly.",
-            "- **Scoring volume scales with nprobe/k: certified.** Scored",
-            "  candidate pairs drop ~5x at k=256/nprobe=8 (nprobe/k = 1/32 of",
-            "  the corpus per query vs 1/4; uneven cell populations keep the",
-            "  measured ratio under the ideal 8x) — the term that dominates at",
-            "  real index sizes.",
-            "- **Wall-clock at THIS corpus (60k x dim64 ~= 15 MB) is",
-            "  overhead-bound, not scan-bound**: serving k=256/nprobe=8 is",
-            "  SLOWER despite ~5x less scoring, because 32 queries touch 132",
-            "  of the 256 cell directories (vs all 8) and per-directory",
-            "  listing/footer + task overhead dominates a 15 MB scan. That is the real",
-            "  small-corpus lesson: partition-per-cell pays when a cell is at",
-            "  least a task's worth of data — k should grow with corpus size",
-            "  (k ~ sqrt(n)), not be maximized. At 100 TB, cells are GBs and",
-            "  the scan-volume term (the certified one) dominates.",
-            "",
-            "Index build uses the BLAS mapInPandas kernel (per-row cost a",
-            "matrix product, flat-ish in k; the expr kernel is for oracle-exact",
-            "small-k paths).",
-            "",
+    k_ratio = big["k"] // base["k"]
+    # ideal scoring ratio = (nprobe/k)_base / (nprobe/k)_big
+    ideal = (base["nprobe"] / base["k"]) / (big["nprobe"] / big["k"])
+    scoring_ratio = base["scored_pairs"] / max(big["scored_pairs"], 1)
+    raw_mb = probe["n_vecs"] * 64 * 8 / 1e6  # dim-64 float64 vectors
+    nodes_ok = big["plan_nodes"] == base["plan_nodes"]
+    scoring_ok = scoring_ratio > 1.5
+    big_slower = big["serve_sec"] > base["serve_sec"]
+    lines = [
+        IVF_MARKER,
+        "",
+        f"`python scaling_bench.py --ivf-probe` at the {probe['scale']}x corpus",
+        f"({probe['n_vecs']} vectors, dim 64, local[{cpus}]): k={big['k']}/nprobe={big['nprobe']}",
+        f"(a realistic index shape) against the curve's k={base['k']}/nprobe={base['nprobe']}, serving",
+        "32 queries from the stored partitionBy(cell) index.",
+        "",
+        "| config | plan nodes | plan build+analyze (s) | scored pairs | probed cell dirs | serve (s) | fit (s) | index build (s) |",
+        "|---|---|---|---|---|---|---|---|",
+        f"| k={base['k']}, nprobe={base['nprobe']} | {base['plan_nodes']} | {base['plan_build_sec']} | {base['scored_pairs']} | {base['probed_dirs']} | {base['serve_sec']} | {base['fit_sec']} | {base['build_sec']} |",
+        f"| k={big['k']}, nprobe={big['nprobe']} | {big['plan_nodes']} | {big['plan_build_sec']} | {big['scored_pairs']} | {big['probed_dirs']} | {big['serve_sec']} | {big['fit_sec']} | {big['build_sec']} |",
+        "",
+        "Findings, honestly separated:",
+        f"- **O(1)-plan-nodes: {'certified' if nodes_ok else 'NOT REPRODUCED'}.**",
+        f"  {base['plan_nodes']} vs {big['plan_nodes']} nodes at {k_ratio}x the",
+        "  centroids (the centroid matrix is ONE 2-D array literal —",
+        "  similarity.py::_cell_structs). Analysis cost grows only via",
+        "  parsing that single bigger literal (k*dim doubles,",
+        f"  {big['plan_build_sec']}s at k={big['k']}*dim64), not via plan",
+        "  STRUCTURE — the unrolled alternative grows the node count",
+        f"  ~{k_ratio}x and analysis superlinearly.",
+        f"- **Scoring volume scales with nprobe/k: {'certified' if scoring_ok else 'NOT REPRODUCED'}.**",
+        f"  Scored candidate pairs drop {scoring_ratio:.1f}x at",
+        f"  k={big['k']}/nprobe={big['nprobe']} (nprobe/k =",
+        f"  1/{big['k'] // big['nprobe']} of the corpus per query vs",
+        f"  1/{base['k'] // base['nprobe']}; uneven cell populations keep the",
+        f"  measured ratio under the ideal {ideal:.0f}x) — the term that",
+        "  dominates at real index sizes.",
+    ]
+    if big_slower:
+        lines += [
+            f"- **Wall-clock at THIS corpus ({probe['n_vecs']} x dim64 ~=",
+            f"  {raw_mb:.0f} MB raw) is overhead-bound, not scan-bound**:",
+            f"  serving k={big['k']}/nprobe={big['nprobe']} is SLOWER",
+            f"  ({big['serve_sec']}s vs {base['serve_sec']}s) despite",
+            f"  {scoring_ratio:.1f}x less scoring, because 32 queries touch",
+            f"  {big['probed_dirs']} of the {big['k']} cell directories (vs",
+            f"  {base['probed_dirs']} of {base['k']}) and per-directory",
+            "  listing/footer + task overhead dominates a tiny scan. That is",
+            "  the real small-corpus lesson: partition-per-cell pays when a",
+            "  cell is at least a task's worth of data — k should grow with",
+            "  corpus size (k ~ sqrt(n)), not be maximized. At 100 TB, cells",
+            "  are GBs and the scan-volume term (the certified one) dominates.",
         ]
-    )
+    else:
+        lines += [
+            f"- **Wall-clock: k={big['k']}/nprobe={big['nprobe']} serves faster",
+            f"  ({big['serve_sec']}s vs {base['serve_sec']}s) — at this corpus/",
+            "  storage the scan-volume savings already outweigh the extra",
+            f"  per-directory overhead of touching {big['probed_dirs']} cell",
+            f"  directories (vs {base['probed_dirs']}).",
+        ]
+    lines += [
+        "",
+        "Index build uses the BLAS mapInPandas kernel (per-row cost a",
+        "matrix product, flat-ish in k; the expr kernel is for oracle-exact",
+        "small-k paths).",
+        "",
+    ]
+    return "\n".join(lines)
 
 
 def main() -> None:

@@ -238,3 +238,13 @@ def test_dict_form_null_array_large_block_accepted():
     schema["fields"][0]["type"]["items"] = "int"
     with pytest.raises(ValueError, match="overlong avro array block"):
         decode_record(bytes(_zigzag(200_000)) + bytes(_zigzag(0)), schema)
+
+    # empty-RECORD items allocate a fresh ~72 B dict per item (null
+    # items share one None), so their count cap is 16x tighter: 2^24
+    # empty dicts would be >1 GiB — exactly the OOM the cap exists to
+    # prevent — while 2^20 (~75 MB) stays bounded
+    schema["fields"][0]["type"]["items"] = {"type": "record", "name": "E", "fields": []}
+    with pytest.raises(ValueError, match="overlong avro array block"):
+        decode_record(bytes(_zigzag((1 << 20) + 1)) + bytes(_zigzag(0)), schema)
+    rec = decode_record(bytes(_zigzag(300_000)) + bytes(_zigzag(0)), schema)
+    assert len(rec["a"]) == 300_000 and rec["a"][0] == {}
