@@ -165,6 +165,11 @@ def main() -> None:
     except Exception as exc:  # ingest_bench guards internally; belt+braces
         print(f"# ingest bench failed: {exc}", file=sys.stderr)
         ingest = None
+    # second canary sample AFTER the timed sections: the start sample
+    # certifies admission-time speed, but the host can drift mid-run —
+    # a large start/end ratio explains intra-run noise (e.g. ingest
+    # trial spread) that neither loadavg nor the start canary can
+    canary_end_s = cpu_canary()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",
@@ -180,10 +185,13 @@ def main() -> None:
         # the admission-gate sample (taken BEFORE the SparkSession, so
         # external load only) — the idle-certification figure
         "loadavg_at_gate": load_at_gate,
-        # fixed single-thread reference workload (see cpu_canary):
-        # divide cross-round query deltas by the canary ratio before
-        # calling them regressions — the shared host's clock drifts
+        # fixed single-thread reference workload (see cpu_canary), once
+        # before and once after the timed sections: divide cross-round
+        # query deltas by the canary ratio before calling them
+        # regressions, and read a large start/end gap as mid-run host
+        # drift — the shared host's clock swings ~2x within sessions
         "cpu_canary_s": canary_s,
+        "cpu_canary_end_s": canary_end_s,
     }
     if contaminated:
         out["load_contaminated"] = True

@@ -51,6 +51,9 @@ def test_bench_survives_single_query_failure():
     # deltas are divided by the canary ratio before being called
     # regressions (the shared host's clock swings ~2x within a session)
     assert 0.01 < out["cpu_canary_s"] < 10, out["cpu_canary_s"]
+    # ... sampled again after the timed sections: a large start/end gap
+    # is mid-run host drift, the thing that contaminates ingest spread
+    assert 0.01 < out["cpu_canary_end_s"] < 10, out["cpu_canary_end_s"]
 
 
 def test_bench_flags_load_contaminated_run():
