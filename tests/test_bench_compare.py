@@ -1,0 +1,70 @@
+"""tools/bench_compare.py — canary-normalized round-over-round reading aid.
+
+Pure-python (no Spark): the arithmetic must be right because judges and
+future rounds read its output as the regression verdict.
+"""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+import bench_compare  # noqa: E402
+
+
+def _art(queries, canary=None, **extra):
+    art = {"metric": "headline_queries_total", "unit": "sec",
+           "value": round(sum(queries.values()), 3), "queries": queries}
+    if canary is not None:
+        art["cpu_canary_s"] = canary
+    art.update(extra)
+    return art
+
+
+def test_uniform_host_slowdown_normalizes_to_one():
+    # Every query 1.5x slower AND the canary 1.5x slower => host, not code.
+    old = _art({"q1": 0.4, "q2": 0.8}, canary=0.30)
+    new = _art({"q1": 0.6, "q2": 1.2}, canary=0.45)
+    lines = bench_compare.compare(old, new, threshold=1.10)
+    assert any("no query slower than" in ln for ln in lines)
+    q1 = next(ln for ln in lines if ln.startswith("q1"))
+    assert " 1.50x" in q1 and " 1.00x" in q1  # raw 1.5, normalized 1.0
+
+
+def test_real_regression_survives_normalization():
+    old = _art({"q1": 0.4, "q2": 0.8}, canary=0.30)
+    new = _art({"q1": 0.4, "q2": 1.6}, canary=0.30)  # q2 genuinely 2x
+    lines = bench_compare.compare(old, new, threshold=1.10)
+    assert any("regressions" in ln and "q2" in ln for ln in lines)
+    assert not any("regressions" in ln and "q1" in ln for ln in lines)
+
+
+def test_missing_canary_reports_raw():
+    old = _art({"q1": 0.4})  # pre-r7 artifact: no cpu_canary_s
+    new = _art({"q1": 0.6}, canary=0.30)
+    lines = bench_compare.compare(old, new)
+    assert any("RAW ratios" in ln and "old" in ln for ln in lines)
+
+
+def test_self_flagged_artifacts_warn():
+    old = _art({"q1": 0.4}, canary=0.3)
+    new = _art({"q1": 0.4}, canary=0.3, ingest_noisy=True)
+    lines = bench_compare.compare(old, new)
+    assert any("self-flags" in ln and "ingest_noisy" in ln for ln in lines)
+
+
+def test_driver_envelope_unwrapped(tmp_path):
+    inner = _art({"q1": 0.4}, canary=0.3)
+    wrapped = {"n": 5, "rc": 0, "cpus": 32, "sf": 0.1, "parsed": inner}
+    p = tmp_path / "BENCH_rX.json"
+    p.write_text(json.dumps(wrapped))
+    assert bench_compare.load(str(p)) == inner
+
+
+def test_query_set_drift_is_visible():
+    old = _art({"q1": 0.4, "gone": 0.2}, canary=0.3)
+    new = _art({"q1": 0.4, "added": 0.2}, canary=0.3)
+    lines = bench_compare.compare(old, new)
+    assert any("gone" in ln and "only in old" in ln for ln in lines)
+    assert any("added" in ln and "only in new" in ln for ln in lines)

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Compare two BENCH_r*.json artifacts with host-speed normalization.
+
+The shared host's effective clock drifts run-to-run (COVERAGE.md, "r7
+bench measurement story"): every query can read 1.3-1.9x slower with a
+clean load gate and 0% steal simply because the box itself is slow that
+hour.  ``bench.py`` therefore records a deterministic single-thread CPU
+reference (``cpu_canary_s``) in each artifact.  This tool does the
+arithmetic the canary exists for: it divides each query's old/new ratio
+by the canary ratio, so a uniform host slowdown normalizes to ~1.0x and
+only code-level changes stand out.
+
+Usage:
+    python tools/bench_compare.py BENCH_r06.json BENCH_r07.json
+    python tools/bench_compare.py old.json new.json --threshold 1.15
+
+Exit status 0 always — this is a reading aid, not a gate.  Artifacts
+missing ``cpu_canary_s`` (pre-r7 rounds) compare raw, clearly labeled.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def load(path: str) -> dict:
+    """Read an artifact; unwrap the driver's {"parsed": ...} envelope."""
+    with open(path) as f:
+        art = json.loads(f.read())
+    if "queries" not in art and isinstance(art.get("parsed"), dict):
+        return art["parsed"]
+    return art
+
+
+def compare(old: dict, new: dict, threshold: float = 1.10) -> list[str]:
+    """Return report lines for new-vs-old with canary normalization."""
+    lines: list[str] = []
+    c_old = old.get("cpu_canary_s")
+    c_new = new.get("cpu_canary_s")
+    if c_old and c_new:
+        host = c_new / c_old
+        lines.append(
+            f"host speed: canary {c_old:.3f}s -> {c_new:.3f}s "
+            f"(new host {host:.2f}x old; ratios below are divided by this)"
+        )
+    else:
+        host = 1.0
+        missing = [
+            name
+            for name, c in (("old", c_old), ("new", c_new))
+            if not c
+        ]
+        lines.append(
+            f"host speed: no cpu_canary_s in {'/'.join(missing)} artifact"
+            " — RAW ratios (host drift not separable from code change)"
+        )
+    for art, label in ((old, "old"), (new, "new")):
+        flags = [
+            k
+            for k in ("load_contaminated", "ingest_noisy")
+            if art.get(k)
+        ]
+        if flags:
+            lines.append(f"warning: {label} artifact self-flags {flags}")
+
+    qo, qn = old.get("queries", {}), new.get("queries", {})
+    lines.append(
+        f"{'query':<30} {'old_s':>7} {'new_s':>7} {'raw':>6} {'norm':>6}"
+    )
+    worse: list[str] = []
+    for name in sorted(set(qo) | set(qn)):
+        if name not in qo or name not in qn:
+            lines.append(f"{name:<30} {'only in ' + ('new' if name in qn else 'old')}")
+            continue
+        raw = qn[name] / qo[name]
+        norm = raw / host
+        mark = ""
+        if norm > threshold:
+            mark = "  <-- slower beyond host drift"
+            worse.append(name)
+        elif norm < 1.0 / threshold:
+            mark = "  (faster)"
+        lines.append(
+            f"{name:<30} {qo[name]:>7.3f} {qn[name]:>7.3f} "
+            f"{raw:>5.2f}x {norm:>5.2f}x{mark}"
+        )
+    vo, vn = old.get("value"), new.get("value")
+    if vo and vn:
+        lines.append(
+            f"{'TOTAL':<30} {vo:>7.3f} {vn:>7.3f} "
+            f"{vn / vo:>5.2f}x {vn / vo / host:>5.2f}x"
+        )
+    if worse:
+        lines.append(
+            f"beyond-host-drift regressions (norm > {threshold:g}x): "
+            + ", ".join(worse)
+        )
+    else:
+        lines.append(
+            f"no query slower than {threshold:g}x after host normalization"
+        )
+    return lines
+
+
+def main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("old")
+    p.add_argument("new")
+    p.add_argument("--threshold", type=float, default=1.10)
+    args = p.parse_args(argv)
+    for line in compare(load(args.old), load(args.new), args.threshold):
+        print(line)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
