@@ -123,6 +123,24 @@ def _zero_size_items(schema: Any) -> int:
     return _SIZED
 
 
+def _zero_item_cost(schema: Any) -> int:
+    """Approximate decoded HEAP BYTES per item of a zero-size schema —
+    the unit the array-block budget below is denominated in. A shared
+    singleton (null, fixed(0)) costs one list slot (~8 B). A fresh
+    empty record costs a dict (~64 B) plus ~100 B per entry (hash-table
+    slot + key pointer + value), where a nested zero-size field's value
+    contributes its OWN cost recursively — so a record of 1000 null
+    fields prices at ~100 KB/item, not the flat ~72 B a field-blind
+    estimate would claim, and the count budget tightens proportionally."""
+    if isinstance(schema, dict):
+        t = schema.get("type")
+        if t == "record":
+            return 64 + sum(100 + _zero_item_cost(f["type"]) for f in schema["fields"])
+        if isinstance(t, (dict, list)):
+            return _zero_item_cost(t)
+    return 8
+
+
 def _decode(r: _Reader, schema: Any) -> Any:
     if isinstance(schema, str):
         t = schema
@@ -149,15 +167,21 @@ def _decode(r: _Reader, schema: Any) -> Any:
             # zero-byte items (null in any spelling, empty records,
             # fixed(0) — see _zero_size_items) make the bytes-remaining
             # bound meaningless — a conforming writer CAN emit a large
-            # count in 3 bytes; cap those by COUNT instead so a
-            # corrupted 2^50 count still cannot OOM the executor. The
-            # cap is sized to what each decoded item costs: null/
-            # fixed(0) yield a shared singleton (8 B pointer; 2^24 ≈
-            # 128 MB of list), empty records a fresh ~72 B dict each
-            # (2^24 would be >1 GiB — capped at 2^20 ≈ 75 MB; an array
-            # of a million empty records is already pathological)
+            # count in a few bytes; budget those by DECODED HEAP COST
+            # instead so a corrupted count still cannot OOM the
+            # executor. The budget is CUMULATIVE across the array's
+            # blocks (a per-block cap re-arms every ~4 payload bytes:
+            # repeated varint(cap) blocks for an array-of-null would
+            # allocate cap list slots per block without bound) and is
+            # denominated in approximate decoded bytes via
+            # _zero_item_cost, so a fresh-record item with many
+            # zero-size fields (KBs per decode) tightens the admissible
+            # count proportionally instead of passing a field-blind cap.
             zero_size = _zero_size_items(schema["items"])
-            zero_cap = (1 << 24) if zero_size == _ZERO_SHARED else (1 << 20)
+            zero_budget = 1 << 27  # ~128 MB decoded-heap ceiling per array
+            if zero_size:
+                zero_cost = _zero_item_cost(schema["items"])
+                zero_spent = 0
             while True:
                 n = r.read_long()
                 if n == 0:
@@ -165,9 +189,16 @@ def _decode(r: _Reader, schema: Any) -> Any:
                 if n < 0:  # block with byte size prefix
                     r.read_long()
                     n = -n
+                if zero_size:
+                    zero_spent += n * zero_cost
+                    if zero_spent > zero_budget:
+                        raise ValueError(
+                            f"overlong avro array block ({n}); zero-size items "
+                            f"exceed ~{zero_budget >> 20} MB decoded budget"
+                        )
                 # a corrupted count can't exceed the bytes left (every
                 # well-formed non-empty block's items occupy ≥1 byte)
-                if n > (zero_cap if zero_size else r.remaining() + 1):
+                elif n > r.remaining() + 1:
                     raise ValueError(f"overlong avro array block ({n})")
                 out.extend(_decode(r, schema["items"]) for _ in range(n))
         if t == "map":

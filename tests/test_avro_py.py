@@ -239,12 +239,60 @@ def test_dict_form_null_array_large_block_accepted():
     with pytest.raises(ValueError, match="overlong avro array block"):
         decode_record(bytes(_zigzag(200_000)) + bytes(_zigzag(0)), schema)
 
-    # empty-RECORD items allocate a fresh ~72 B dict per item (null
-    # items share one None), so their count cap is 16x tighter: 2^24
-    # empty dicts would be >1 GiB — exactly the OOM the cap exists to
-    # prevent — while 2^20 (~75 MB) stays bounded
+    # empty-RECORD items allocate a fresh ~64 B dict per item (null
+    # items share one None), so the ~128 MB decoded-heap budget admits
+    # 8x fewer of them: 2^27/64 = 2^21 is the boundary — 2^24 empty
+    # dicts would be >1 GiB, exactly the OOM the budget exists to
+    # prevent — while 300k (~20 MB) stays bounded
     schema["fields"][0]["type"]["items"] = {"type": "record", "name": "E", "fields": []}
     with pytest.raises(ValueError, match="overlong avro array block"):
-        decode_record(bytes(_zigzag((1 << 20) + 1)) + bytes(_zigzag(0)), schema)
+        decode_record(bytes(_zigzag((1 << 21) + 1)) + bytes(_zigzag(0)), schema)
     rec = decode_record(bytes(_zigzag(300_000)) + bytes(_zigzag(0)), schema)
     assert len(rec["a"]) == 300_000 and rec["a"][0] == {}
+
+
+def test_zero_size_budget_is_cumulative_and_field_aware():
+    """Two holes a per-block, field-blind cap leaves open (r7 review):
+
+    1. A per-block cap RE-ARMS every ~4 payload bytes — repeated
+       varint(just-under-cap) blocks for an array-of-null allocate
+       cap list slots per block without bound (a 40-byte payload could
+       demand >1 GiB). The budget must accumulate across the array's
+       blocks.
+    2. A record whose fields are ALL zero-size classifies as fresh, but
+       each decode costs ~100 B PER FIELD — 1000 null fields is ~100 KB
+       per item, so a field-blind count cap admits tens of GB in one
+       in-cap block. The per-item cost must scale with field count.
+    """
+    import pytest
+
+    from callysto_spark.serde.avro_py import _zigzag, decode_record
+
+    # (1) cumulative: 20 blocks x 2^23 nulls = 8 x the single-array
+    # budget; each block alone (8 B x 2^23 = 64 MB) is admissible
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "a", "type": {"type": "array", "items": "null"}}],
+    }
+    payload = bytes(_zigzag(1 << 23)) * 20 + bytes(_zigzag(0))
+    with pytest.raises(ValueError, match="overlong avro array block"):
+        decode_record(payload, schema)
+    # ...while the same total spread over a FRESH array per record field
+    # is fine (the budget is per array, not per payload)
+    ok = bytes(_zigzag(1 << 15)) + bytes(_zigzag(0))
+    assert len(decode_record(ok, schema)["a"]) == 1 << 15
+
+    # (2) field-aware: 1000 zero-size fields price at ~108 KB/item ->
+    # budget admits ~1.2k items; a 10k block must be rejected even
+    # though a field-blind 2^20 cap would wave it through
+    wide = {
+        "type": "record",
+        "name": "W",
+        "fields": [{"name": f"f{i}", "type": "null"} for i in range(1000)],
+    }
+    schema["fields"][0]["type"]["items"] = wide
+    with pytest.raises(ValueError, match="overlong avro array block"):
+        decode_record(bytes(_zigzag(10_000)) + bytes(_zigzag(0)), schema)
+    rec = decode_record(bytes(_zigzag(100)) + bytes(_zigzag(0)), schema)
+    assert len(rec["a"]) == 100 and rec["a"][0]["f999"] is None

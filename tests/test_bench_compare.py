@@ -15,7 +15,8 @@ import bench_compare  # noqa: E402
 
 def _art(queries, canary=None, **extra):
     art = {"metric": "headline_queries_total", "unit": "sec",
-           "value": round(sum(queries.values()), 3), "queries": queries}
+           "value": round(sum(v for v in queries.values() if v), 3),
+           "queries": queries}
     if canary is not None:
         art["cpu_canary_s"] = canary
     art.update(extra)
@@ -60,6 +61,19 @@ def test_driver_envelope_unwrapped(tmp_path):
     p = tmp_path / "BENCH_rX.json"
     p.write_text(json.dumps(wrapped))
     assert bench_compare.load(str(p)) == inner
+
+
+def test_failed_query_nulls_do_not_crash():
+    # bench.py records a failed query as null and still emits the
+    # artifact — the comparison must report it, not TypeError on None
+    # (nor ZeroDivisionError on a 0.000-rounded timing)
+    old = _art({"q1": 0.4, "q2": None, "q3": 0.0}, canary=0.3)
+    old["value"] = 0.4
+    new = _art({"q1": 0.6, "q2": 0.5, "q3": 0.2}, canary=0.3)
+    lines = bench_compare.compare(old, new)
+    assert any("q2" in ln and "not comparable" in ln and "old failed" in ln for ln in lines)
+    assert any("q3" in ln and "not comparable" in ln for ln in lines)
+    assert any(ln.startswith("q1") and "1.50x" in ln for ln in lines)
 
 
 def test_query_set_drift_is_visible():

@@ -74,6 +74,17 @@ def compare(old: dict, new: dict, threshold: float = 1.10) -> list[str]:
         if name not in qo or name not in qn:
             lines.append(f"{name:<30} {'only in ' + ('new' if name in qn else 'old')}")
             continue
+        # bench.py records FAILED queries as null (and keeps going) —
+        # partial artifacts are exactly the flagged runs this tool
+        # exists to read, so report the failure instead of dividing
+        if not qo[name] or not qn[name]:
+            state = ", ".join(
+                f"{lbl} {'failed' if q[name] is None else q[name]}"
+                for lbl, q in (("old", qo), ("new", qn))
+                if not q[name]
+            )
+            lines.append(f"{name:<30} not comparable ({state})")
+            continue
         raw = qn[name] / qo[name]
         norm = raw / host
         mark = ""
