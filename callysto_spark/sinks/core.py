@@ -90,9 +90,19 @@ class KafkaSink(Sink):
                 .save()
             )
         except Exception as exc:
-            raise RuntimeError(
-                "Kafka sink requires the spark-sql-kafka connector jar on the classpath"
-            ) from exc
+            # reword ONLY the missing-connector failure: a blanket
+            # rebrand would turn broker-unreachable / auth / ACL errors
+            # into a phantom classpath hunt (the JdbcSink pattern)
+            msg = str(exc)
+            if (
+                "ClassNotFoundException" in msg
+                or "DATA_SOURCE_NOT_FOUND" in msg
+                or "Failed to find data source" in msg
+            ):
+                raise RuntimeError(
+                    "Kafka sink requires the spark-sql-kafka connector jar on the classpath"
+                ) from exc
+            raise
 
 
 @dataclass
@@ -107,20 +117,43 @@ class MemTopicSink(Sink):
     topic: str
     broker_dir: str
     n_partitions: int = 4
+    flush_rows: int = 10_000
 
     def write(self, df: DataFrame, batch_id: int = 0) -> None:
         topic, broker_dir, n_parts = self.topic, self.broker_dir, self.n_partitions
+        flush_rows = self.flush_rows
         cols = [F.col("value").cast("string").alias("value")]
         has_key = "key" in df.columns
         if has_key:
             cols.insert(0, F.col("key").cast("string").alias("key"))
+        # honor an explicit `partition` column exactly like the Kafka
+        # writer does — the twin dropping it would let key-hash routing
+        # pass tests and then diverge (different partitions, broken
+        # per-partition ordering) against real Kafka in production
+        has_part = "partition" in df.columns
+        if has_part:
+            cols.append(F.col("partition").cast("int").alias("partition"))
 
         def produce_partition(rows) -> None:
             from callysto_spark.sources.memtopic import produce
 
-            msgs = [((r["key"] if has_key else None), r["value"]) for r in rows]
-            if msgs:
-                produce(broker_dir, topic, msgs, n_parts)
+            # flush in bounded chunks (the JdbcSink batchsize /
+            # ElasticsearchSink bulk_size pattern): a skewed Spark
+            # partition must not materialize as one giant Python list
+            buf: list[tuple] = []
+            for r in rows:
+                buf.append(
+                    (
+                        r["key"] if has_key else None,
+                        r["value"],
+                        r["partition"] if has_part else None,
+                    )
+                )
+                if len(buf) >= flush_rows:
+                    produce(broker_dir, topic, buf, n_parts)
+                    buf = []
+            if buf:
+                produce(broker_dir, topic, buf, n_parts)
 
         df.select(*cols).foreachPartition(produce_partition)
 
@@ -216,6 +249,20 @@ class JdbcSink(Sink):
         connect = self._connect
 
         if mode == "overwrite":
+            # TRUNCATE is destructive and commits before any insert
+            # runs, while the inserts run on EXECUTORS whose environment
+            # the driver-side availability check never saw (engine=
+            # 'auto' falls back on a DRIVER psycopg2 import) — so first
+            # prove one executor task can actually open a connection.
+            # A probe failure leaves the table untouched; without it, a
+            # driver-only psycopg2 install would truncate and then fail
+            # every insert task, destroying the data. (Mid-insert
+            # failures can still leave a partial overwrite — inserts
+            # are at-least-once per the class contract — but the
+            # all-tasks-doomed case is closed.)
+            df.sparkSession.sparkContext.parallelize([0], 1).foreach(
+                lambda _: connect().close()
+            )
             conn = connect()
             try:
                 conn.cursor().execute(f"TRUNCATE TABLE {table}")
@@ -275,6 +322,12 @@ class ElasticsearchSink(Sink):
 
     def write(self, df: DataFrame, batch_id: int = 0) -> None:
         index, url, id_col, bulk_size = self.index, self.url, self.id_col, self.bulk_size
+        if id_col is not None and id_col not in df.columns:
+            # fail on the driver before any job launches, not as a
+            # KeyError deep inside a Python worker
+            raise ValueError(
+                f"ElasticsearchSink id_col {id_col!r} not in batch columns {df.columns}"
+            )
 
         def post_partition(rows) -> Any:
             import urllib.request
@@ -289,7 +342,8 @@ class ElasticsearchSink(Sink):
                     data=("\n".join(buf) + "\n").encode(),
                     headers={"Content-Type": "application/x-ndjson"},
                 )
-                body = urllib.request.urlopen(req, timeout=30).read()
+                with urllib.request.urlopen(req, timeout=30) as resp_f:
+                    body = resp_f.read()
                 # _bulk returns HTTP 200 even when individual docs fail
                 # (mapping conflicts etc.) — swallowing the body would let
                 # the checkpoint commit offsets for documents ES dropped
@@ -310,6 +364,17 @@ class ElasticsearchSink(Sink):
                 doc = row.asDict(recursive=True)
                 action: dict[str, Any] = {"index": {"_index": index}}
                 if id_col is not None:
+                    if doc[id_col] is None:
+                        # str(None) would give every null-keyed doc the
+                        # literal _id "None" — last-write-wins keeps ONE
+                        # of them and the checkpoint commits the rest as
+                        # silently lost; a keyed sink must refuse nulls
+                        raise ValueError(
+                            f"ElasticsearchSink: null {id_col!r} in batch "
+                            f"{batch_id} — null ids would collapse into one "
+                            'document "_id": "None" (filter or fill them '
+                            "upstream, or use id_col=None for auto-ids)"
+                        )
                     action["index"]["_id"] = str(doc[id_col])
                 buf.append(json.dumps(action))
                 buf.append(json.dumps(doc, default=str))

@@ -24,8 +24,17 @@ from pyspark.sql import DataFrame
 def idempotent(
     write: Callable[[DataFrame, int], None],
     marker_dir: str,
+    keep_markers: int = 100,
 ) -> Callable[[DataFrame, int], None]:
-    """Wrap a foreachBatch writer so replayed batch_ids are no-ops."""
+    """Wrap a foreachBatch writer so replayed batch_ids are no-ops.
+
+    Markers are PRUNED to the newest ``keep_markers`` ids after each
+    commit: Spark's checkpoint only ever replays the most recent
+    uncommitted batch, so older markers are dead weight — a 1s-trigger
+    query would otherwise accrete ~86k tiny files/day in one directory
+    until listing and inodes hurt. ``keep_markers`` is a generous
+    safety margin over the single replayed batch, not a tunable
+    correctness knob."""
     os.makedirs(marker_dir, exist_ok=True)
 
     def wrapped(df: DataFrame, batch_id: int) -> None:
@@ -38,5 +47,20 @@ def idempotent(
         # crash after → replay skipped entirely.
         with open(marker, "w") as fh:
             fh.write("ok")
+        # prune strictly OLDER ids than the retention window; a crash
+        # mid-prune is safe (replay skips via the marker just written)
+        floor = batch_id - keep_markers
+        if floor > 0:
+            for name in os.listdir(marker_dir):
+                if name.startswith("batch-") and name.endswith(".done"):
+                    try:
+                        bid = int(name[len("batch-") : -len(".done")])
+                    except ValueError:
+                        continue
+                    if bid < floor:
+                        try:
+                            os.remove(os.path.join(marker_dir, name))
+                        except FileNotFoundError:
+                            pass
 
     return wrapped

@@ -69,16 +69,33 @@ def _route(key: str | None, n_partitions: int, fallback: int = 0) -> int:
 def produce(
     broker_dir: str,
     topic: str,
-    messages: list[tuple[str | None, str]],
+    messages: list[tuple],
     n_partitions: int = 4,
 ) -> None:
     """Keyed produce (reference `kafka/cproducer.rs:24-58`): route each
     (key, value) by crc32(key) % n_partitions, append under flock.
-    Callable from the driver or from executor tasks."""
+    Callable from the driver or from executor tasks.
+
+    A message may carry an EXPLICIT partition as a third element
+    ((key, value, pid)) — the Kafka writer's `partition` column
+    contract: it overrides key routing, and an out-of-range pid fails
+    located (Kafka rejects produce to a nonexistent partition; routing
+    it modulo would silently reorder a pipeline that pinned partitions
+    for per-partition ordering)."""
     os.makedirs(_topic_dir(broker_dir, topic), exist_ok=True)
     by_pid: dict[int, list[str]] = {}
-    for i, (key, value) in enumerate(messages):
-        pid = _route(key, n_partitions, fallback=i)
+    for i, msg in enumerate(messages):
+        key, value = msg[0], msg[1]
+        explicit = msg[2] if len(msg) > 2 else None
+        if explicit is not None:
+            if not 0 <= explicit < n_partitions:
+                raise ValueError(
+                    f"explicit partition {explicit} out of range for topic "
+                    f"{topic!r} with {n_partitions} partitions"
+                )
+            pid = explicit
+        else:
+            pid = _route(key, n_partitions, fallback=i)
         by_pid.setdefault(pid, []).append(
             json.dumps({"k": key, "v": value, "ts": time.time()}, ensure_ascii=False)
         )

@@ -105,8 +105,12 @@ def bind_table_agent(
                 if out is not None and len(out):
                     yield out
             if not got_rows:
-                # timeout invocation: closure sees an empty batch with
-                # state.timed_out set and decides emit/evict
+                # DEFENSE-IN-DEPTH, normally unreachable: PySpark 4.1.2
+                # delivers a timed-out key as one EMPTY pandas batch, so
+                # the timeout invocation flows through the loop above
+                # (fn sees empty pdf + state.timed_out) — do not put
+                # timeout-only logic here; this branch only fires if a
+                # future runner stops synthesizing that empty batch
                 out = fn(key, pd.DataFrame(), ts)
                 if out is not None and len(out):
                     yield out

@@ -47,11 +47,19 @@ class TableStateV2:
     (same contract as streaming.state.TableState; reference
     `types/table.rs:81-113`)."""
 
-    def __init__(self, vs: Any, handle: Any, timer_values: Any, timed_out: bool = False) -> None:
+    def __init__(
+        self,
+        vs: Any,
+        handle: Any,
+        timer_values: Any,
+        timed_out: bool = False,
+        time_mode: str = "ProcessingTime",
+    ) -> None:
         self._vs = vs
         self._h = handle
         self._tv = timer_values
         self._timed_out = timed_out
+        self._time_mode = time_mode
 
     def get(self) -> tuple | None:
         if not self._vs.exists():
@@ -76,9 +84,28 @@ class TableStateV2:
         """Arm a processing-time timer ``ms`` from now (requires the
         agent registered with timeout='ProcessingTimeTimeout'),
         REPLACING any pending timer for the key."""
+        # v1 parity: GroupState.setTimeoutDuration raises outside
+        # ProcessingTimeTimeout. Arming wall-clock-now+ms under an
+        # EventTime processor silently mixes time domains — expiry is
+        # driven by the WATERMARK there, so with historical event
+        # timestamps (watermark << wall clock) the timer never fires
+        # and state never evicts. Fail fast like v1 instead.
+        if self._time_mode != "ProcessingTime":
+            raise RuntimeError(
+                "set_timeout_ms requires timeout='ProcessingTimeTimeout' "
+                f"(this agent runs in {self._time_mode!r} time mode); use "
+                "set_timeout_timestamp_ms with an event-time timestamp"
+            )
         self._arm(self._tv.getCurrentProcessingTimeInMs() + ms)
 
     def set_timeout_timestamp_ms(self, epoch_ms: int) -> None:
+        """Arm an event-time timer (requires timeout='EventTimeTimeout'
+        and a watermark on the stream) — v1 GroupState parity."""
+        if self._time_mode != "EventTime":
+            raise RuntimeError(
+                "set_timeout_timestamp_ms requires timeout='EventTimeTimeout' "
+                f"(this agent runs in {self._time_mode!r} time mode)"
+            )
         self._arm(epoch_ms)
 
     def _arm(self, at_ms: int) -> None:
@@ -118,14 +145,16 @@ def bind_table_processor(
             self._vs = handle.getValueState(table.name, table.value_schema, ttlDurationMs=ttl_ms)
 
         def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
-            ts = TableStateV2(self._vs, self._handle, timer_values)
+            ts = TableStateV2(self._vs, self._handle, timer_values, time_mode=time_mode)
             for pdf in rows:
                 out = fn(tuple(key), pdf, ts)
                 if out is not None and len(out):
                     yield out
 
         def handleExpiredTimer(self, key, timer_values, expired_timer_info) -> Iterator[pd.DataFrame]:
-            ts = TableStateV2(self._vs, self._handle, timer_values, timed_out=True)
+            ts = TableStateV2(
+                self._vs, self._handle, timer_values, timed_out=True, time_mode=time_mode
+            )
             out = fn(tuple(key), pd.DataFrame(), ts)
             if out is not None and len(out):
                 yield out

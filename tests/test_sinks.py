@@ -143,3 +143,113 @@ def test_jdbc_sink_psycopg2_engine_batched_inserts(spark, tmp_path):
     assert max(len(r["rows"]) for r in inserts) <= 3
     # one COMMIT per connection (1 truncate + 2 partitions)
     assert sqls.count("COMMIT") == 3
+
+
+def test_memtopic_sink_honors_explicit_partition_column(spark, tmp_path):
+    """The Kafka writer contract: an explicit `partition` column
+    overrides key routing — the runnable twin must honor it too, or a
+    pipeline that pins partitions for per-partition ordering passes
+    tests here and silently reroutes against real Kafka (r7 review)."""
+    import json as _json
+
+    from callysto_spark.sinks import MemTopicSink
+    from callysto_spark.sources.memtopic import _log_path
+
+    broker = str(tmp_path / "broker")
+    df = spark.createDataFrame(
+        [("a", "v0", 3), ("b", "v1", 3), ("c", "v2", 0)],
+        "key string, value string, partition int",
+    ).coalesce(1)
+    MemTopicSink("t", broker, n_partitions=4).write(df)
+
+    def plines(pid):
+        path = _log_path(broker, "t", pid)
+        if not __import__("os").path.exists(path):
+            return []
+        return [_json.loads(ln) for ln in open(path) if ln.strip()]
+
+    assert sorted(r["v"] for r in plines(3)) == ["v0", "v1"]
+    assert [r["v"] for r in plines(0)] == ["v2"]
+    assert plines(1) == [] and plines(2) == []
+
+
+def test_memtopic_produce_rejects_out_of_range_partition(tmp_path):
+    import pytest
+
+    from callysto_spark.sources.memtopic import produce
+
+    with pytest.raises(ValueError, match="out of range"):
+        produce(str(tmp_path / "b"), "t", [("k", "v", 7)], n_partitions=4)
+
+
+def test_elasticsearch_sink_id_column_validation(spark):
+    """Null ids must fail the batch, not collapse every null-keyed doc
+    into one `_id: "None"` document that last-write-wins silently
+    drops; a missing id_col fails on the driver before any job."""
+    import pytest
+
+    df = spark.createDataFrame([(None, "x"), (2, "y")], "doc_id long, body string")
+    sink = ElasticsearchSink(index="docs", url="http://127.0.0.1:1", id_col="doc_id")
+    with pytest.raises(Exception, match="null 'doc_id'"):
+        sink.write(df.coalesce(1))
+
+    with pytest.raises(ValueError, match="not in batch columns"):
+        ElasticsearchSink(index="docs", id_col="nope").write(df)
+
+
+def test_idempotent_marker_pruning(spark, tmp_path):
+    """Markers accrete one file per batch forever without pruning
+    (~86k/day at a 1s trigger); only the newest `keep_markers` ids may
+    remain, and replay of a recent batch must still be skipped."""
+    import os
+
+    from callysto_spark.sinks.exactly_once import idempotent
+
+    calls = []
+    w = idempotent(lambda df, b: calls.append(b), str(tmp_path / "m"), keep_markers=3)
+    df = spark.createDataFrame([(1,)], "id long")
+    for b in range(8):
+        w(df, b)
+    # ids >= 7 - keep_markers survive: the newest keep_markers+1 markers
+    names = sorted(os.listdir(tmp_path / "m"))
+    assert names == sorted(f"batch-{b}.done" for b in range(4, 8))
+    w(df, 7)  # replay of a retained batch: still skipped
+    w(df, 3)  # pruned marker: REPLAYS (outside Spark's replay window by construction)
+    assert calls == [0, 1, 2, 3, 4, 5, 6, 7, 3]
+
+
+def test_table_state_v2_timer_time_domain_guards():
+    """v1 GroupState raises when a timeout call doesn't match the
+    registered timeout mode; the v2 shim must too — arming a wall-clock
+    timer under EventTime mode would wait on the watermark and never
+    fire with historical timestamps (r7 review)."""
+    import pytest
+
+    from callysto_spark.streaming.state_v2 import TableStateV2
+
+    class _TV:
+        def getCurrentProcessingTimeInMs(self):
+            return 1_000_000
+
+    class _H:
+        def __init__(self):
+            self.timers = []
+
+        def listTimers(self):
+            return list(self.timers)
+
+        def deleteTimer(self, t):
+            self.timers.remove(t)
+
+        def registerTimer(self, t):
+            self.timers.append(t)
+
+    ts = TableStateV2(None, _H(), _TV(), time_mode="EventTime")
+    with pytest.raises(RuntimeError, match="ProcessingTimeTimeout"):
+        ts.set_timeout_ms(5_000)
+    ts.set_timeout_timestamp_ms(42)  # correct domain: allowed
+
+    ts_p = TableStateV2(None, _H(), _TV(), time_mode="ProcessingTime")
+    with pytest.raises(RuntimeError, match="EventTimeTimeout"):
+        ts_p.set_timeout_timestamp_ms(42)
+    ts_p.set_timeout_ms(5_000)
