@@ -133,6 +133,13 @@ def rewrite_oracle_fixed(sql: str) -> str:
                 depth -= 1
             elif ch == "," and depth == 0:
                 last = j
+        if last < 0:
+            # silently proceeding would slice body[:-1] into garbage SQL
+            # ("pric" * price.0) that fails far from the macro or, worse,
+            # binds to something and computes wrong sums
+            raise ValueError(
+                f"FSUM macro requires (expr, scale) — no top-level comma in {body!r}"
+            )
         expr, scale = body[:last].strip(), body[last + 1 :].strip()
         return _fixed(expr, scale)
 
@@ -167,7 +174,12 @@ def _find_round_call(sql: str, start: int = 0) -> tuple[int, int, str, str] | No
                     elif ch == "," and d == 0:
                         last_comma = j
                 if last_comma < 0:
-                    return None
+                    # single-argument round(x): return the hit with an
+                    # empty digits field so the CALLER can skip just
+                    # this call — returning None here aborted the whole
+                    # rewrite loop, leaving every LATER round(expr, n)
+                    # in native form (r7 review)
+                    return (start + m.start(), i + 1, body.strip(), "")
                 expr, n = body[:last_comma], body[last_comma + 1 :]
                 return (start + m.start(), i + 1, expr.strip(), n.strip())
     return None
@@ -183,7 +195,11 @@ def rewrite_oracle_round(sql: str) -> str:
             return out
         s, e, expr, n = hit
         if not n.isdigit():
-            pos = e
+            # skip only the WORD "round", not the whole call: the body
+            # of a non-rewritable round(...) may itself contain
+            # rewritable round(expr, n) calls that jumping to `e`
+            # would leave in native form
+            pos = s + len("round")
             continue
         scale = 10 ** int(n)
         pre = f"(({expr}) * {scale}.0 + 0.5)"
@@ -194,7 +210,12 @@ def rewrite_oracle_round(sql: str) -> str:
             f"THEN floor{pre} / {scale}.0 ELSE ({expr}) END)"
         )
         out = out[:s] + repl + out[e:]
-        pos = s + len(repl)
+        # rescan FROM the replacement, not past it: `repl` embeds `expr`
+        # verbatim (three times), and expr may contain nested
+        # round(expr2, n2) calls that a past-the-replacement jump would
+        # leave native. Terminates: each rewritten call's own "round("
+        # token is consumed by the rewrite.
+        pos = s
 
 
 # ------------------------------------------------------ tokenizer contract

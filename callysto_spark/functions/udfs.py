@@ -49,8 +49,14 @@ def sentence_udtf():
         def eval(self, text: str):
             if text is None:
                 return
-            for i, raw in enumerate(s.strip() for s in text.replace("!", ".").replace("?", ".").split(".")):
+            # idx is a DENSE per-document ordinal (0..n-1): consecutive
+            # terminators ("Hi!? Ok.") produce empty segments, and a
+            # raw-segment enumerate would leave gaps that break idx-keyed
+            # joins and max(idx)+1 counts downstream
+            idx = 0
+            for raw in (s.strip() for s in text.replace("!", ".").replace("?", ".").split(".")):
                 if raw:
-                    yield i, raw, len(raw.split())
+                    yield idx, raw, len(raw.split())
+                    idx += 1
 
     return SplitSentences

@@ -22,14 +22,40 @@ def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """All PushedFilters lists in the scan nodes (empty strings removed)."""
+    """All PushedFilters lists in the scan nodes (empty strings removed).
+
+    Parsed depth-aware: a naive comma split would fragment binary
+    filters (``GreaterThan(a,5)`` → two bogus entries) and a
+    first-``]`` capture would truncate at ``In(a, [1,2,3])``'s inner
+    bracket, dropping the rest of the list (r7 review)."""
     plan = physical_plan(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
-        body = m.group(1).strip()
-        if body:
-            out.extend(s.strip() for s in body.split(","))
-    return out
+    marker = "PushedFilters: ["
+    i = 0
+    while True:
+        s = plan.find(marker, i)
+        if s < 0:
+            return out
+        j = s + len(marker)
+        bdepth, pdepth, start = 1, 0, j
+        parts: list[str] = []
+        while j < len(plan) and bdepth > 0:
+            ch = plan[j]
+            if ch == "[":
+                bdepth += 1
+            elif ch == "]":
+                bdepth -= 1
+            elif ch == "(":
+                pdepth += 1
+            elif ch == ")":
+                pdepth -= 1
+            elif ch == "," and bdepth == 1 and pdepth == 0:
+                parts.append(plan[start:j])
+                start = j + 1
+            j += 1
+        parts.append(plan[start : j - 1])
+        out.extend(p.strip() for p in parts if p.strip())
+        i = j
 
 
 def broadcast_join_count(df: DataFrame) -> int:
@@ -37,9 +63,12 @@ def broadcast_join_count(df: DataFrame) -> int:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Shuffle exchanges in the plan (excludes broadcast exchanges)."""
+    """Shuffle exchanges in the plan (excludes broadcast exchanges and
+    ReusedExchange references — a reused exchange executes ONCE at its
+    original site; counting the reference would report 2 shuffles where
+    1 runs, and a reused *broadcast* would count as a shuffle)."""
     plan = physical_plan(df)
-    return len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan))
+    return len(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange \(\d+\)", plan))
 
 
 def _walk_logical(node):
@@ -120,6 +149,13 @@ def codegen_stage_count(df: DataFrame) -> int:
     """
     plan = physical_plan(df, mode="simple")
     if "isFinalPlan=false" in plan:
-        df.collect()
+        # discard-on-executors, NOT collect(): the execution is only a
+        # side effect to finalize the AQE plan, and collect() would
+        # materialize the full result on the driver (OOM risk on wide
+        # results). A noop WRITE doesn't work here — it wraps df in a
+        # new command queryExecution and leaves df's own un-finalized.
+        # rdd.foreach drives df's own queryExecution; rows stream to
+        # executor-side workers and are dropped there.
+        df.rdd.foreach(lambda _: None)
         plan = physical_plan(df, mode="simple")
     return len(set(re.findall(r"\*\((\d+)\)", plan)))

@@ -114,10 +114,21 @@ class SourceSpec:
             try:
                 return spark.readStream.format("kafka").options(**self.options).load()
             except Exception as exc:  # pragma: no cover - connector-dependent
-                raise RuntimeError(
-                    "Kafka source requires the spark-sql-kafka connector jar "
-                    "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)"
-                ) from exc
+                # reword ONLY the missing-connector failure — with the
+                # jar present, a bad option (malformed startingOffsets
+                # JSON, auth config) must surface as itself, not as a
+                # phantom classpath problem (same rule as KafkaSink)
+                msg = str(exc)
+                if (
+                    "ClassNotFoundException" in msg
+                    or "DATA_SOURCE_NOT_FOUND" in msg
+                    or "Failed to find data source" in msg
+                ):
+                    raise RuntimeError(
+                        "Kafka source requires the spark-sql-kafka connector jar "
+                        "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)"
+                    ) from exc
+                raise
         if self.kind == "memtopic":
             from callysto_spark.sources.memtopic import register
 

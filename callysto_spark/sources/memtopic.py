@@ -119,9 +119,14 @@ def _partition_sizes(broker_dir: str, topic: str, n_partitions: int) -> dict[str
         path = _log_path(broker_dir, topic, pid)
         n = 0
         if os.path.exists(path):
-            with open(path, "r", encoding="utf-8") as fh:
+            # BINARY read: produce() writes ensure_ascii=False, so the
+            # torn tail can end mid-multi-byte-character — a strict text
+            # iterator would raise UnicodeDecodeError while decoding the
+            # partial line BEFORE the newline-visibility check runs.
+            # Counting b"\n" terminators never decodes the torn bytes.
+            with open(path, "rb") as fh:
                 for line in fh:
-                    if not line.endswith("\n"):
+                    if not line.endswith(b"\n"):
                         break  # partial trailing write: invisible
                     n += 1
         sizes[str(pid)] = n
@@ -142,15 +147,20 @@ def _read_slice(
             f"memtopic log missing for committed slice {topic}/p{pid}[{start},{end})"
         )
     served = 0
-    with open(path, "r", encoding="utf-8") as fh:
-        for offset, line in enumerate(fh):
+    # binary read + per-line decode: same torn-tail rule as
+    # _partition_sizes — a partial multi-byte character at the tail must
+    # be invisible, not a UnicodeDecodeError out of the text iterator's
+    # readahead before the newline check can run
+    with open(path, "rb") as fh:
+        for offset, raw in enumerate(fh):
             if offset >= end:
                 break
-            if not line.endswith("\n"):
+            if not raw.endswith(b"\n"):
                 break  # partial trailing write: same visibility rule as _partition_sizes
             if offset < start:
                 continue
             try:
+                line = raw.decode("utf-8")
                 rec = json.loads(line)
                 k, v, ts = rec["k"], rec["v"], rec["ts"]
             except (ValueError, KeyError, TypeError) as exc:
@@ -347,7 +357,11 @@ class _MemTopicWriterBase:
         msgs = []
         for row in iterator:
             d = row.asDict() if hasattr(row, "asDict") else dict(row)
-            msgs.append((d.get("key"), d["value"]))
+            # honor an explicit `partition` column like the Kafka writer
+            # and the foreachBatch sink (sinks/core.py) — dropping it
+            # here would silently key-route rows this stream-writer
+            # path's twin contract promises to pin
+            msgs.append((d.get("key"), d["value"], d.get("partition")))
         if msgs:
             produce(self.o.broker_dir, self.o.topic, msgs, self.o.n_partitions)
         return _Produced()

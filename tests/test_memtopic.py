@@ -444,3 +444,63 @@ def test_read_slice_of_truncated_or_missing_log_fails_located():
         list(_read_slice(broker, "sl", 0, 0, 5))
     # empty slice over a missing log is fine (empty topic, nothing planned)
     assert list(_read_slice(broker, "sl", 0, 0, 0)) == []
+
+
+def test_torn_multibyte_utf8_tail_invisible(broker):
+    """produce() writes ensure_ascii=False, so a torn flush can end
+    MID-multi-byte-character. A strict text iterator raises
+    UnicodeDecodeError while decoding the partial line BEFORE the
+    newline-visibility rule can run — readers must scan in binary and
+    only decode terminated lines (r7 review)."""
+    import os
+
+    from callysto_spark.sources.memtopic import _log_path, _partition_sizes, _read_slice
+
+    os.makedirs(os.path.join(broker, "torn"), exist_ok=True)
+    path = _log_path(broker, "torn", 0)
+    full = json.dumps({"k": None, "v": "héllo", "ts": 1.0}, ensure_ascii=False).encode()
+    torn = json.dumps({"k": None, "v": "wörld", "ts": 2.0}, ensure_ascii=False).encode()
+    # cut inside ö's two-byte sequence, no newline
+    cut = torn.index("ö".encode()) + 1
+    with open(path, "wb") as fh:
+        fh.write(full + b"\n" + torn[:cut])
+    assert _partition_sizes(broker, "torn", 1) == {"0": 1}
+    assert [r[1] for r in _read_slice(broker, "torn", 0, 0, 1)] == ["héllo"]
+    # producer finishes the record: both visible, non-ascii intact
+    with open(path, "ab") as fh:
+        fh.write(torn[cut:] + b"\n")
+    assert [r[1] for r in _read_slice(broker, "torn", 0, 0, 2)] == ["héllo", "wörld"]
+
+
+def test_writer_path_honors_explicit_partition(spark, broker):
+    """df.write.format('memtopic') must pin rows carrying an explicit
+    `partition` column, matching the foreachBatch sink and the Kafka
+    writer — the DataSource writer used to drop the column and silently
+    key-route (r7 review)."""
+    from callysto_spark.sources.memtopic import _log_path
+
+    register(spark)
+    (
+        spark.createDataFrame(
+            [("a", "v0", 2), ("b", "v1", 2), ("c", "v2", 0)],
+            "key string, value string, partition int",
+        )
+        .coalesce(1)
+        .write.format("memtopic")
+        .mode("append")
+        .option("brokerDir", broker)
+        .option("topic", "pinned")
+        .option("partitions", "4")
+        .save()
+    )
+
+    def vals(pid):
+        path = _log_path(broker, "pinned", pid)
+        import os
+
+        if not os.path.exists(path):
+            return []
+        return sorted(json.loads(ln)["v"] for ln in open(path) if ln.strip())
+
+    assert vals(2) == ["v0", "v1"] and vals(0) == ["v2"]
+    assert vals(1) == [] and vals(3) == []

@@ -34,3 +34,16 @@ def test_udtf_sentence_split(spark):
     )
     rows = sorted(tuple(r) for r in df.collect())
     assert rows == [(0, "Hello world", 2), (1, "How are you", 3), (2, "Fine", 1)]
+
+
+def test_udtf_sentence_idx_dense_across_empty_segments(spark):
+    # consecutive terminators ("Hi!? Ok.") create empty raw segments; a
+    # raw-segment enumerate left gaps in idx, breaking idx-keyed joins
+    # and max(idx)+1 counts (r7 review)
+    SplitSentences = sentence_udtf()
+    spark.udtf.register("split_sentences_dense", SplitSentences)
+    df = spark.sql(
+        "SELECT s.* FROM (SELECT 'Hi!? Ok.' AS t), LATERAL split_sentences_dense(t) s"
+    )
+    rows = sorted(tuple(r) for r in df.collect())
+    assert rows == [(0, "Hi", 1), (1, "Ok", 1)]
