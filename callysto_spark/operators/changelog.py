@@ -26,10 +26,16 @@ def changelog_materialize(
     """Latest record per key (by ``order_by``, which must be a total
     order — offset, or (ts, seq)); keys whose latest op is ``delete_op``
     disappear. Exactly the reference's apply_changelog_batch, expressed
-    as one window pass."""
+    as one window pass.
+
+    NULL-op contract: a record whose ``op_col`` is NULL is NOT a delete
+    — only an explicit ``delete_op`` tombstones a key. The null-naive
+    ``op != delete_op`` filter would evaluate NULL and silently drop
+    the key AND its last-known-good state (a malformed record acting as
+    a tombstone); the null-safe comparison keeps it instead."""
     w = Window.partitionBy(*keys).orderBy(*[c.desc() for c in order_by])
     return (
         changes.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
+        .filter((F.col("__rn") == 1) & (~F.col(op_col).eqNullSafe(delete_op)))
         .drop("__rn")
     )

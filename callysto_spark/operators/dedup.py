@@ -382,6 +382,27 @@ def minhash_lsh_candidates(
     ``string_hash`` engine as the signatures (comma-joined band values
     as the input string). Output: distinct (doc_a, doc_b).
     """
+    # guard the banding geometry IN-PLAN: with bands*rows_per_band >
+    # len(signature), F.slice past the end returns [] and every doc
+    # hashes the empty string identically on the out-of-range bands —
+    # the (band, bh) self-join then degenerates into a full corpus
+    # cross-join (O(n^2) pairs, runaway shuffle) with zero warning.
+    # raise_error at the first row beats that silently at any scale;
+    # a LONGER signature is only a recall loss, flagged in the message.
+    need = bands * rows_per_band
+    sig_ok = F.when(
+        F.size(F.col("signature")) < F.lit(need),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"minhash_lsh_candidates: bands({bands}) * rows_per_band"
+                    f"({rows_per_band}) = {need} exceeds signature length "
+                ),
+                F.size(F.col("signature")).cast("string"),
+                F.lit(" — pass num_hashes >= bands*rows_per_band to minhash_signatures"),
+            )
+        ),
+    ).otherwise(F.col("signature"))
     banded = sig_df.select(
         "doc",
         F.explode(
@@ -390,7 +411,7 @@ def minhash_lsh_candidates(
                 lambda b: F.struct(
                     b.alias("band"),
                     string_hash(
-                        F.concat_ws(",", F.transform(F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string"))),
+                        F.concat_ws(",", F.transform(F.slice(sig_ok, b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string"))),
                         hash_engine,
                     ).alias("bh"),
                 ),

@@ -101,6 +101,7 @@ def resize_media(
     width: int,
     height: int,
     decoder: str = "fake",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Resize the image payloads, preserving the media schema (1→1 rows).
 
@@ -112,7 +113,13 @@ def resize_media(
     batch shape and schema round-trip is testable. Output schema ==
     input MEDIA_SCHEMA with width/height updated — resize composes with
     any downstream media operator.
+
+    ``on_error='skip'`` drops rows whose payload fails to decode
+    (NULL content, corrupt PNG) — the 100 TB posture shared with
+    wav_features/png_features: one corrupt blob costs one row, not the
+    job.
     """
+    _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -122,7 +129,6 @@ def resize_media(
                     "plug PIL here (decode → resize((w,h)) → encode); PNG is "
                     "handled dependency-free by decoder='png'"
                 )
-            out = pdf.copy()
             if decoder == "png":
                 from callysto_spark.operators.png_py import (
                     decode_png,
@@ -130,10 +136,26 @@ def resize_media(
                     resize_nearest,
                 )
 
-                out["content"] = pdf["content"].map(
-                    lambda b: encode_png(resize_nearest(decode_png(b), width, height))
-                )
+                # per-row error boundary (the wav_features pattern): a
+                # NULL or corrupt payload costs its row under 'skip',
+                # never the whole mapInPandas task
+                resized: list[bytes] = []
+                keep: list[bool] = []
+                for b in pdf["content"]:
+                    try:
+                        resized.append(
+                            encode_png(resize_nearest(decode_png(b), width, height))
+                        )
+                        keep.append(True)
+                    except (ValueError, TypeError):
+                        if on_error == "skip":
+                            keep.append(False)
+                        else:
+                            raise
+                out = pdf.loc[keep].copy()
+                out["content"] = resized
             else:
+                out = pdf.copy()
 
                 def fake_resize(b: bytes | None) -> bytes:
                     # deterministic stand-in sized ~ w*h: digest-tiled bytes
@@ -142,6 +164,8 @@ def resize_media(
                     return (seed * (need // len(seed) + 1))[:need]
 
                 out["content"] = pdf["content"].map(fake_resize)
+            if len(out) == 0:
+                continue  # all-skipped batch: empty-frame dtypes break Arrow
             out["width"] = width
             out["height"] = height
             yield out
@@ -167,6 +191,10 @@ def sample_frames(
     exploding batch shape, schema, and cap are all testable. Rows with
     no duration (e.g. still images) yield one frame at ts 0.
     """
+    if every_ms < 1:
+        # validate on the DRIVER: every_ms=0 would ZeroDivisionError
+        # inside a mapInPandas worker with an opaque executor traceback
+        raise ValueError(f"sample_frames every_ms must be >= 1, got {every_ms}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -391,7 +419,18 @@ def png_features(media: DataFrame, grid: int = 4, on_error: str = "raise") -> Da
                 # luminance: mean over color channels (alpha excluded)
                 color = x[:, :, : 3 if ch >= 3 else 1]
                 luma = color.mean(axis=2)
-                pooled = resize_nearest(luma[:, :, None], grid, grid)[:, :, 0]
+                # TRUE average pool (the documented contract, and the
+                # analog of wav_features' segment-MEAN envelope): each
+                # cell is the mean of its block. Nearest-neighbor
+                # point-sampling here would make the 'thumbnail'
+                # reflect one arbitrary pixel per cell — noise-
+                # sensitive in exactly the way a pooled feature isn't.
+                pooled = np.array(
+                    [
+                        [float(cell.mean()) if cell.size else 0.0 for cell in np.array_split(band, grid, axis=1)]
+                        for band in np.array_split(luma, grid, axis=0)
+                    ]
+                )
                 rows["media_id"].append(row["media_id"])
                 rows["width"].append(w)
                 rows["height"].append(h)

@@ -438,6 +438,11 @@ def kmeans_centroids(
     # row's, the corpus's modal dim in any sane dataset)
     fit_dim = len(rows[0]["v"]) if rows else 0
     rows = [r for r in rows if len(r["v"]) == fit_dim]
+    if not rows:
+        # empty or all-dirty corpus: return the empty centroid set the
+        # serve paths (ivf_assign/ivf_topk) explicitly contract for —
+        # np.array([]) is 1-D and the Lloyd loop would IndexError on it
+        return []
     X = np.array([[float(x) for x in r["v"]] for r in rows], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cents = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]

@@ -50,9 +50,11 @@ def char_classes(text: Column) -> dict[str, Column]:
 
 
 def quality_score(text: Column) -> Column:
-    """Heuristic quality score in [0,1]: rewards moderate length, word
-    diversity and low punctuation density. Integer-ratio arithmetic ⇒
-    bit-deterministic across engines."""
+    """Heuristic quality score in [0,1]: rewards moderate length
+    (20-1000 tokens) and low punctuation density. No diversity term —
+    a doc repeating one word 100 times scores the same as 100 distinct
+    words; pair with doc_fingerprint/dedup for repetition signals.
+    Integer-ratio arithmetic ⇒ bit-deterministic across engines."""
     toks = token_count(text)
     n_chars = F.length(text)
     cc = char_classes(text)
@@ -67,15 +69,25 @@ def lang_scores(text: Column) -> dict[str, Column]:
     ``regexp_count`` per marker, not split-length: non-overlapping
     match counting equals split-pieces−1 (both consume the trailing
     separator), with no array allocation per marker — 16 markers make
-    that saving matter."""
+    that saving matter.
+
+    Whitespace is DOUBLED before counting: a match of
+    ``[ws]the[ws]`` consumes its trailing separator, so in
+    ``" the the "`` the second marker has no leading whitespace left
+    and every second hit in a run vanishes — systematically
+    understating exactly the stopword-dense text the scorer exists to
+    identify ('de la', 'et le'). Doubling gives every marker its own
+    boundary chars; RE2 has no lookahead, so this is the portable
+    cross-engine spelling (the DuckDB oracle doubles identically)."""
     from callysto_spark.functions.compat import WS_CLASS, casefold_col
 
     lowered = F.concat(F.lit(" "), casefold_col(text), F.lit(" "))
+    doubled = F.regexp_replace(lowered, f"({WS_CLASS})", r"$1$1")
     out = {}
     for lang, words in LANG_MARKERS.items():
         score = None
         for wrd in words:
-            c = F.regexp_count(lowered, F.lit(f"{WS_CLASS}{wrd}{WS_CLASS}"))
+            c = F.regexp_count(doubled, F.lit(f"{WS_CLASS}{wrd}{WS_CLASS}"))
             score = c if score is None else score + c
         out[lang] = score
     return out

@@ -96,7 +96,9 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_lang_scores",
     oracle=rf"""
-WITH t AS (SELECT doc_id, lang, ' ' || {_CASEFOLD} || ' ' AS padded FROM documents),
+WITH t AS (SELECT doc_id, lang,
+           regexp_replace(' ' || {_CASEFOLD} || ' ', '({_WS})', '\1\1', 'g') AS padded
+           FROM documents),
 sc AS (
   SELECT doc_id, lang,
          length(string_split_regex(padded, '{_WS}the{_WS}')) - 1

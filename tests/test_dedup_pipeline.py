@@ -180,3 +180,25 @@ def test_md5_60_minhash_and_simhash_match_python_reference(spark):
     }
     want_sim = {doc_id: py_simhash(text) for doc_id, text in docs}
     assert got_sim == want_sim
+
+
+def test_minhash_banding_geometry_guard(spark):
+    """bands*rows_per_band beyond the signature length used to hash the
+    empty slice identically for EVERY doc on the out-of-range bands —
+    the band self-join degenerated into a full corpus cross-join
+    (silent O(n^2)). The geometry is now guarded in-plan with a located
+    raise_error (r7 review)."""
+    import pytest
+
+    from callysto_spark.operators.dedup import minhash_lsh_candidates, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i k")],
+        "doc long, text string",
+    )
+    ok = minhash_lsh_candidates(minhash_signatures(docs, "doc", "text", num_hashes=64))
+    assert ok.count() >= 1  # matching geometry still finds the near-dup pair
+
+    short = minhash_signatures(docs, "doc", "text", num_hashes=32)
+    with pytest.raises(Exception, match="exceeds signature length"):
+        minhash_lsh_candidates(short).count()  # 16*4=64 > 32

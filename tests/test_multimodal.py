@@ -259,3 +259,46 @@ def test_png_features_real(spark):
     assert row["width"] == 8 and row["height"] == 8 and row["channels"] == 3
     assert abs(row["mean"] - 0.5) < 1e-9
     assert row["luma"] == [0.0, 1.0, 0.0, 1.0]
+
+
+def test_resize_media_png_on_error_skip(spark):
+    """One NULL or corrupt PNG payload must cost one row under
+    on_error='skip' — not the whole mapInPandas task (r7 review; the
+    posture wav_features/png_features already had)."""
+    import pytest
+
+    from callysto_spark.operators.multimodal import resize_media
+    from callysto_spark.operators.png_py import encode_png
+    import numpy as np
+
+    good = encode_png(np.zeros((4, 4, 1), dtype=np.uint8))
+    media = spark.createDataFrame(
+        [
+            (1, "image", good, "image/png", 4, 4, None),
+            (2, "image", None, "image/png", 4, 4, None),
+            (3, "image", b"not a png", "image/png", 4, 4, None),
+        ],
+        "media_id long, kind string, content binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    out = resize_media(media, 2, 2, decoder="png", on_error="skip").collect()
+    assert [r["media_id"] for r in out] == [1]
+    assert out[0]["width"] == 2 and out[0]["height"] == 2
+
+    with pytest.raises(Exception):
+        resize_media(media, 2, 2, decoder="png").collect()  # default: fail
+
+
+def test_sample_frames_rejects_zero_period(spark):
+    """every_ms=0 used to ZeroDivisionError inside the executor task;
+    it now fails on the driver with a located message."""
+    import pytest
+
+    from callysto_spark.operators.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [(1, b"x", 1, 1, 5000)],
+        "media_id long, content binary, width int, height int, duration_ms int",
+    )
+    with pytest.raises(ValueError, match="every_ms must be >= 1"):
+        sample_frames(media, every_ms=0)

@@ -212,3 +212,19 @@ def test_shingle_arrays_edge_cases(spark):
     # rows form matches arrays form exactly
     rows = {(r["doc"], r["g"]) for r in shingle_rows(df, "doc_id", "text", 4).collect()}
     assert rows == {(d, g) for d, gs in arr.items() for g in gs}
+
+
+def test_changelog_null_op_is_not_a_tombstone(spark):
+    """A record whose op is NULL must not silently delete its key: the
+    null-naive `op != 'delete'` filter evaluated NULL and dropped the
+    key AND its state (r7 review). NULL op now means 'not a delete'."""
+    from pyspark.sql import functions as F
+
+    from callysto_spark.operators.changelog import changelog_materialize
+
+    changes = spark.createDataFrame(
+        [(1, 10, "upsert", "a"), (1, 20, None, "b"), (2, 10, "upsert", "c"), (2, 20, "delete", None)],
+        "k long, off long, op string, payload string",
+    )
+    out = changelog_materialize(changes, ["k"], [F.col("off")]).collect()
+    assert len(out) == 1 and out[0]["k"] == 1 and out[0]["payload"] == "b"

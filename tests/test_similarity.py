@@ -222,3 +222,20 @@ def test_ivf_empty_centroids_schema_matches_scored_path(spark, sf_dir):
     ea = ivf_assign(e, "vec_id", "embedding", [])
     assert fa.schema == ea.schema
     assert ea.count() == 0
+
+
+def test_kmeans_centroids_empty_corpus_returns_empty(spark):
+    """The serve paths (ivf_assign/ivf_topk) contract for centroids==[]
+    'from fitting on an empty corpus' — but the fit itself used to
+    IndexError on np.array([]) before it could return that empty set
+    (r7 review). Also covers the all-dirty corpus (every vector fails
+    clean_vec)."""
+    from callysto_spark.operators.similarity import kmeans_centroids
+
+    empty = spark.createDataFrame([], "id long, emb array<float>")
+    assert kmeans_centroids(empty, "id", "emb", k=4) == []
+
+    dirty = spark.createDataFrame(
+        [(1, [float("nan"), 1.0]), (2, [float("inf"), 0.0])], "id long, emb array<float>"
+    )
+    assert kmeans_centroids(dirty, "id", "emb", k=4) == []

@@ -102,3 +102,19 @@ def test_text_fuzz_parity(name, spark, fuzzed_sf, fuzzed_ddb):
     )
     diffs = [(a, b) for a, b in zip(srows, orows) if a != b]
     assert not diffs, f"{name}: {len(diffs)} rows diverge under text fuzz; first: {diffs[:2]}"
+
+
+def test_lang_scores_count_adjacent_stopwords_fully(spark):
+    """'the the the' must score 3, not 2: a [ws]the[ws] match consumes
+    its trailing separator, hiding every second marker in a run — the
+    whitespace-doubling spec (shared by the DuckDB oracle) restores the
+    boundary for each marker (r7 review)."""
+    from pyspark.sql import functions as F
+
+    from callysto_spark.operators.text import lang_scores
+
+    df = spark.createDataFrame([("the the the",), ("de la de la",)], "text string")
+    scores = lang_scores(F.col("text"))
+    rows = df.select(scores["en"].alias("en"), scores["es"].alias("es")).collect()
+    assert rows[0]["en"] == 3  # was 2 under the consuming spec
+    assert rows[1]["es"] == 2  # 'de' twice; adjacent 'la de' boundary kept
