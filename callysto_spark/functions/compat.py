@@ -186,21 +186,36 @@ def _find_round_call(sql: str, start: int = 0) -> tuple[int, int, str, str] | No
 
 
 def rewrite_oracle_round(sql: str) -> str:
-    """Rewrite every ``round(expr, n)`` in oracle SQL to the floor form."""
-    out = sql
+    """Rewrite every ``round(expr, n)`` in oracle SQL to the floor form.
+
+    Nested calls are rewritten INNERMOST-FIRST: the inner expression is
+    rewritten recursively ONCE and the finished text spliced into the
+    CASE template, then the scan continues PAST the splice. The earlier
+    rescan-from-the-replacement strategy re-discovered the copies of
+    ``expr`` the template embeds (three of them) and rewrote each
+    independently — ~3^depth rewrite passes, so round-nesting depth ~6
+    already cost 50 KB of string churn and depth 15+ effectively hung
+    (r7 ADVICE). Now each original call is rewritten exactly once; the
+    output still embeds the rewritten inner text three times (inherent
+    to the branch-free CASE form), which is fine at the depth ≤ 2 the
+    registry oracles use."""
+    out: list[str] = []
     pos = 0
     while True:
-        hit = _find_round_call(out, pos)
+        hit = _find_round_call(sql, pos)
         if hit is None:
-            return out
+            out.append(sql[pos:])
+            return "".join(out)
         s, e, expr, n = hit
         if not n.isdigit():
             # skip only the WORD "round", not the whole call: the body
             # of a non-rewritable round(...) may itself contain
             # rewritable round(expr, n) calls that jumping to `e`
             # would leave in native form
+            out.append(sql[pos : s + len("round")])
             pos = s + len("round")
             continue
+        expr = rewrite_oracle_round(expr)  # nested calls, exactly once
         scale = 10 ** int(n)
         pre = f"(({expr}) * {scale}.0 + 0.5)"
         # same pass-through contract as rnd(): non-finite / out-of-range
@@ -209,13 +224,9 @@ def rewrite_oracle_round(sql: str) -> str:
             f"(CASE WHEN {pre} BETWEEN -9007199254740992.0 AND 9007199254740992.0 "
             f"THEN floor{pre} / {scale}.0 ELSE ({expr}) END)"
         )
-        out = out[:s] + repl + out[e:]
-        # rescan FROM the replacement, not past it: `repl` embeds `expr`
-        # verbatim (three times), and expr may contain nested
-        # round(expr2, n2) calls that a past-the-replacement jump would
-        # leave native. Terminates: each rewritten call's own "round("
-        # token is consumed by the rewrite.
-        pos = s
+        out.append(sql[pos:s])
+        out.append(repl)
+        pos = e
 
 
 # ------------------------------------------------------ tokenizer contract

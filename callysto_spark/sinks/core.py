@@ -139,8 +139,13 @@ class MemTopicSink(Sink):
 
             # flush in bounded chunks (the JdbcSink batchsize /
             # ElasticsearchSink bulk_size pattern): a skewed Spark
-            # partition must not materialize as one giant Python list
+            # partition must not materialize as one giant Python list.
+            # `sent` carries the running row index across chunks so the
+            # keyless round-robin fallback doesn't reset to partition 0
+            # at every flush boundary (r7 ADVICE: flush_rows %
+            # n_partitions != 0 skewed the keyless distribution).
             buf: list[tuple] = []
+            sent = 0
             for r in rows:
                 buf.append(
                     (
@@ -150,10 +155,11 @@ class MemTopicSink(Sink):
                     )
                 )
                 if len(buf) >= flush_rows:
-                    produce(broker_dir, topic, buf, n_parts)
+                    produce(broker_dir, topic, buf, n_parts, base_index=sent)
+                    sent += len(buf)
                     buf = []
             if buf:
-                produce(broker_dir, topic, buf, n_parts)
+                produce(broker_dir, topic, buf, n_parts, base_index=sent)
 
         df.select(*cols).foreachPartition(produce_partition)
 

@@ -71,6 +71,7 @@ def produce(
     topic: str,
     messages: list[tuple],
     n_partitions: int = 4,
+    base_index: int = 0,
 ) -> None:
     """Keyed produce (reference `kafka/cproducer.rs:24-58`): route each
     (key, value) by crc32(key) % n_partitions, append under flock.
@@ -81,10 +82,15 @@ def produce(
     contract: it overrides key routing, and an out-of-range pid fails
     located (Kafka rejects produce to a nonexistent partition; routing
     it modulo would silently reorder a pipeline that pinned partitions
-    for per-partition ordering)."""
+    for per-partition ordering).
+
+    ``base_index`` offsets the keyless round-robin fallback: a caller
+    flushing one logical stream in chunks passes its running row count
+    so round-robin continues across chunk boundaries instead of
+    restarting at partition 0 each flush (r7 ADVICE)."""
     os.makedirs(_topic_dir(broker_dir, topic), exist_ok=True)
     by_pid: dict[int, list[str]] = {}
-    for i, msg in enumerate(messages):
+    for i, msg in enumerate(messages, start=base_index):
         key, value = msg[0], msg[1]
         explicit = msg[2] if len(msg) > 2 else None
         if explicit is not None:

@@ -84,3 +84,21 @@ def test_exchange_count_excludes_reused(monkeypatch):
     # the reused exchange executes ONCE at node 4; the broadcast is not
     # a shuffle — one shuffle total
     assert audit.exchange_count(None) == 1
+
+
+def test_deeply_nested_round_rewrites_each_call_once():
+    """r7 ADVICE: the rescan-from-replacement strategy re-rewrote the
+    template's embedded copies of expr — ~3^depth passes, so depth ~6
+    already produced 50 KB of churn and depth 15+ hung. Innermost-first
+    recursion rewrites each original call exactly once: depth 12 must
+    complete quickly with every layer reaching the floor form."""
+    import time
+
+    sql = "x"
+    for i in range(10):
+        sql = f"round({sql}, {i % 4})"
+    t0 = time.perf_counter()
+    out = rewrite_oracle_round(f"SELECT {sql} FROM t")
+    dt = time.perf_counter() - t0
+    assert "round(" not in out.lower().replace("floor", "")
+    assert dt < 5.0, f"depth-10 rewrite took {dt:.1f}s — exponential rescan is back"

@@ -202,3 +202,62 @@ def test_minhash_banding_geometry_guard(spark):
     short = minhash_signatures(docs, "doc", "text", num_hashes=32)
     with pytest.raises(Exception, match="exceeds signature length"):
         minhash_lsh_candidates(short).count()  # 16*4=64 > 32
+
+
+def test_lsh_bucket_cap_drops_template_cluster_keeps_twins(spark, sf_dir):
+    """max_bucket_freq (the 100 TB quadratic-output guard): a template
+    cluster of m near-identical docs fills whole band buckets and emits
+    C(m, 2) candidate pairs — output-quadratic no matter how the join
+    is scheduled. With the cap below the cluster size, every cluster
+    bucket is dropped BEFORE the self-join (no cluster pairs survive,
+    since the cluster members collide in EVERY band), while ordinary
+    planted twins keep pairing through their size-2 buckets."""
+    corpus, n_twins = _planted_corpus(spark, sf_dir)
+    cluster = [(10_000_000 + i, "template boilerplate header repeated across the fleet " * 4) for i in range(12)]
+    corpus = corpus.unionByName(
+        spark.createDataFrame(cluster, ["doc_id", "text"])
+    )
+    sigs = minhash_signatures(corpus, "doc_id", "text", num_hashes=64, n=4)
+    planted = {(i, i + 100000) for i in range(n_twins)}
+    cluster_ids = {cid for cid, _ in cluster}
+
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(sigs, bands=16, rows_per_band=4).collect()
+    }
+    cluster_pairs = {(a, b) for (a, b) in uncapped if a in cluster_ids and b in cluster_ids}
+    assert len(cluster_pairs) == 12 * 11 // 2, "identical cluster must pair quadratically uncapped"
+
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(
+            sigs, bands=16, rows_per_band=4, max_bucket_freq=8
+        ).collect()
+    }
+    assert not any(a in cluster_ids and b in cluster_ids for a, b in capped), (
+        "cap must drop the over-cap template buckets"
+    )
+    recall = len(planted & capped) / len(planted)
+    assert recall >= 0.95, f"cap must not hurt ordinary twin recall: {recall:.2f}"
+
+
+def test_simhash_bucket_cap_drops_template_cluster(spark):
+    """Same guard on the SimHash banding path: identical template docs
+    share every (band, slice) bucket; with the cap below the cluster
+    size no cluster pair survives, while a distinct near-identical twin
+    pair (its own size-2 buckets) still surfaces."""
+    from callysto_spark.operators.dedup import simhash, simhash_candidates
+
+    docs = [(i, "template boilerplate header repeated across the fleet pages today") for i in range(10)]
+    docs += [
+        (100, "the quick brown fox jumps over the lazy dog again and again today"),
+        (101, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"]).repartition(4)
+    sims = simhash(df, "doc_id", "text")
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_candidates(sims, bands=4, max_hamming=3, max_bucket_freq=4).collect()
+    }
+    assert (100, 101) in capped, "size-2 twin buckets must survive the cap"
+    assert not any(a < 100 and b < 100 for a, b in capped), f"cluster pairs leaked: {capped}"

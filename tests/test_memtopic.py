@@ -504,3 +504,22 @@ def test_writer_path_honors_explicit_partition(spark, broker):
 
     assert vals(2) == ["v0", "v1"] and vals(0) == ["v2"]
     assert vals(1) == [] and vals(3) == []
+
+
+def test_keyless_round_robin_continues_across_chunks(spark, broker):
+    """r7 ADVICE: the chunked flush restarted produce()'s enumerate at 0
+    per chunk, so keyless round-robin fallback routing reset every
+    flush_rows rows and skewed whenever flush_rows % n_partitions != 0.
+    produce(base_index=...) now carries the running row index across
+    chunks: 12 keyless rows through flush_rows=3 on 4 partitions must
+    land exactly 3 per partition (the old behavior put 4 on each of
+    partitions 0-2 and ZERO on partition 3)."""
+    register(spark)
+    df = spark.range(12).select(F.col("id").cast("string").alias("value")).coalesce(1)
+    MemTopicSink(topic="rr", broker_dir=broker, n_partitions=4, flush_rows=3).write(df)
+    out = spark.read.format("memtopic").option("brokerDir", broker).option("topic", "rr").load()
+    counts = {
+        r["partition"]: r["n"]
+        for r in out.groupBy("partition").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {0: 3, 1: 3, 2: 3, 3: 3}, counts

@@ -167,18 +167,38 @@ def test_jaccard_capped_prunes_candidate_pairs(spark, sf_dir):
     assert capped < uncapped, "cap must drop hot-shingle pair work"
 
 
-def test_jaccard_capped_plan_joins_nothing(spark, sf_dir):
-    """The capped path generates pairs in-row from collect_list buckets:
-    the physical plan must contain NO join operator of any kind, and at
-    most three exchanges (parallelize repartition, groupBy g, groupBy
-    pair) — the shape that stays near-linear at 100 TB."""
+def test_jaccard_capped_plan_df_bounded(spark, sf_dir):
+    """The capped path generates pairs in-row from collect_list buckets
+    whose membership is df-bounded BEFORE aggregation (round-7 verdict
+    finding #1): the only join anywhere is the left-semi df-prefilter,
+    the collect_list aggregate consumes that semi-join's output (so no
+    aggregation buffer ever holds an over-cap stop-shingle bucket), and
+    the exchange budget stays bounded (parallelize repartition, df
+    count, semi-join/bucket agg, pair agg) — the shape that stays
+    near-linear AND memory-bounded at 100 TB."""
     from callysto_spark.plans import exchange_count, physical_plan
+    from callysto_spark.plans.audit import _walk_logical
 
     df = q("doc_ngram_jaccard_capped", spark, sf_dir)
     plan = physical_plan(df)
-    assert "Join" not in plan, "capped Jaccard must not join"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     n_ex = exchange_count(df)
-    assert n_ex <= 3, f"expected <=3 exchanges, saw {n_ex}:\n{plan}"
+    assert n_ex <= 5, f"expected <=5 exchanges, saw {n_ex}:\n{plan}"
+    opt = df._jdf.queryExecution().optimizedPlan()
+    joins = [n for n in _walk_logical(opt) if n.getClass().getSimpleName() == "Join"]
+    assert joins, "df-prefilter semi join missing — one-pass collect_list regressed"
+    bad = [j.joinType().toString() for j in joins if j.joinType().toString() != "LeftSemi"]
+    assert not bad, f"capped Jaccard may only semi-join the df prefilter; saw {bad}"
+    aggs = [
+        n
+        for n in _walk_logical(opt)
+        # simpleString = THIS node only (toString prints the subtree,
+        # matching the pair-count aggregate above as well)
+        if n.getClass().getSimpleName() == "Aggregate" and "collect_list" in n.simpleString(100)
+    ]
+    assert len(aggs) == 1, f"expected exactly one collect_list aggregate, saw {len(aggs)}"
+    below = {c.getClass().getSimpleName() for c in _walk_logical(aggs[0])}
+    assert "Join" in below, "collect_list input is NOT df-bounded (semi join not below the agg)"
 
 
 def test_minhash_signatures_no_hash_exchange(spark, sf_dir):

@@ -228,3 +228,20 @@ def test_changelog_null_op_is_not_a_tombstone(spark):
     )
     out = changelog_materialize(changes, ["k"], [F.col("off")]).collect()
     assert len(out) == 1 and out[0]["k"] == 1 and out[0]["payload"] == "b"
+
+
+def test_changelog_null_op_is_delete_opt_in(spark):
+    """null_op_is_delete=True restores the reference's byte-level
+    convention (an absent payload is a tombstone, stores/inmemory.rs:
+    195-207): a CDC feed mapping null payloads to a null op column then
+    deletes the keys the reference would delete (r7 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from callysto_spark.operators.changelog import changelog_materialize
+
+    changes = spark.createDataFrame(
+        [(1, 10, "upsert", "a"), (1, 20, None, None), (2, 10, "upsert", "c")],
+        "k long, off long, op string, payload string",
+    )
+    out = changelog_materialize(changes, ["k"], [F.col("off")], null_op_is_delete=True).collect()
+    assert len(out) == 1 and out[0]["k"] == 2 and out[0]["payload"] == "c"
