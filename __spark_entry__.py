@@ -35,9 +35,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL for EVERY registered query (85/85 since round
-    5): MinHash/SimHash/LSH run on the portable md5_60 spec hash, and
-    the approximate-aggregate queries run on spec-defined KMV /
-    bottom-k-sample sketches (operators/sketches.py), so no query is
-    rows-only — every one is hash-checked against DuckDB."""
+    """DuckDB oracle SQL for every SQL-expressible registered query
+    (85 of 87): MinHash/SimHash/LSH run on the portable md5_60 spec
+    hash, and the approximate-aggregate queries run on spec-defined
+    KMV / bottom-k-sample sketches (operators/sketches.py), so all 85
+    original rows are hash-checked against DuckDB. The two rows-only
+    exceptions (since r8) are the BLAS serving kernels
+    emb_ivf_assign_blas / emb_cosine_topk_blas — float32 matmul is not
+    bit-replayable in SQL; each instead carries an IN-PLAN raise_error
+    cross-check against its oracle-matched expr twin, so a kernel
+    regression fails the driver row with an error rather than passing
+    a vacuous rows-only check."""
     return {name: q.oracle for name, q in load_all().items() if q.oracle is not None}

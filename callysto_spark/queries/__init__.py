@@ -77,65 +77,72 @@ def load_all() -> dict[str, Query]:
     r4 rotated to the tpch2/3/4 tail; r5 rotated the newly
     oracle-checkable sketch/raw-message queries plus the pre-r4 head
     rows; r6 promoted the five stalest bench-headline rows plus the
-    tpch2/3/4 tail. r7 (THIS round, per the round-6 VERDICT item 1)
-    fills the window with every row whose newest green driver record
-    predates r6: the five r4 rows (left_join_customer_orders,
-    full_outer_nation_activity, null_handling_funcs,
-    string_normalize_parts, token_positions — 3 rounds old after r7,
-    i.e. PAST the bar, unless re-sampled now) and all 30 r5 rows
-    (q5/q6, the rollup/cube/grouping-sets/pivot block, the events
-    windowing/streaming block, arrays/JSON/string funcs, the sketch
-    pair, avro/raw-message decode). That is 35 of the 50 slots; the
-    15-slot remainder keeps the highest-value north-star LLM-ops rows
-    (the dedup family, the ANN family, winnowing/fingerprints,
-    token-stats, the composite pipeline — all r6-green). Five llm rows
-    defer ONE round (doc_quality_score, doc_lang_scores,
-    doc_bpe_token_stats, doc_stratified_sample, emb_label_near_pairs):
-    all are single-pass in-row kernels with exact pytest oracles at two
-    scales, r6-green today, and head the r8 promotion queue.
+    tpch2/3/4 tail; r7 re-certified the five r4 rows + all 30 r5 rows,
+    keeping the 15 north-star LLM rows in the head. r8 (THIS round,
+    per the round-7 VERDICT items 3+5) promotes ALL 35 rows whose
+    newest green record is r6 — the five deferred LLM rows head the
+    queue (doc_quality_score, doc_lang_scores, doc_bpe_token_stats,
+    doc_stratified_sample, emb_label_near_pairs), then the five bench
+    headliners (q1/q3/part_type_topk/supplier_daily_running/
+    events_asof) and the tpch2/3/4 + events/relational tail — plus the
+    TWO new rows-only BLAS-kernel rows (emb_ivf_assign_blas,
+    emb_cosine_topk_blas — verdict item 5: in-plan cross-engine
+    asserted, oracle=None). The 13-slot remainder keeps the
+    highest-value r7-green LLM rows; doc_winnow_fingerprints and
+    doc_fingerprint_groups (r7-green, single-pass in-row kernels with
+    two-scale pytest oracles) defer one round and head the r9 queue
+    together with the other 33 r7-certified rows.
     """
     from callysto_spark.queries import llm_ops, tpch2, tpch3, tpch4, events, arrays, messages, tpch  # noqa: F401
 
     promoted = [
-        # the five r4 rows — would break the <=2-round freshness bar at r7:
-        "left_join_customer_orders",
-        "full_outer_nation_activity",
-        "null_handling_funcs",
-        "string_normalize_parts",
-        "token_positions",
-        # all 30 r5 rows (newest green driver record = r5):
-        "approx_distinct_parts",
-        "avro_roundtrip_stats",
-        "case_bucket_orders",
-        "cube_status_priority",
-        "distinct_counts_by_flag",
-        "embedding_array_stats",
-        "events_changelog_materialize",
-        "events_dedup_latest",
-        "events_hourly_tumbling",
-        "events_interval_join_clicks",
-        "events_json_kv",
-        "events_sliding_1h_30m",
-        "events_type_stats",
-        "events_user_salted_counts",
-        "events_value_quantile_sketch",
-        "grouping_sets_order_stats",
-        "order_month_stats",
-        "pivot_linestatus",
-        "q5_supplier_volume",
-        "q6_forecast_revenue",
-        "raw_message_decode_stats",
-        "rollup_revenue",
-        "semi_anti_customers",
-        "setop_customers_96_97",
-        "string_funcs_parts",
-        "token_top20",
-        "top3_orders_per_customer",
-        "user_event_type_sets",
-        "user_spend_deciles",
-        "user_type_count_map",
+        # the five LLM rows deferred at r7 (newest green = r6):
+        "doc_quality_score",
+        "doc_lang_scores",
+        "doc_bpe_token_stats",
+        "doc_stratified_sample",
+        "emb_label_near_pairs",
+        # the r6-certified bench headliners:
+        "part_type_topk",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "supplier_daily_running",
+        "events_asof_purchase_click",
+        # the rest of the r6-certified window (tpch2/3/4 + relational tail):
+        "q2_cheapest_supplier",
+        "q4_priority_with_discounted_lines",
+        "q7_bilateral_volume",
+        "q8_market_share",
+        "q9_profit_by_nation_year",
+        "q10_returned_items",
+        "q11_important_parts",
+        "q12_priority_by_bracket",
+        "q13_customer_order_distribution",
+        "q14_promo_share",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q18_large_orders",
+        "q19_bracket_revenue",
+        "q21_waiting_suppliers",
+        "q22_idle_rich_customers",
+        "scalar_subquery_vs_max",
+        "setop_all_variants",
+        "customer_balance_distribution",
+        "events_sessionize",
+        "price_quartiles_by_segment",
+        "argmax_order_per_nation",
+        "orders_price_range_frame",
+        "shipping_delay_histogram",
+        "suppliers_many_parts",
     ]
-    # North-star LLM-ops rows kept in the always-sampled head (15 slots).
+    # New rows-only BLAS-kernel rows (r7 verdict item 5) — must appear
+    # in the r8 window to be exercised by the driver at all.
+    blas_rows = [
+        "emb_ivf_assign_blas",
+        "emb_cosine_topk_blas",
+    ]
+    # North-star LLM-ops rows kept in the always-sampled head (13 slots
+    # this round; winnow/fingerprint-groups defer to r9 — see docstring).
     llm_kept = [
         "doc_dedup_exact",
         "doc_ngram_jaccard_pairs",
@@ -145,8 +152,6 @@ def load_all() -> dict[str, Query]:
         "doc_simhash",
         "doc_near_dup_components",
         "doc_near_dup_survivor_stats",
-        "doc_winnow_fingerprints",
-        "doc_fingerprint_groups",
         "doc_token_stats",
         "doc_pipeline_clean_corpus",
         "emb_cosine_topk",
@@ -156,15 +161,15 @@ def load_all() -> dict[str, Query]:
     # ValueError, not assert: these guard the driver-sample window and
     # must survive python -O (a stripped assert would silently ship a
     # mis-sized window and drop queries out of the first-50 sample)
-    if len(promoted) != 35 or len(llm_kept) != 15:
+    if len(promoted) != 35 or len(llm_kept) != 13 or len(blas_rows) != 2:
         raise ValueError(
-            f"window is 35+15; got {len(promoted)} promoted + {len(llm_kept)} llm"
+            f"window is 35+13+2; got {len(promoted)} promoted + "
+            f"{len(llm_kept)} llm + {len(blas_rows)} blas"
         )
-    # r8 promotion queue (r6-green rows deliberately aged this round):
-    # doc_quality_score, doc_lang_scores, doc_bpe_token_stats,
-    # doc_stratified_sample, emb_label_near_pairs — plus whatever r6
-    # head rows age out by then.
-    head = llm_kept + promoted
+    # r9 promotion queue: doc_winnow_fingerprints, doc_fingerprint_groups
+    # (deferred this round), then the 33 other rows whose newest green
+    # record is r7.
+    head = llm_kept + blas_rows + promoted
     missing = [n for n in head if n not in REGISTRY]
     if missing:
         raise ValueError(f"promoted queries not in registry: {missing}")

@@ -789,6 +789,86 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_ivf_assign_blas",
+    oracle=None,  # rows-only driver check — see docstring for why, and
+    # for the in-plan cross-engine assertion that keeps it loud
+)
+def emb_ivf_assign_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BLAS serving/index-build kernel under the driver gate (r7
+    verdict item 5): ``ivf_assign(engine='pandas')`` — the mapInPandas
+    matmul kernel `operators/similarity.py` uses for index builds — has
+    no SQL oracle (float32 accumulation + numpy round-half-even are not
+    bit-replayable in DuckDB), so the driver records a rows-only check.
+    To keep that check LOUD rather than vacuous, the query full-outer
+    joins the BLAS assignment against the oracle-matched expr engine's
+    and ``raise_error``s IN-PLAN on any disagreement: a kernel
+    regression fails the driver row with an error instead of recording
+    divergent rows as green. Output: (vec_id, cell), one row per clean
+    vector."""
+    from callysto_spark.operators.similarity import ivf_assign
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    cents = _centroids(spark, sf_dir)
+    blas = ivf_assign(e, "vec_id", "embedding", cents, engine="pandas").select("vec_id", "cell")
+    expr = ivf_assign(e, "vec_id", "embedding", cents).select(
+        "vec_id", F.col("cell").alias("cell_expr")
+    )
+    j = blas.join(expr, "vec_id", "full_outer")
+    guard = F.when(
+        ~F.col("cell").eqNullSafe(F.col("cell_expr")),
+        F.raise_error(
+            F.concat(
+                F.lit("BLAS/expr IVF assignment disagree at vec_id="),
+                F.col("vec_id").cast("string"),
+            )
+        ),
+    ).otherwise(F.col("cell"))
+    return j.select("vec_id", guard.alias("cell"))
+
+
+@register(
+    "emb_cosine_topk_blas",
+    oracle=None,  # rows-only driver check (see emb_ivf_assign_blas)
+)
+def emb_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cosine_topk(engine='pandas')`` — the Arrow-batched BLAS matmul
+    kernel with in-kernel batch-local top-k pruning — under the driver
+    gate, cross-checked in-plan against the expr engine: neighbors and
+    ranks must agree exactly and similarities to 1e-6 (the engines'
+    pinned agreement contract, tests/test_similarity.py), else the plan
+    ``raise_error``s and the driver row fails loudly. Rows-only check
+    because the BLAS float path is not bit-replayable in a SQL oracle."""
+    from callysto_spark.operators.similarity import cosine_topk
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    kw = dict(query_ids=[0, 1, 2, 3, 4], k=10, round_ndigits=6, dim=64)
+    blas = cosine_topk(e, "vec_id", "embedding", engine="pandas", **kw)
+    expr = cosine_topk(e, "vec_id", "embedding", **kw).select(
+        "query_id",
+        "rank",
+        F.col("neighbor_id").alias("n_expr"),
+        F.col("cosine_sim").alias("s_expr"),
+    )
+    j = blas.join(expr, ["query_id", "rank"], "full_outer")
+    bad = (~F.col("neighbor_id").eqNullSafe(F.col("n_expr"))) | (
+        F.abs(F.col("cosine_sim") - F.col("s_expr")) > 1e-6
+    )
+    guard = F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit("BLAS/expr cosine_topk disagree at (query_id, rank)=("),
+                F.col("query_id").cast("string"),
+                F.lit(", "),
+                F.col("rank").cast("string"),
+                F.lit(")"),
+            )
+        ),
+    ).otherwise(F.col("cosine_sim"))
+    return j.select("query_id", "neighbor_id", guard.alias("cosine_sim"), "rank")
+
+
+@register(
     "doc_pipeline_clean_corpus",
     oracle=rf"""
 WITH scored AS (

@@ -156,29 +156,27 @@ def test_query_matches_oracle(name, spark, ddb, sf_dir):
 def test_load_all_idempotent_and_windowed():
     """The driver imports the registry via __spark_entry__ and samples
     the first ~50 entries; load_all() must be idempotent (repeat calls
-    keep the same order), keep all 85 queries, and keep the core
-    north-star dedup/ANN surface inside the sampled window. (The r7
-    rotation defers five single-pass llm kernels ONE round to fit the
-    freshness-invariant promotion — any other doc_/emb_ absence from the
-    window is a bug.)"""
+    keep the same order), keep all 87 queries (85 oracle-checked + the
+    two r8 rows-only BLAS rows), and keep the core north-star dedup/ANN
+    surface inside the sampled window. (The r8 rotation defers two
+    r7-green single-pass llm kernels ONE round to fit the
+    freshness-invariant promotion — any other doc_/emb_ absence from
+    the window is a bug.)"""
     from callysto_spark.queries import load_all
 
     first = list(load_all())
     second = list(load_all())
     assert first == second, "load_all must be order-stable across calls"
-    assert len(first) == len(set(first)) == 85
+    assert len(first) == len(set(first)) == 87
     head = first[:50]
-    deferred_r7 = {
-        "doc_quality_score",
-        "doc_lang_scores",
-        "doc_bpe_token_stats",
-        "doc_stratified_sample",
-        "emb_label_near_pairs",
+    deferred_r8 = {
+        "doc_winnow_fingerprints",
+        "doc_fingerprint_groups",
     }
     missing = [
         n
         for n in first
-        if n.startswith(("doc_", "emb_")) and n not in head and n not in deferred_r7
+        if n.startswith(("doc_", "emb_")) and n not in head and n not in deferred_r8
     ]
     assert not missing, f"north-star queries fell out of the sampled window: {missing}"
 

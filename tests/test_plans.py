@@ -86,6 +86,7 @@ def test_cosine_topk_no_cartesian_blowup(spark, sf_dir):
 # else showing a BNLJ is an unintended plan regression.
 BNLJ_ALLOWED = {
     "emb_cosine_topk",  # broadcast query vectors × corpus (scored scan)
+    "emb_cosine_topk_blas",  # embeds the expr twin's broadcast scan
     "q22_idle_rich_customers",  # broadcast 1-row avg × customer
     "q15_top_supplier",  # broadcast 1-row max × revenue (may plan as BHJ)
     "q11_important_parts",  # broadcast 1-row global total × per-part agg
