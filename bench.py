@@ -88,11 +88,52 @@ def cpu_canary() -> float:
     return round(best, 3)
 
 
+def io_canary() -> dict:
+    """Fixed-size I/O reference alongside the CPU canary (r7 verdict
+    item 6): ingest best-of-5 spreads of 78-96% were the bench's
+    noisiest surface, and neither loadavg nor the CPU canary can see
+    bursty I/O contention on the shared VM. Two figures, best of 3
+    trials each, over one 256 MiB file in the same tempdir the ingest
+    bench stages to:
+
+    - ``write_mbps``: sequential write + fsync (the contention-
+      sensitive path ingest staging actually exercises);
+    - ``read_mbps``: sequential page-cache-warm read (memory-bandwidth
+      reference — a drop here means host memory pressure, not disk).
+
+    Cross-round ingest deltas should be read against write_mbps the way
+    query deltas are read against cpu_canary_s."""
+    import tempfile
+
+    size = 256 << 20
+    block = b"\x5a" * (4 << 20)
+    n_blocks = size // len(block)
+    write_best = read_best = 0.0
+    with tempfile.NamedTemporaryFile(prefix="callysto_iocanary_", suffix=".bin") as f:
+        for _ in range(3):
+            f.seek(0)
+            t0 = time.perf_counter()
+            for _ in range(n_blocks):
+                f.write(block)
+            f.flush()
+            os.fsync(f.fileno())
+            write_best = max(write_best, size / (1 << 20) / (time.perf_counter() - t0))
+            f.seek(0)
+            t0 = time.perf_counter()
+            while f.read(4 << 20):
+                pass
+            read_best = max(read_best, size / (1 << 20) / (time.perf_counter() - t0))
+    out = {"write_mbps": round(write_best, 1), "read_mbps": round(read_best, 1)}
+    print(f"# io canary: write {out['write_mbps']:.0f} MB/s, warm read {out['read_mbps']:.0f} MB/s (best of 3)", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     load_at_gate, contaminated = wait_for_idle_machine()
     canary_s = cpu_canary()
+    io_can = io_canary()
     registry = load_all()
     names = [n for n, q in sorted(registry.items()) if q.bench]
     if "--all" in sys.argv:
@@ -192,6 +233,11 @@ def main() -> None:
         # drift — the shared host's clock swings ~2x within sessions
         "cpu_canary_s": canary_s,
         "cpu_canary_end_s": canary_end_s,
+        # fixed 256 MiB write+fsync / warm-read reference (see io_canary):
+        # read cross-round INGEST deltas against io_canary_write_mbps the
+        # way query deltas are read against the cpu canary
+        "io_canary_write_mbps": io_can["write_mbps"],
+        "io_canary_read_mbps": io_can["read_mbps"],
     }
     if contaminated:
         out["load_contaminated"] = True

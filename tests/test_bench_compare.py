@@ -27,7 +27,7 @@ def test_uniform_host_slowdown_normalizes_to_one():
     # Every query 1.5x slower AND the canary 1.5x slower => host, not code.
     old = _art({"q1": 0.4, "q2": 0.8}, canary=0.30)
     new = _art({"q1": 0.6, "q2": 1.2}, canary=0.45)
-    lines = bench_compare.compare(old, new, threshold=1.10)
+    lines, _, _ = bench_compare.compare(old, new, threshold=1.10)
     assert any("no query slower than" in ln for ln in lines)
     q1 = next(ln for ln in lines if ln.startswith("q1"))
     assert " 1.50x" in q1 and " 1.00x" in q1  # raw 1.5, normalized 1.0
@@ -36,7 +36,7 @@ def test_uniform_host_slowdown_normalizes_to_one():
 def test_real_regression_survives_normalization():
     old = _art({"q1": 0.4, "q2": 0.8}, canary=0.30)
     new = _art({"q1": 0.4, "q2": 1.6}, canary=0.30)  # q2 genuinely 2x
-    lines = bench_compare.compare(old, new, threshold=1.10)
+    lines, _, _ = bench_compare.compare(old, new, threshold=1.10)
     assert any("regressions" in ln and "q2" in ln for ln in lines)
     assert not any("regressions" in ln and "q1" in ln for ln in lines)
 
@@ -44,14 +44,14 @@ def test_real_regression_survives_normalization():
 def test_missing_canary_reports_raw():
     old = _art({"q1": 0.4})  # pre-r7 artifact: no cpu_canary_s
     new = _art({"q1": 0.6}, canary=0.30)
-    lines = bench_compare.compare(old, new)
+    lines, _, _ = bench_compare.compare(old, new)
     assert any("RAW ratios" in ln and "old" in ln for ln in lines)
 
 
 def test_self_flagged_artifacts_warn():
     old = _art({"q1": 0.4}, canary=0.3)
     new = _art({"q1": 0.4}, canary=0.3, ingest_noisy=True)
-    lines = bench_compare.compare(old, new)
+    lines, _, _ = bench_compare.compare(old, new)
     assert any("self-flags" in ln and "ingest_noisy" in ln for ln in lines)
 
 
@@ -70,7 +70,7 @@ def test_failed_query_nulls_do_not_crash():
     old = _art({"q1": 0.4, "q2": None, "q3": 0.0}, canary=0.3)
     old["value"] = 0.4
     new = _art({"q1": 0.6, "q2": 0.5, "q3": 0.2}, canary=0.3)
-    lines = bench_compare.compare(old, new)
+    lines, _, _ = bench_compare.compare(old, new)
     assert any("q2" in ln and "not comparable" in ln and "old failed" in ln for ln in lines)
     assert any("q3" in ln and "not comparable" in ln for ln in lines)
     assert any(ln.startswith("q1") and "1.50x" in ln for ln in lines)
@@ -79,6 +79,57 @@ def test_failed_query_nulls_do_not_crash():
 def test_query_set_drift_is_visible():
     old = _art({"q1": 0.4, "gone": 0.2}, canary=0.3)
     new = _art({"q1": 0.4, "added": 0.2}, canary=0.3)
-    lines = bench_compare.compare(old, new)
+    lines, _, _ = bench_compare.compare(old, new)
     assert any("gone" in ln and "only in old" in ln for ln in lines)
     assert any("added" in ln and "only in new" in ln for ln in lines)
+
+
+def test_gate_passes_on_uniform_host_drift(tmp_path):
+    old = _art({"q1": 0.4, "q2": 0.8}, canary=0.30)
+    new = _art({"q1": 0.6, "q2": 1.2}, canary=0.45)  # pure host slowdown
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    assert bench_compare.main([str(po), str(pn), "--gate"]) == 0
+
+
+def test_gate_fails_on_real_normalized_regression(tmp_path):
+    old = _art({"q1": 0.4, "q2": 0.8}, canary=0.30)
+    new = _art({"q1": 0.4, "q2": 1.6}, canary=0.30)  # q2 genuinely 2x
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    assert bench_compare.main([str(po), str(pn), "--gate"]) == 1
+
+
+def test_gate_fails_when_canary_missing_or_contaminated(tmp_path):
+    # a gate that silently falls back to raw ratios would fail on host
+    # drift and pass on real regressions — missing canary must gate-fail
+    old = _art({"q1": 0.4})
+    new = _art({"q1": 0.4}, canary=0.30)
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    assert bench_compare.main([str(po), str(pn), "--gate"]) == 1
+    # self-flagged contamination in the NEW artifact also gate-fails
+    po.write_text(json.dumps(_art({"q1": 0.4}, canary=0.30)))
+    pn.write_text(json.dumps(_art({"q1": 0.4}, canary=0.30, load_contaminated=True)))
+    assert bench_compare.main([str(po), str(pn), "--gate"]) == 1
+
+
+def test_gate_fails_on_new_query_failure(tmp_path):
+    old = _art({"q1": 0.4, "q2": 0.8}, canary=0.30)
+    new = _art({"q1": 0.4, "q2": None}, canary=0.30)
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    assert bench_compare.main([str(po), str(pn), "--gate"]) == 1
+
+
+def test_ingest_io_normalization_reported():
+    old = _art({"q1": 0.4}, canary=0.3, ingest_mbps=1000.0, io_canary_write_mbps=800.0)
+    new = _art({"q1": 0.4}, canary=0.3, ingest_mbps=500.0, io_canary_write_mbps=400.0)
+    lines, _, _ = bench_compare.compare(old, new)
+    ing = next(ln for ln in lines if ln.startswith("INGEST"))
+    # raw 0.50x but io canary also halved -> 1.00x io-normalized
+    assert "0.50x" in ing and "1.00x io-normalized" in ing

@@ -8,14 +8,20 @@ hour.  ``bench.py`` therefore records a deterministic single-thread CPU
 reference (``cpu_canary_s``) in each artifact.  This tool does the
 arithmetic the canary exists for: it divides each query's old/new ratio
 by the canary ratio, so a uniform host slowdown normalizes to ~1.0x and
-only code-level changes stand out.
+only code-level changes stand out.  Ingest deltas are likewise read
+against the fixed-size I/O canary (``io_canary_write_mbps``, r8).
 
 Usage:
     python tools/bench_compare.py BENCH_r06.json BENCH_r07.json
     python tools/bench_compare.py old.json new.json --threshold 1.15
+    python tools/bench_compare.py BENCH_BASELINE.json BENCH_r08.json --gate
 
-Exit status 0 always — this is a reading aid, not a gate.  Artifacts
-missing ``cpu_canary_s`` (pre-r7 rounds) compare raw, clearly labeled.
+Reading-aid mode (default) always exits 0.  ``--gate`` turns it into
+the standing regression gate (r7 verdict item 2): exit 1 when any
+query's CANARY-NORMALIZED ratio vs the anchor exceeds the threshold
+(default 1.25 under --gate), when the anchor/new artifact lacks the
+canary the normalization needs, or when the new artifact self-flags
+load contamination.  Raw ratios never gate — that is the whole point.
 """
 
 from __future__ import annotations
@@ -34,9 +40,15 @@ def load(path: str) -> dict:
     return art
 
 
-def compare(old: dict, new: dict, threshold: float = 1.10) -> list[str]:
-    """Return report lines for new-vs-old with canary normalization."""
+def compare(old: dict, new: dict, threshold: float = 1.10) -> tuple[list[str], list[str], list[str]]:
+    """Return (report lines, regressions beyond host drift, gate errors).
+
+    ``gate errors`` are conditions that make the comparison itself
+    untrustworthy under --gate (missing canary, self-flagged artifacts)
+    — a gate that silently falls back to raw ratios would fail on host
+    drift and pass on real regressions in a fast window."""
     lines: list[str] = []
+    errors: list[str] = []
     c_old = old.get("cpu_canary_s")
     c_new = new.get("cpu_canary_s")
     if c_old and c_new:
@@ -56,6 +68,13 @@ def compare(old: dict, new: dict, threshold: float = 1.10) -> list[str]:
             f"host speed: no cpu_canary_s in {'/'.join(missing)} artifact"
             " — RAW ratios (host drift not separable from code change)"
         )
+        errors.append(f"cpu_canary_s missing in {'/'.join(missing)} artifact")
+    io_old, io_new = old.get("io_canary_write_mbps"), new.get("io_canary_write_mbps")
+    if io_old and io_new:
+        lines.append(
+            f"io speed: write canary {io_old:.0f} -> {io_new:.0f} MB/s "
+            f"({io_new / io_old:.2f}x; read ingest deltas against this)"
+        )
     for art, label in ((old, "old"), (new, "new")):
         flags = [
             k
@@ -64,6 +83,8 @@ def compare(old: dict, new: dict, threshold: float = 1.10) -> list[str]:
         ]
         if flags:
             lines.append(f"warning: {label} artifact self-flags {flags}")
+            if label == "new" and "load_contaminated" in flags:
+                errors.append("new artifact self-flags load_contaminated")
 
     qo, qn = old.get("queries", {}), new.get("queries", {})
     lines.append(
@@ -84,6 +105,8 @@ def compare(old: dict, new: dict, threshold: float = 1.10) -> list[str]:
                 if not q[name]
             )
             lines.append(f"{name:<30} not comparable ({state})")
+            if qn.get(name) is None:
+                errors.append(f"{name} failed in new artifact")
             continue
         raw = qn[name] / qo[name]
         norm = raw / host
@@ -103,6 +126,12 @@ def compare(old: dict, new: dict, threshold: float = 1.10) -> list[str]:
             f"{'TOTAL':<30} {vo:>7.3f} {vn:>7.3f} "
             f"{vn / vo:>5.2f}x {vn / vo / host:>5.2f}x"
         )
+    io, in_ = old.get("ingest_mbps"), new.get("ingest_mbps")
+    if io and in_:
+        io_norm = ""
+        if io_old and io_new:
+            io_norm = f" ({in_ / io / (io_new / io_old):.2f}x io-normalized)"
+        lines.append(f"{'INGEST (median MB/s)':<30} {io:>7.1f} {in_:>7.1f} {in_ / io:>5.2f}x{io_norm}")
     if worse:
         lines.append(
             f"beyond-host-drift regressions (norm > {threshold:g}x): "
@@ -112,17 +141,35 @@ def compare(old: dict, new: dict, threshold: float = 1.10) -> list[str]:
         lines.append(
             f"no query slower than {threshold:g}x after host normalization"
         )
-    return lines
+    return lines, worse, errors
 
 
 def main(argv: list[str]) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("old")
     p.add_argument("new")
-    p.add_argument("--threshold", type=float, default=1.10)
+    p.add_argument("--threshold", type=float, default=None)
+    p.add_argument(
+        "--gate",
+        action="store_true",
+        help="exit 1 on any canary-normalized regression beyond the "
+        "threshold (default 1.25 under --gate), on a missing canary, or "
+        "on a self-flagged new artifact",
+    )
     args = p.parse_args(argv)
-    for line in compare(load(args.old), load(args.new), args.threshold):
+    threshold = args.threshold if args.threshold is not None else (1.25 if args.gate else 1.10)
+    lines, worse, errors = compare(load(args.old), load(args.new), threshold)
+    for line in lines:
         print(line)
+    if not args.gate:
+        return 0
+    if errors:
+        print(f"GATE: not comparable — {'; '.join(errors)}")
+        return 1
+    if worse:
+        print(f"GATE: FAIL — normalized regression > {threshold:g}x: {', '.join(worse)}")
+        return 1
+    print(f"GATE: pass (no normalized regression > {threshold:g}x)")
     return 0
 
 
