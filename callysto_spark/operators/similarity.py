@@ -99,6 +99,45 @@ def clean_vec_sql(col: str, dim: int, nonzero: bool = False) -> str:
     )
 
 
+def _score_broadcast(c: DataFrame, q: DataFrame, round_ndigits: int | None, on: Column | None = None) -> DataFrame:
+    """The shared scoring step of the three cosine serve paths
+    (``cosine_topk`` expr engine, ``ivf_topk``, ``ivf_topk_stored``):
+    broadcast the tiny query side onto the corpus side (probe-cell
+    equality when ``on`` is given, full scored scan otherwise), compute
+    cosine from the HOISTED norms, round BEFORE ranking, and drop NULL
+    sims (a mixed-length pair under dim=None dots to NULL via zip_with
+    padding — "no pair", not a trailing rank; a no-op on the fixed-dim
+    IVF paths). Inputs carry (query_id, qv, qn) / (neighbor_id, cv, cn)
+    already valid_norm-filtered — cleanliness stays at the call sites,
+    which differ (the stored path's q is built clean driver-side).
+    Single-sourced so the rounding/tie-break/NULL contract cannot drift
+    between serve paths (r7 review deferral, closed r8)."""
+    joined = c.crossJoin(F.broadcast(q)) if on is None else c.join(F.broadcast(q), on)
+    return (
+        joined.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim",
+            _maybe_round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_ndigits),
+        )
+        .filter(F.col("cosine_sim").isNotNull())
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """The shared ranking step: per-query top-k on (desc rounded sim,
+    asc neighbor id) — the total tie-break order every serve path and
+    every oracle pins."""
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+        keep_rank=True,
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     id_col: str,
@@ -182,7 +221,15 @@ def cosine_topk(
                 pdf = pdf[ok]
                 if pdf.empty:
                     continue
-                X = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+                # NULL elements → NaN (np.asarray would TypeError on
+                # None, killing the task — one dirty row must degrade to
+                # "row absent", never abort the job); the NaN then fails
+                # the finite-norm mask below, the same exclusion the
+                # expr engine's valid_norm applies
+                X = np.asarray(
+                    [[x if x is not None else np.nan for x in v] for v in pdf[vec_col]],
+                    dtype=np.float64,
+                )
                 ids = pdf[id_col].to_numpy()
                 xn = np.linalg.norm(X, axis=1)
                 good = np.isfinite(xn) & (xn > 0)  # valid_norm, kernel-side
@@ -226,26 +273,8 @@ def cosine_topk(
             )
             .filter(valid_norm(F.col("cn")))
         )
-        scored = (
-            c.crossJoin(F.broadcast(q))
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .withColumn(
-                "cosine_sim",
-                _maybe_round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_ndigits),
-            )
-            # with dim=None a mixed-length pair dots to NULL (zip_with
-            # padding) — a NULL sim is "no pair", not a trailing rank
-            .filter(F.col("cosine_sim").isNotNull())
-            .select("query_id", "neighbor_id", "cosine_sim")
-        )
-    return top_k_per_group(
-        scored,
-        ["query_id"],
-        [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
-        k,
-        rank_col="rank",
-        keep_rank=True,
-    )
+        scored = _score_broadcast(c, q, round_ndigits)
+    return _rank_topk(scored, k)
 
 
 def _cell_structs(vec_col: str, centroids: list[tuple[int, list[float]]]) -> Column:
@@ -353,7 +382,14 @@ def ivf_assign(
                 pdf = pdf[ok]
                 if pdf.empty:
                     continue
-                X = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+                # NULL elements → NaN (asarray would TypeError on None
+                # and kill the task); NaN propagates into dmin, fails
+                # the isfinite keep-mask — the same exclusion the expr
+                # engine's all-NULL-dist filter applies
+                X = np.asarray(
+                    [[x if x is not None else np.nan for x in v] for v in pdf[vec_col]],
+                    dtype=np.float64,
+                )
                 # first-min index on ascending cids = lower-cid tie-break
                 score_m = cnorm2[None, :] - 2.0 * (X @ C.T)
                 best = np.argmin(score_m, axis=1)
@@ -521,22 +557,8 @@ def ivf_topk(
         )
         .filter(valid_norm(F.col("cn")))
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("cell") == F.col("qcell"))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine_sim",
-            _maybe_round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_ndigits),
-        )
-        .select("query_id", "neighbor_id", "cosine_sim")
-    )
-    return top_k_per_group(
-        scored,
-        ["query_id"],
-        [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
-        k,
-        rank_col="rank",
-        keep_rank=True,
+    return _rank_topk(
+        _score_broadcast(c, q, round_ndigits, on=F.col("cell") == F.col("qcell")), k
     )
 
 
@@ -631,22 +653,8 @@ def ivf_topk_stored(
         "cell",
         norm(F.col(vec_col)).alias("cn"),
     ).filter(valid_norm(F.col("cn")))  # a stored cell may hold zero-norm vectors
-    scored = (
-        c.join(F.broadcast(q), F.col("cell") == F.col("qcell"))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine_sim",
-            _maybe_round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_ndigits),
-        )
-        .select("query_id", "neighbor_id", "cosine_sim")
-    )
-    return top_k_per_group(
-        scored,
-        ["query_id"],
-        [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
-        k,
-        rank_col="rank",
-        keep_rank=True,
+    return _rank_topk(
+        _score_broadcast(c, q, round_ndigits, on=F.col("cell") == F.col("qcell")), k
     )
 
 

@@ -804,10 +804,22 @@ def emb_ivf_assign_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ``raise_error``s IN-PLAN on any disagreement: a kernel
     regression fails the driver row with an error instead of recording
     divergent rows as green. Output: (vec_id, cell), one row per clean
-    vector."""
+    vector.
+
+    The cross-engine agreement contract has a numeric DOMAIN: with
+    |x| >> |centroid| the true inter-centroid distance differences
+    (O(|x|·|c|)) sink below the expr fold's own roundoff
+    (O(eps·dim·|x|²)) and the argmin becomes tie-ambiguous between any
+    two correct kernels — so vectors with an element beyond 1e12 are
+    excluded here (they are degenerate for L2 quantization anyway; the
+    embedding fuzz sweep plants 1e30-magnitude vectors to pin exactly
+    this boundary)."""
     from callysto_spark.operators.similarity import ivf_assign
 
     e = load(spark, sf_dir, "embeddings")["embeddings"]
+    e = e.filter(
+        F.size(F.filter(F.col("embedding"), lambda x: F.abs(x.cast("double")) > F.lit(1e12))) == 0
+    )
     cents = _centroids(spark, sf_dir)
     blas = ivf_assign(e, "vec_id", "embedding", cents, engine="pandas").select("vec_id", "cell")
     expr = ivf_assign(e, "vec_id", "embedding", cents).select(

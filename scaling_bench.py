@@ -210,6 +210,19 @@ def _shuffle_stats(stages: list[dict], min_stage: int, n_execs: int) -> tuple[fl
     return write_total / max(n_execs, 1) / mb, peak_task / mb
 
 
+def _settle(spark, pause: float = 0.75) -> None:
+    """Force deferred JVM cleanup (ContextCleaner shuffle deletes,
+    dropped cache blocks, generation garbage) to land OUTSIDE the next
+    timed region — the bench.py settle() lesson: the first pipeline
+    timed right after two 50k-doc corpus writes measured 3x its
+    steady-state until the generation cleanup was flushed first."""
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(pause)
+
+
 def time_pipeline(spark, build, n_runs: int) -> tuple[float, int, float, float]:
     from callysto_spark.operators.util import release_transient_persists
 
@@ -219,6 +232,7 @@ def time_pipeline(spark, build, n_runs: int) -> tuple[float, int, float, float]:
         df.write.format("noop").mode("overwrite").save()
         return df
 
+    _settle(spark)
     prior = _completed_stages(spark)
     watermark = max((st.get("stageId", -1) for st in prior), default=-1) + 1
     df = run()  # codegen/JIT warm, untimed
@@ -394,6 +408,7 @@ def _stop_md_section(probe: dict, cpus: int, n_runs: int) -> str:
     peak_ratio = jp["peak_task_shuffle_mb"] / max(jc["peak_task_shuffle_mb"], 0.01)
     cand_ratio = lu["rows"] / max(lc["rows"], 1)
     n = probe["n_docs"]
+    flat = "stays flat" if peak_ratio < 4 else "NOT FLAT — investigate"
     lines = [
         STOP_MARKER,
         "",
@@ -412,14 +427,16 @@ def _stop_md_section(probe: dict, cpus: int, n_runs: int) -> str:
         f"| lsh_candidates max_bucket_freq=64 | patho | {lc['t_sec']} | {lc['rows']} | {lc['shuffle_mb']} | {lc['peak_task_shuffle_mb']} |",
         "",
         "Findings:",
-        f"- **Capped Jaccard stays flat under stop-shingles**: peak task shuffle",
-        f"  {jc['peak_task_shuffle_mb']} -> {jp['peak_task_shuffle_mb']} MB ({peak_ratio:.1f}x) with 5% of the corpus sharing",
-        "  boilerplate — the two-pass df prefilter (groupBy(g).count() is",
-        "  partial-agg skew-immune; hot rows drop streaming through the",
-        "  left-semi probe) means no aggregation buffer ever holds a",
-        "  stop-shingle bucket. The one-pass collect_list this replaced",
-        f"  (r7 finding #1) would have buffered {int(0.05 * n)} (doc, n_sh) structs",
-        "  per stop-shingle in ONE group before filtering.",
+        f"- **Capped Jaccard {flat} under stop-shingles**: peak task shuffle",
+        f"  {jc['peak_task_shuffle_mb']} -> {jp['peak_task_shuffle_mb']} MB ({peak_ratio:.1f}x, single-digit MB) and pair output",
+        f"  {jc['rows']} -> {jp['rows']} (the stop-shingles contribute ~zero pairs) with 5%",
+        "  of the corpus sharing boilerplate — the two-pass df prefilter",
+        "  (groupBy(g).count() is partial-agg skew-immune; hot rows drop",
+        "  streaming through the left-semi probe) means no aggregation",
+        "  buffer ever holds a stop-shingle bucket. The one-pass",
+        f"  collect_list this replaced (r7 finding #1) would have buffered",
+        f"  {int(0.05 * n)} (doc, n_sh) structs per stop-shingle in ONE group's",
+        "  memory before its size filter ran.",
         f"- **The LSH mega-bucket is an OUTPUT problem, not a scheduling one**:",
         f"  uncapped, the template cluster emits {lu['rows']} candidate pairs",
         f"  (~C(0.05n, 2) + twins) in {lu['t_sec']}s — AQE's skew-join split",

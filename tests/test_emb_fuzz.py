@@ -96,6 +96,15 @@ def fuzzed_ddb(fuzzed_sf):
 def test_emb_fuzz_parity(name, spark, fuzzed_sf, fuzzed_ddb):
     q = REGISTRY[name]
     srows = sorted(map(str, (tuple(r) for r in q.fn(spark, fuzzed_sf).collect())))
+    if q.oracle is None:
+        # rows-only BLAS rows: the value check here is the IN-PLAN
+        # cross-engine raise_error (a kernel/contract divergence on the
+        # dirty corpus fails the collect above) plus two-run
+        # determinism — the branch run_oracle_parity takes, on the
+        # fuzzed corpus
+        again = sorted(map(str, (tuple(r) for r in q.fn(spark, fuzzed_sf).collect())))
+        assert srows == again, f"{name}: nondeterministic under vector fuzz"
+        return
     orows = sorted(map(str, (tuple(r) for r in fuzzed_ddb.execute(q.oracle).fetchall())))
     assert len(srows) == len(orows), (
         f"{name}: {len(srows)} vs {len(orows)} rows under vector fuzz"
