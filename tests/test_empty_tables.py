@@ -62,6 +62,11 @@ def test_empty_input_parity(name, spark, empty_sf, empty_ddb):
     q = REGISTRY[name]
     sdf = q.fn(spark, empty_sf)
     srows = [tuple(r) for r in sdf.collect()]
+    if q.oracle is None:
+        # rows-only BLAS rows: empty input must yield the empty result
+        # (the in-plan cross-engine guard already ran inside collect)
+        assert srows == [], f"{name}: non-empty output on empty tables: {srows[:3]}"
+        return
     cur = empty_ddb.execute(q.oracle)
     ocols = [d[0] for d in cur.description]
     orows = [tuple(r) for r in cur.fetchall()]

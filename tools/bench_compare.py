@@ -57,6 +57,17 @@ def compare(old: dict, new: dict, threshold: float = 1.10) -> tuple[list[str], l
             f"host speed: canary {c_old:.3f}s -> {c_new:.3f}s "
             f"(new host {host:.2f}x old; ratios below are divided by this)"
         )
+        if not 0.8 <= host <= 1.25:
+            # the canary is SINGLE-THREAD: across windows whose clocks
+            # differ this much, single-thread turbo and all-core
+            # throughput scale differently, so normalized ratios carry
+            # real uncertainty (observed: a 1.55x canary swing moved
+            # 32-thread query times only ~1.25x). Flag, don't fail.
+            lines.append(
+                f"caution: canary windows differ {host:.2f}x — "
+                "single-thread normalization is approximate at this gap; "
+                "read normalized ratios with ~25% uncertainty"
+            )
     else:
         host = 1.0
         missing = [
