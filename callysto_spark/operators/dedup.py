@@ -231,6 +231,15 @@ def ngram_jaccard_pairs(
         # would be CollapseProject-inlined into every element_at).
         # n_sh stays the FULL set size — standard filtered-candidate
         # jaccard divides by the true union.
+        # shuffle_hash hint on the build (live) side: without it the
+        # semi join plans as SortMergeJoin and SORTS the full shingle
+        # table by its string key — measured 16.1s vs 3.95s at the 30x
+        # corpus (the sort was 75% of the query). The hash build side
+        # is only the distinct live shingles (2..cap df) per partition,
+        # far smaller than the probe; at larger corpora the per-
+        # partition build scales down with shuffle partitions. At small
+        # SF, AQE may still upgrade it to a broadcast join — either
+        # way, no sort.
         sh = transient_persist(sh)
         live = (
             sh.groupBy("g")
@@ -239,7 +248,7 @@ def ngram_jaccard_pairs(
             .select("g")
         )
         buckets = (
-            sh.join(live, "g", "left_semi")
+            sh.join(live.hint("shuffle_hash"), "g", "left_semi")
             .groupBy("g")
             .agg(F.array_sort(F.collect_list(F.struct("doc", "n_sh"))).alias("ds"))
         )
@@ -466,7 +475,7 @@ def minhash_lsh_candidates(
             .filter((F.col("df") >= 2) & (F.col("df") <= max_bucket_freq))
             .select("band", "bh")
         )
-        banded = banded.join(live, ["band", "bh"], "left_semi")
+        banded = banded.join(live.hint("shuffle_hash"), ["band", "bh"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -573,7 +582,7 @@ def simhash_candidates(
             .filter((F.col("df") >= 2) & (F.col("df") <= max_bucket_freq))
             .select("band", "slice")
         )
-        banded = banded.join(live, ["band", "slice"], "left_semi")
+        banded = banded.join(live.hint("shuffle_hash"), ["band", "slice"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     # exact Hamming distance between hex strings, in-row: per hex digit,

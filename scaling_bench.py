@@ -797,7 +797,11 @@ def main() -> None:
                 results.setdefault(name, {})[s] = (best, rows, shuffle_mb, peak_task_mb)
                 print(
                     f"# {name} @ {s}x: {best:.3f}s ({rows} rows, "
-                    f"{shuffle_mb:.1f} MB shuffled/run, peak task {peak_task_mb:.2f} MB)",
+                    f"{shuffle_mb:.1f} MB shuffled/run, peak task {peak_task_mb:.2f} MB, "
+                    # shared-host honesty: the box's clock swings 2-3x
+                    # between windows (BENCH/COVERAGE r7-r8 notes); a
+                    # non-monotone point usually carries a high loadavg
+                    f"loadavg {os.getloadavg()[0]:.1f})",
                     file=sys.stderr,
                 )
     finally:
