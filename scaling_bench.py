@@ -223,7 +223,7 @@ def _settle(spark, pause: float = 0.75) -> None:
     time.sleep(pause)
 
 
-def time_pipeline(spark, build, n_runs: int) -> tuple[float, int, float, float]:
+def time_pipeline(spark, build, n_runs: int) -> tuple[float, int, float, float, float]:
     from callysto_spark.operators.util import release_transient_persists
 
     def run():
@@ -251,7 +251,10 @@ def time_pipeline(spark, build, n_runs: int) -> tuple[float, int, float, float]:
     # over the SAME data — totals are normalized per execution, the peak
     # is scale-invariant across repeats
     shuffle_mb, peak_task_mb = _shuffle_stats(_completed_stages(spark), watermark, n_runs + 2)
-    return best, rows, shuffle_mb, peak_task_mb
+    # shared-host honesty: the box's clock swings 2-3x between windows;
+    # the per-point loadavg rides into the JSON and the SCALING.md table
+    # so an off-trend point self-identifies as contention, not growth
+    return best, rows, shuffle_mb, peak_task_mb, round(os.getloadavg()[0], 1)
 
 
 IVF_MARKER = "## IVF index-size probe"
@@ -384,7 +387,7 @@ def stop_shingle_probe(spark, base_docs: int, scale: int, n_runs: int) -> dict:
         }
         for name, build in jobs.items():
             try:
-                best, rows, shuffle_mb, peak_task_mb = time_pipeline(spark, build, n_runs)
+                best, rows, shuffle_mb, peak_task_mb, load1 = time_pipeline(spark, build, n_runs)
             except Exception as exc:
                 print(f"# {name} FAILED: {exc}", file=sys.stderr)
                 out["points"][name] = {"error": str(exc)[:300]}
@@ -394,6 +397,7 @@ def stop_shingle_probe(spark, base_docs: int, scale: int, n_runs: int) -> dict:
                 "rows": rows,
                 "shuffle_mb": round(shuffle_mb, 1),
                 "peak_task_shuffle_mb": round(peak_task_mb, 2),
+                "loadavg_1m": load1,
             }
             print(f"# {name}: {out['points'][name]}", file=sys.stderr)
     finally:
@@ -484,13 +488,14 @@ def e2e_pipeline_probe(spark, base_docs: int, scale: int, n_runs: int) -> dict:
                 F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
             )
 
-        best, rows, shuffle_mb, peak_task_mb = time_pipeline(spark, build, n_runs)
+        best, rows, shuffle_mb, peak_task_mb, load1 = time_pipeline(spark, build, n_runs)
         out.update(
             {
                 "t_sec": round(best, 3),
                 "survivor_lang_rows": rows,
                 "shuffle_mb": round(shuffle_mb, 1),
                 "peak_task_shuffle_mb": round(peak_task_mb, 2),
+                "loadavg_1m": load1,
             }
         )
         # stage row counts, measured once outside the timed region
@@ -789,19 +794,16 @@ def main() -> None:
                 # scale must not discard every other measurement (the
                 # r3 bench lost a whole round's signal this way)
                 try:
-                    best, rows, shuffle_mb, peak_task_mb = time_pipeline(spark, build, n_runs)
+                    best, rows, shuffle_mb, peak_task_mb, load1 = time_pipeline(spark, build, n_runs)
                 except Exception as exc:
                     print(f"# {name} @ {s}x FAILED: {exc}", file=sys.stderr)
                     errors.append({"pipeline": name, "scale": s, "error": str(exc)[:300]})
                     continue
-                results.setdefault(name, {})[s] = (best, rows, shuffle_mb, peak_task_mb)
+                results.setdefault(name, {})[s] = (best, rows, shuffle_mb, peak_task_mb, load1)
                 print(
                     f"# {name} @ {s}x: {best:.3f}s ({rows} rows, "
                     f"{shuffle_mb:.1f} MB shuffled/run, peak task {peak_task_mb:.2f} MB, "
-                    # shared-host honesty: the box's clock swings 2-3x
-                    # between windows (BENCH/COVERAGE r7-r8 notes); a
-                    # non-monotone point usually carries a high loadavg
-                    f"loadavg {os.getloadavg()[0]:.1f})",
+                    f"loadavg {load1})",
                     file=sys.stderr,
                 )
     finally:
@@ -813,6 +815,7 @@ def main() -> None:
             "rows": {str(s): by_scale[s][1] for s in have},
             "shuffle_mb": {str(s): round(by_scale[s][2], 1) for s in have},
             "peak_task_shuffle_mb": {str(s): round(by_scale[s][3], 2) for s in have},
+            "loadavg_1m": {str(s): by_scale[s][4] for s in have},
         }
 
     if len(scales) < 2:
@@ -897,20 +900,25 @@ def update_md(report, scales, cpus, n_runs, base_docs, base_vecs) -> None:
     lines += [
         "",
         "Shuffle volume per point (REST stage metrics, averaged per",
-        "execution) and PEAK single-task shuffle bytes (max of any task's",
+        "execution), PEAK single-task shuffle bytes (max of any task's",
         "shuffle read or write — the per-partition figure that blows up",
         "under key skew while stage totals stay flat; near-flat peaks at",
         "growing totals = the work spreads across partitions instead of",
-        "piling onto a hot one):",
+        "piling onto a hot one), and the 1-minute loadavg sampled as each",
+        "point finished — the box is a shared VM whose clock swings 2-3x",
+        "between windows, so an off-trend time with an elevated load",
+        "column is contention, not growth:",
         "",
         "| pipeline | " + " | ".join(f"shuffle @{s}x (MB/run)" for s in scales)
-        + " | " + " | ".join(f"peak task @{s}x (MB)" for s in scales) + " |",
-        "|---|" + "---|" * (2 * len(scales)),
+        + " | " + " | ".join(f"peak task @{s}x (MB)" for s in scales)
+        + " | " + " | ".join(f"load @{s}x" for s in scales) + " |",
+        "|---|" + "---|" * (3 * len(scales)),
     ]
     for name, r in report.items():
         sh = " | ".join(str(r.get("shuffle_mb", {}).get(str(s), "—")) for s in scales)
         pk = " | ".join(str(r.get("peak_task_shuffle_mb", {}).get(str(s), "—")) for s in scales)
-        lines.append(f"| {name} | {sh} | {pk} |")
+        ld = " | ".join(str(r.get("loadavg_1m", {}).get(str(s), "—")) for s in scales)
+        lines.append(f"| {name} | {sh} | {pk} | {ld} |")
     s1, s2 = scales[-2], scales[-1]
     lines += [
         "",
