@@ -99,6 +99,26 @@ def clean_vec_sql(col: str, dim: int, nonzero: bool = False) -> str:
     )
 
 
+def _vec_matrix(np, col):
+    """Length-filtered vector column → float64 matrix, NULL-element-safe.
+
+    Fast path: one vectorized ``np.asarray`` over the Arrow batch. A
+    NULL element makes that TypeError ("float() argument ... NoneType")
+    — which previously KILLED the task: one dirty row in a 100 TB
+    corpus aborting the job instead of degrading to row-absent (r8 emb
+    fuzz find). Only then pay the per-element fallback that maps None →
+    NaN; the NaN fails the caller's finite mask, the same exclusion the
+    expr engine applies. The slow path costs only on batches that
+    actually contain a NULL element."""
+    try:
+        return np.asarray(col.to_list(), dtype=np.float64)
+    except (TypeError, ValueError):
+        return np.asarray(
+            [[x if x is not None else np.nan for x in v] for v in col],
+            dtype=np.float64,
+        )
+
+
 def _score_broadcast(c: DataFrame, q: DataFrame, round_ndigits: int | None, on: Column | None = None) -> DataFrame:
     """The shared scoring step of the three cosine serve paths
     (``cosine_topk`` expr engine, ``ivf_topk``, ``ivf_topk_stored``):
@@ -221,15 +241,7 @@ def cosine_topk(
                 pdf = pdf[ok]
                 if pdf.empty:
                     continue
-                # NULL elements → NaN (np.asarray would TypeError on
-                # None, killing the task — one dirty row must degrade to
-                # "row absent", never abort the job); the NaN then fails
-                # the finite-norm mask below, the same exclusion the
-                # expr engine's valid_norm applies
-                X = np.asarray(
-                    [[x if x is not None else np.nan for x in v] for v in pdf[vec_col]],
-                    dtype=np.float64,
-                )
+                X = _vec_matrix(np, pdf[vec_col])
                 ids = pdf[id_col].to_numpy()
                 xn = np.linalg.norm(X, axis=1)
                 good = np.isfinite(xn) & (xn > 0)  # valid_norm, kernel-side
@@ -382,14 +394,7 @@ def ivf_assign(
                 pdf = pdf[ok]
                 if pdf.empty:
                     continue
-                # NULL elements → NaN (asarray would TypeError on None
-                # and kill the task); NaN propagates into dmin, fails
-                # the isfinite keep-mask — the same exclusion the expr
-                # engine's all-NULL-dist filter applies
-                X = np.asarray(
-                    [[x if x is not None else np.nan for x in v] for v in pdf[vec_col]],
-                    dtype=np.float64,
-                )
+                X = _vec_matrix(np, pdf[vec_col])
                 # first-min index on ascending cids = lower-cid tie-break
                 score_m = cnorm2[None, :] - 2.0 * (X @ C.T)
                 best = np.argmin(score_m, axis=1)
