@@ -174,8 +174,20 @@ def ngram_jaccard_pairs(
     n: int = 4,
     threshold: float = 0.4,
     max_doc_freq: int | None = None,
+    shingle_reuse: str = "persist",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs above ``threshold``.
+
+    ``shingle_reuse`` governs how the capped path feeds its two
+    consumers (the df-count pass and the semi-join probe) from one
+    shingle table: ``'persist'`` (default) caches it
+    (MEMORY_AND_DISK — right when the exploded shingle table, ~3-5x
+    the text, fits the cluster's storage memory+disk);
+    ``'recompute'`` re-derives it from the source both times — the
+    narrow tokenize/shingle pipeline runs twice, measured within 10%
+    of the persist path at the 30x/100x corpora (r8 A/B), and the
+    right choice when caching a corpus-sized intermediate is
+    infeasible or evicts hotter data at 100 TB.
 
     Two physical strategies behind one result contract:
 
@@ -240,7 +252,12 @@ def ngram_jaccard_pairs(
         # partition build scales down with shuffle partitions. At small
         # SF, AQE may still upgrade it to a broadcast join — either
         # way, no sort.
-        sh = transient_persist(sh)
+        if shingle_reuse == "persist":
+            sh = transient_persist(sh)
+        elif shingle_reuse != "recompute":
+            raise ValueError(
+                f"shingle_reuse must be 'persist' or 'recompute', got {shingle_reuse!r}"
+            )
         live = (
             sh.groupBy("g")
             .agg(F.count(F.lit(1)).alias("df"))

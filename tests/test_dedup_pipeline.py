@@ -261,3 +261,19 @@ def test_simhash_bucket_cap_drops_template_cluster(spark):
     }
     assert (100, 101) in capped, "size-2 twin buckets must survive the cap"
     assert not any(a < 100 and b < 100 for a, b in capped), f"cluster pairs leaked: {capped}"
+
+
+def test_capped_jaccard_recompute_mode_matches_persist(spark, sf_dir):
+    """shingle_reuse='recompute' (for corpora where caching the exploded
+    shingle table is infeasible) must produce exactly the persist
+    path's pairs — same df prefilter, no cache."""
+    d = load(spark, sf_dir, "documents")["documents"]
+    kw = dict(n=4, threshold=0.005, max_doc_freq=20)
+    a = {tuple(r) for r in ngram_jaccard_pairs(d, "doc_id", "text", **kw).collect()}
+    b = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            d, "doc_id", "text", shingle_reuse="recompute", **kw
+        ).collect()
+    }
+    assert a == b and len(a) > 0
