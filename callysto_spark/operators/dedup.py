@@ -2,10 +2,14 @@
 
 All four stay JVM-side (higher-order array functions + joins — no Python
 UDFs), so they scale with the cluster: the only shuffles are the
-candidate-pair joins, keyed so that Catalyst/AQE can split skewed
-buckets. Reference has no dedup surface — its users would hand-roll this
-in an agent closure (reference `callysto/src/types/agent.rs:120-143`);
-here it is first-class and benchmarked.
+candidate-pair/bucket joins (keyed so Catalyst/AQE can split skewed
+buckets) and the skew-immune document/bucket-frequency prefilters
+(partial-agg count → df band → left-semi, r8) that bound what any
+aggregation buffer or bucket join can be asked to hold. Reference has no
+dedup surface — its users would hand-roll this in an agent closure
+(reference `callysto/src/types/agent.rs:120-143`); here it is
+first-class, benchmarked, and skew-probed (SCALING.md "Stop-shingle
+probes").
 """
 
 from __future__ import annotations
