@@ -901,10 +901,13 @@ def update_md(report, scales, cpus, n_runs, base_docs, base_vecs) -> None:
         "",
         "Shuffle volume per point (REST stage metrics, averaged per",
         "execution), PEAK single-task shuffle bytes (max of any task's",
-        "shuffle read or write — the per-partition figure that blows up",
-        "under key skew while stage totals stay flat; near-flat peaks at",
-        "growing totals = the work spreads across partitions instead of",
-        "piling onto a hot one), and the 1-minute loadavg sampled as each",
+        "shuffle read or write — the skew indicator: with the FIXED",
+        "local[32] partition count a skew-free pipeline's peak tracks",
+        "total/32, so peaks growing IN PROPORTION to totals are the",
+        "no-skew baseline and a hot key shows as peak growing FASTER",
+        "than total; a real cluster scales partition count with data,",
+        "flattening proportional peaks), and the 1-minute loadavg",
+        "sampled as each",
         "point finished — the box is a shared VM whose clock swings 2-3x",
         "between windows, so an off-trend time with an elevated load",
         "column is contention, not growth:",
