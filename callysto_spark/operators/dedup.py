@@ -255,7 +255,11 @@ def ngram_jaccard_pairs(
         # far smaller than the probe; at larger corpora the per-
         # partition build scales down with shuffle partitions. At small
         # SF, AQE may still upgrade it to a broadcast join — either
-        # way, no sort.
+        # way, no sort. Residual skew note: a stop-shingle's rows are
+        # never BUFFERED, but they do transit the shuffle once into one
+        # probe partition's read; AQE skew-join (on — session.py) splits
+        # that probe partition across tasks with the build side
+        # replicated, so even the transit is parallel, not a straggler.
         if shingle_reuse == "persist":
             sh = transient_persist(sh)
         elif shingle_reuse != "recompute":
