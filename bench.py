@@ -88,6 +88,46 @@ def cpu_canary() -> float:
     return round(best, 3)
 
 
+def cpu_canary_mt(n_threads: int = 32) -> float:
+    """All-core companion to :func:`cpu_canary` (r8 verdict item 1).
+
+    The single-thread canary measures turbo-clock single-core speed,
+    but the headline queries run 32 tasks wide — and on this shared
+    host the two drift INDEPENDENTLY (r8: the 1t canary recovered to
+    0.88x while 32-thread query walls didn't move, so normalizing by
+    it alone inflated same-code ratios ~14% and false-alarmed the
+    gate). This canary fans the same sha256 checksum workload across
+    ``n_threads`` OS threads — hashlib releases the GIL on large
+    buffers, so the wall time tracks genuine all-core throughput, the
+    figure 32-thread query walls actually follow. ``bench_compare``
+    normalizes by whichever canary ratio is nearer 1 and only lets a
+    normalized ratio gate alone when the two canaries corroborate.
+
+    Min-of-3 like the 1t canary; ~64 MiB hashed per thread per trial.
+    """
+    import hashlib
+    import threading
+
+    block = b"\x5a" * (1 << 20)
+
+    def work() -> None:
+        h = hashlib.sha256()
+        for _ in range(64):
+            h.update(block)
+
+    best = float("inf")
+    for _ in range(3):
+        threads = [threading.Thread(target=work) for _ in range(n_threads)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        best = min(best, time.perf_counter() - t0)
+    print(f"# cpu canary (mt, {n_threads} threads): {best:.3f}s (min of 3)", file=sys.stderr)
+    return round(best, 3)
+
+
 def io_canary() -> dict:
     """Fixed-size I/O reference alongside the CPU canary (r7 verdict
     item 6): ingest best-of-5 spreads of 78-96% were the bench's
@@ -133,6 +173,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     load_at_gate, contaminated = wait_for_idle_machine()
     canary_s = cpu_canary()
+    canary_mt_s = cpu_canary_mt(cpus)
     io_can = io_canary()
     registry = load_all()
     names = [n for n, q in sorted(registry.items()) if q.bench]
@@ -211,6 +252,7 @@ def main() -> None:
     # a large start/end ratio explains intra-run noise (e.g. ingest
     # trial spread) that neither loadavg nor the start canary can
     canary_end_s = cpu_canary()
+    canary_mt_end_s = cpu_canary_mt(cpus)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",
@@ -233,6 +275,12 @@ def main() -> None:
         # drift — the shared host's clock swings ~2x within sessions
         "cpu_canary_s": canary_s,
         "cpu_canary_end_s": canary_end_s,
+        # the same checksum workload fanned across all cores (GIL-free
+        # sha256): the host factor 32-thread query walls actually track.
+        # bench_compare normalizes by whichever canary ratio is nearer 1
+        # and only gates on normalized-alone when 1t and mt corroborate.
+        "cpu_canary_mt_s": canary_mt_s,
+        "cpu_canary_mt_end_s": canary_mt_end_s,
         # fixed 256 MiB write+fsync / warm-read reference (see io_canary):
         # read cross-round INGEST deltas against io_canary_write_mbps the
         # way query deltas are read against the cpu canary

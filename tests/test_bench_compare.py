@@ -126,6 +126,104 @@ def test_gate_fails_on_new_query_failure(tmp_path):
     assert bench_compare.main([str(po), str(pn), "--gate"]) == 1
 
 
+def test_gate_passes_on_same_code_canary_overcorrection(tmp_path):
+    # The r8 false alarm (r8 verdict item 1), synthesized with the real
+    # numbers: the single-thread canary ran 0.88x (turbo recovered) while
+    # the 32-thread query walls moved only 1.12x raw — normalized 1.27x
+    # crossed the 1.25 bar on SAME-CODE artifacts. With no mt canary to
+    # corroborate, the gate now requires raw AND norm over threshold.
+    old = _art({"q1": 0.948}, canary=0.273)
+    new = _art({"q1": 1.065}, canary=0.241)  # raw 1.12x, norm 1.27x
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    assert bench_compare.main([str(po), str(pn), "--gate"]) == 0
+    # ...while a TRUE regression (raw AND norm over threshold) still fails
+    new2 = _art({"q1": 1.3}, canary=0.241)  # raw 1.37x, norm 1.55x
+    pn.write_text(json.dumps(new2))
+    assert bench_compare.main([str(po), str(pn), "--gate"]) == 1
+
+
+def test_gate_passes_on_real_same_code_artifacts():
+    # The r8 verdict's done-criterion: BENCH_BASELINE.json (anchor,
+    # recorded on final r8 code) vs BENCH_r08.json (driver artifact of
+    # the SAME code) must pass the standing gate.
+    root = Path(__file__).resolve().parents[1]
+    old = root / "BENCH_BASELINE.json"
+    new = root / "BENCH_r08.json"
+    if not (old.exists() and new.exists()):
+        import pytest
+
+        pytest.skip("anchor artifacts not present")
+    assert bench_compare.main([str(old), str(new), "--gate"]) == 0
+
+
+def test_gate_fails_on_anchor_query_missing_from_new(tmp_path):
+    # ADVICE r8: a bench query dropped or renamed must not silently
+    # escape the standing gate the way a failed (null) query doesn't
+    old = _art({"q1": 0.4, "q2": 0.8}, canary=0.30)
+    new = _art({"q1": 0.4}, canary=0.30)
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    assert bench_compare.main([str(po), str(pn), "--gate"]) == 1
+
+
+def test_mt_canary_normalizes_by_ratio_nearest_one():
+    # st canary says 0.80x, mt canary says 1.00x: normalize by the ratio
+    # nearest 1 (under-correcting is gate-stricter, never lenient)
+    old = _art({"q1": 1.0}, canary=0.30, cpu_canary_mt_s=1.0)
+    new = _art({"q1": 1.0}, canary=0.24, cpu_canary_mt_s=1.0)
+    lines, worse, _ = bench_compare.compare(old, new, threshold=1.10)
+    q1 = next(ln for ln in lines if ln.startswith("q1"))
+    assert " 1.00x  1.00x" in q1  # raw 1.0, normalized by mt's 1.00x not st's 0.80x
+    assert not worse
+
+
+def test_corroborated_canaries_catch_raw_masked_regression(tmp_path):
+    # Host got 2x FASTER (both canaries agree) while the query stayed
+    # flat: raw 1.0x masks a real 2x normalized regression. Corroborated
+    # canaries make the normalization trustworthy, so norm gates ALONE —
+    # the case the raw-AND-norm fallback would miss.
+    old = _art({"q1": 1.0}, canary=0.48, cpu_canary_mt_s=2.0)
+    new = _art({"q1": 1.0}, canary=0.24, cpu_canary_mt_s=1.0)
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    assert bench_compare.main([str(po), str(pn), "--gate"]) == 1
+
+
+def test_diverging_canaries_fall_back_to_raw_and_norm(tmp_path):
+    # st 0.80x vs mt 1.00x (beyond the 15% corroboration band): the
+    # host reading is mixed, so a norm-only exceedance must NOT gate
+    old = _art({"q1": 1.0}, canary=0.30, cpu_canary_mt_s=1.0)
+    new = _art({"q1": 1.12}, canary=0.24, cpu_canary_mt_s=1.12)
+    # normalizing by mt 1.12x (nearest 1): norm 1.0 — and raw 1.12 < 1.25
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    assert bench_compare.main([str(po), str(pn), "--gate"]) == 0
+    lines, _, _ = bench_compare.compare(
+        bench_compare.load(str(po)), bench_compare.load(str(pn)), threshold=1.25
+    )
+    assert any("disagree" in ln for ln in lines)
+
+
+def test_ingest_explained_by_io_canary_annotated():
+    # r8 verdict item 6: when the ingest delta tracks the io canary's
+    # delta within 25%, the line says so (host I/O, not code)
+    old = _art({"q1": 0.4}, canary=0.3, ingest_mbps=900.0, io_canary_write_mbps=660.0)
+    new = _art({"q1": 0.4}, canary=0.3, ingest_mbps=500.0, io_canary_write_mbps=380.0)
+    lines, _, _ = bench_compare.compare(old, new)
+    ing = next(ln for ln in lines if ln.startswith("INGEST"))
+    assert "explained by io canary" in ing
+    # ...and NOT when the ingest delta far exceeds the io canary's
+    new2 = _art({"q1": 0.4}, canary=0.3, ingest_mbps=200.0, io_canary_write_mbps=660.0)
+    lines, _, _ = bench_compare.compare(old, new2)
+    ing = next(ln for ln in lines if ln.startswith("INGEST"))
+    assert "explained by io canary" not in ing
+
+
 def test_ingest_io_normalization_reported():
     old = _art({"q1": 0.4}, canary=0.3, ingest_mbps=1000.0, io_canary_write_mbps=800.0)
     new = _art({"q1": 0.4}, canary=0.3, ingest_mbps=500.0, io_canary_write_mbps=400.0)

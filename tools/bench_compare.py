@@ -17,11 +17,34 @@ Usage:
     python tools/bench_compare.py BENCH_BASELINE.json BENCH_r08.json --gate
 
 Reading-aid mode (default) always exits 0.  ``--gate`` turns it into
-the standing regression gate (r7 verdict item 2): exit 1 when any
-query's CANARY-NORMALIZED ratio vs the anchor exceeds the threshold
-(default 1.25 under --gate), when the anchor/new artifact lacks the
-canary the normalization needs, or when the new artifact self-flags
-load contamination.  Raw ratios never gate — that is the whole point.
+the standing regression gate (r7 verdict item 2): exit 1 on a
+regression beyond the threshold (default 1.25 under --gate), when the
+anchor/new artifact lacks the canary the normalization needs, when an
+anchor query is missing or failed in the new artifact, or when the
+new artifact self-flags load contamination.
+
+Canary calibration (r8 verdict item 1): the original gate normalized
+by the SINGLE-THREAD canary alone and failed its own same-code
+artifact — the canary ran 0.88x (single-thread turbo recovered)
+while 32-thread query walls did not move, so dividing raw ratios by
+0.88 inflated every normalized ratio ~14% and pushed two queries over
+the 1.25 bar at raw 1.12x.  Two fixes, both here:
+
+- ``bench.py`` now also records ``cpu_canary_mt_s`` — the SAME
+  checksum workload fanned across all cores — and this tool
+  normalizes by whichever canary ratio is CLOSER TO 1 (the true host
+  factor for a 32-thread query mix lies between the single- and
+  multi-thread ratios; picking the nearer-to-1 one under-corrects,
+  which can only make the gate stricter, never lenient).
+- The gate requires agreement: when the two canaries corroborate each
+  other (ratios within 15%) the normalization is trustworthy and a
+  normalized regression gates alone; when they diverge — or when a
+  legacy artifact has only the single-thread canary, the exact r8
+  false-alarm configuration — a query gates only if BOTH its raw AND
+  its normalized ratio exceed the threshold (a host speedup can mask
+  a real regression in raw and a host slowdown can mask one in
+  normalized, so requiring both rules out the over-correction mode
+  while still catching any regression the host can't explain away).
 """
 
 from __future__ import annotations
@@ -51,25 +74,52 @@ def compare(old: dict, new: dict, threshold: float = 1.10) -> tuple[list[str], l
     errors: list[str] = []
     c_old = old.get("cpu_canary_s")
     c_new = new.get("cpu_canary_s")
-    if c_old and c_new:
-        host = c_new / c_old
+    mt_old = old.get("cpu_canary_mt_s")
+    mt_new = new.get("cpu_canary_mt_s")
+    host_st = c_new / c_old if c_old and c_new else None
+    host_mt = mt_new / mt_old if mt_old and mt_new else None
+    # normalization factor: the canary ratio CLOSEST TO 1 among those
+    # available — the true host factor for a 32-thread query mix lies
+    # between the single- and multi-thread ratios, so the nearer-to-1
+    # pick under-corrects (gate-stricter, never gate-lenient)
+    candidates = [h for h in (host_st, host_mt) if h]
+    host = min(candidates, key=lambda h: abs(h - 1.0)) if candidates else 1.0
+    # corroborated = the two canaries agree on the host factor; only
+    # then is a normalized ratio trustworthy enough to gate ALONE
+    corroborated = (
+        host_st is not None
+        and host_mt is not None
+        and abs(host_st / host_mt - 1.0) <= 0.15
+    )
+    if host_st is not None:
         lines.append(
-            f"host speed: canary {c_old:.3f}s -> {c_new:.3f}s "
-            f"(new host {host:.2f}x old; ratios below are divided by this)"
+            f"host speed: 1t canary {c_old:.3f}s -> {c_new:.3f}s ({host_st:.2f}x)"
+            + (
+                f"; mt canary {mt_old:.3f}s -> {mt_new:.3f}s ({host_mt:.2f}x)"
+                if host_mt is not None
+                else ""
+            )
+            + f"; normalizing by {host:.2f}x (ratio nearest 1)"
         )
-        if not 0.8 <= host <= 1.25:
-            # the canary is SINGLE-THREAD: across windows whose clocks
-            # differ this much, single-thread turbo and all-core
-            # throughput scale differently, so normalized ratios carry
-            # real uncertainty (observed: a 1.55x canary swing moved
-            # 32-thread query times only ~1.25x). Flag, don't fail.
+        if host_mt is None:
+            if not 0.8 <= host_st <= 1.25:
+                # the only canary is SINGLE-THREAD: across windows whose
+                # clocks differ this much, single-thread turbo and
+                # all-core throughput scale differently (observed: a
+                # 1.55x canary swing moved 32-thread query times only
+                # ~1.25x; a 0.88x swing moved them not at all).
+                lines.append(
+                    f"caution: canary windows differ {host:.2f}x — "
+                    "single-thread normalization is approximate at this gap; "
+                    "read normalized ratios with ~25% uncertainty"
+                )
+        elif not corroborated:
             lines.append(
-                f"caution: canary windows differ {host:.2f}x — "
-                "single-thread normalization is approximate at this gap; "
-                "read normalized ratios with ~25% uncertainty"
+                f"caution: 1t ({host_st:.2f}x) and mt ({host_mt:.2f}x) canaries "
+                "disagree — mixed host drift; a regression gates only if "
+                "BOTH raw and normalized exceed the threshold"
             )
     else:
-        host = 1.0
         missing = [
             name
             for name, c in (("old", c_old), ("new", c_new))
@@ -105,6 +155,11 @@ def compare(old: dict, new: dict, threshold: float = 1.10) -> tuple[list[str], l
     for name in sorted(set(qo) | set(qn)):
         if name not in qo or name not in qn:
             lines.append(f"{name:<30} {'only in ' + ('new' if name in qn else 'old')}")
+            if name not in qn:
+                # an anchor query absent from the new artifact is a
+                # dropped/renamed bench row — it must not escape the
+                # standing gate the way a failed (null) query doesn't
+                errors.append(f"{name} missing from new artifact")
             continue
         # bench.py records FAILED queries as null (and keeps going) —
         # partial artifacts are exactly the flagged runs this tool
@@ -122,9 +177,16 @@ def compare(old: dict, new: dict, threshold: float = 1.10) -> tuple[list[str], l
         raw = qn[name] / qo[name]
         norm = raw / host
         mark = ""
-        if norm > threshold:
+        if norm > threshold and (raw > threshold or corroborated):
             mark = "  <-- slower beyond host drift"
             worse.append(name)
+        elif norm > threshold:
+            # normalized-only exceedance under an uncorroborated canary:
+            # the r8 false-alarm mode (single-thread turbo moved, the
+            # 32-thread walls didn't) — surface it, don't gate on it
+            mark = "  (norm over threshold but raw ok — canary over-correction band)"
+        elif raw > threshold:
+            mark = "  (raw over threshold, explained by host drift)"
         elif norm < 1.0 / threshold:
             mark = "  (faster)"
         lines.append(
@@ -141,7 +203,14 @@ def compare(old: dict, new: dict, threshold: float = 1.10) -> tuple[list[str], l
     if io and in_:
         io_norm = ""
         if io_old and io_new:
-            io_norm = f" ({in_ / io / (io_new / io_old):.2f}x io-normalized)"
+            io_ratio = io_new / io_old
+            io_norm = f" ({in_ / io / io_ratio:.2f}x io-normalized)"
+            if abs(1.0 - (in_ / io) / io_ratio) < 0.25:
+                # the ingest delta tracks the fixed-size io canary's
+                # delta — host I/O, not code (r8 verdict item 6: 45-96%
+                # trial spreads on this shared VM make the raw median
+                # swing 2x; only deltas BEYOND the canary's are signal)
+                io_norm += " — explained by io canary"
         lines.append(f"{'INGEST (median MB/s)':<30} {io:>7.1f} {in_:>7.1f} {in_ / io:>5.2f}x{io_norm}")
     if worse:
         lines.append(
@@ -163,9 +232,11 @@ def main(argv: list[str]) -> int:
     p.add_argument(
         "--gate",
         action="store_true",
-        help="exit 1 on any canary-normalized regression beyond the "
-        "threshold (default 1.25 under --gate), on a missing canary, or "
-        "on a self-flagged new artifact",
+        help="exit 1 on any regression beyond the threshold (default "
+        "1.25 under --gate; normalized-only when the 1t/mt canaries "
+        "corroborate, raw AND normalized otherwise), on a missing "
+        "canary, on an anchor query missing/failed in the new "
+        "artifact, or on a self-flagged new artifact",
     )
     args = p.parse_args(argv)
     threshold = args.threshold if args.threshold is not None else (1.25 if args.gate else 1.10)
