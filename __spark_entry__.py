@@ -35,15 +35,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL for every SQL-expressible registered query
-    (85 of 87): MinHash/SimHash/LSH run on the portable md5_60 spec
-    hash, and the approximate-aggregate queries run on spec-defined
-    KMV / bottom-k-sample sketches (operators/sketches.py), so all 85
-    original rows are hash-checked against DuckDB. The two rows-only
-    exceptions (since r8) are the BLAS serving kernels
-    emb_ivf_assign_blas / emb_cosine_topk_blas — float32 matmul is not
-    bit-replayable in SQL; each instead carries an IN-PLAN raise_error
-    cross-check against its oracle-matched expr twin, so a kernel
-    regression fails the driver row with an error rather than passing
-    a vacuous rows-only check."""
+    """DuckDB oracle SQL for every registered query (87 of 87, since
+    r9): MinHash/SimHash/LSH run on the portable md5_60 spec hash, the
+    approximate-aggregate queries run on spec-defined KMV /
+    bottom-k-sample sketches (operators/sketches.py), and the two BLAS
+    serving-kernel rows (emb_ivf_assign_blas / emb_cosine_topk_blas)
+    surface only engine-agreement-asserted values — integer cells, and
+    the expr engine's sims — so they hash-replay under the shared
+    assignment/cosine oracles while an IN-PLAN raise_error cross-check
+    still fails the row loudly on any float32-kernel regression (the
+    BLAS accumulation itself is not bit-replayable in SQL)."""
     return {name: q.oracle for name, q in load_all().items() if q.oracle is not None}

@@ -216,6 +216,13 @@ def ngram_jaccard_pairs(
     Output: (doc_a, doc_b, inter, union_sz, jaccard) with doc_a < doc_b.
     jaccard is an int/int division — bit-deterministic, no rounding.
     """
+    # Validate at entry, not inside the max_doc_freq branch (r8 ADVICE):
+    # on the uncapped path the knob is unused, but a typo'd value must
+    # still fail loudly rather than be silently accepted and ignored.
+    if shingle_reuse not in ("persist", "recompute"):
+        raise ValueError(
+            f"shingle_reuse must be 'persist' or 'recompute', got {shingle_reuse!r}"
+        )
     # In-row shingle arrays (see shingle_arrays): set size is just
     # size(gs) — no window, no distinct exchange; the explode to
     # (doc, n_sh, g) rows is narrow.
@@ -262,10 +269,6 @@ def ngram_jaccard_pairs(
         # replicated, so even the transit is parallel, not a straggler.
         if shingle_reuse == "persist":
             sh = transient_persist(sh)
-        elif shingle_reuse != "recompute":
-            raise ValueError(
-                f"shingle_reuse must be 'persist' or 'recompute', got {shingle_reuse!r}"
-            )
         live = (
             sh.groupBy("g")
             .agg(F.count(F.lit(1)).alias("df"))

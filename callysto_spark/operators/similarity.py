@@ -641,6 +641,16 @@ def ivf_topk_stored(
     ``cell IN (probe cells)`` — which lands in the parquet
     PartitionFilters, pruning every non-probed cell directory before
     any IO (pinned by tests/test_layout.py).
+
+    CHANGE (r8): the shared ``_score_broadcast`` serve contract drops
+    NULL-similarity rows for ALL three cosine serve paths. Before the
+    r8 single-sourcing, a dirty STORED index cell holding a
+    wrong-length vector (NULL dot under zip_with padding) surfaced as
+    trailing NULL-sim ranks; those rows now silently disappear from
+    the top-k instead. Desirable — a corrupt stored vector should not
+    occupy a rank — but consumers of pre-r8 stored indexes should know
+    trailing NULL-sim ranks are gone (validate indexes at write time
+    with :func:`ivf_write`, which only stores clean vectors).
     """
     rows = probe_cells_for_queries(queries, centroids, nprobe)
     probe_cells = {c for _, _, cells in rows for c in cells}

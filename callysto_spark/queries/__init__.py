@@ -77,99 +77,101 @@ def load_all() -> dict[str, Query]:
     r4 rotated to the tpch2/3/4 tail; r5 rotated the newly
     oracle-checkable sketch/raw-message queries plus the pre-r4 head
     rows; r6 promoted the five stalest bench-headline rows plus the
-    tpch2/3/4 tail; r7 re-certified the five r4 rows + all 30 r5 rows,
-    keeping the 15 north-star LLM rows in the head. r8 (THIS round,
-    per the round-7 VERDICT items 3+5) promotes ALL 35 rows whose
-    newest green record is r6 — the five deferred LLM rows head the
-    queue (doc_quality_score, doc_lang_scores, doc_bpe_token_stats,
-    doc_stratified_sample, emb_label_near_pairs), then the five bench
-    headliners (q1/q3/part_type_topk/supplier_daily_running/
-    events_asof) and the tpch2/3/4 + events/relational tail — plus the
-    TWO new rows-only BLAS-kernel rows (emb_ivf_assign_blas,
-    emb_cosine_topk_blas — verdict item 5: in-plan cross-engine
-    asserted, oracle=None). The 13-slot remainder keeps the
-    highest-value r7-green LLM rows; doc_winnow_fingerprints and
-    doc_fingerprint_groups (r7-green, single-pass in-row kernels with
-    two-scale pytest oracles) defer one round and head the r9 queue
-    together with the other 33 r7-certified rows.
+    tpch2/3/4 tail; r7 re-certified the five r4 rows + all 30 r5 rows;
+    r8 promoted all 35 r6-latest rows plus the two new BLAS rows. r9
+    (THIS round, per the round-8 VERDICT item 2) promotes ALL 37 rows
+    whose newest green record is r7 — doc_winnow_fingerprints and
+    doc_fingerprint_groups head the queue as planned, then the
+    raw_message/avro_roundtrip, sketch, tpch-head, events/streaming-
+    twin and relational remainder. The 13-slot kept head is every row
+    whose CODE or ORACLE changed this round — the two BLAS rows (now
+    carrying real oracles instead of oracle=None, verdict item 3), the
+    two banded-LSH rows (now running max_bucket_freq, the 100 TB
+    configuration, verdict item 4), doc_simhash (cap-rationale
+    documented), and the refactored-oracle ANN rows — plus the
+    highest-value always-on LLM rows. doc_ngram_jaccard_pairs and
+    doc_near_dup_survivor_stats (r8-green, unchanged) rotate out one
+    round to make room.
     """
     from callysto_spark.queries import llm_ops, tpch2, tpch3, tpch4, events, arrays, messages, tpch  # noqa: F401
 
     promoted = [
-        # the five LLM rows deferred at r7 (newest green = r6):
-        "doc_quality_score",
-        "doc_lang_scores",
-        "doc_bpe_token_stats",
-        "doc_stratified_sample",
-        "emb_label_near_pairs",
-        # the r6-certified bench headliners:
-        "part_type_topk",
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "supplier_daily_running",
-        "events_asof_purchase_click",
-        # the rest of the r6-certified window (tpch2/3/4 + relational tail):
-        "q2_cheapest_supplier",
-        "q4_priority_with_discounted_lines",
-        "q7_bilateral_volume",
-        "q8_market_share",
-        "q9_profit_by_nation_year",
-        "q10_returned_items",
-        "q11_important_parts",
-        "q12_priority_by_bracket",
-        "q13_customer_order_distribution",
-        "q14_promo_share",
-        "q15_top_supplier",
-        "q17_small_quantity_revenue",
-        "q18_large_orders",
-        "q19_bracket_revenue",
-        "q21_waiting_suppliers",
-        "q22_idle_rich_customers",
-        "scalar_subquery_vs_max",
-        "setop_all_variants",
-        "customer_balance_distribution",
-        "events_sessionize",
-        "price_quartiles_by_segment",
-        "argmax_order_per_nation",
-        "orders_price_range_frame",
-        "shipping_delay_histogram",
-        "suppliers_many_parts",
+        # the two rows the r8 verdict named as heading the r9 queue:
+        "doc_winnow_fingerprints",
+        "doc_fingerprint_groups",
+        # the rest of the r7-certified window (newest green = r7):
+        "left_join_customer_orders",
+        "full_outer_nation_activity",
+        "null_handling_funcs",
+        "string_normalize_parts",
+        "token_positions",
+        "approx_distinct_parts",
+        "avro_roundtrip_stats",
+        "case_bucket_orders",
+        "cube_status_priority",
+        "distinct_counts_by_flag",
+        "embedding_array_stats",
+        "events_changelog_materialize",
+        "events_dedup_latest",
+        "events_hourly_tumbling",
+        "events_interval_join_clicks",
+        "events_json_kv",
+        "events_sliding_1h_30m",
+        "events_type_stats",
+        "events_user_salted_counts",
+        "events_value_quantile_sketch",
+        "grouping_sets_order_stats",
+        "order_month_stats",
+        "pivot_linestatus",
+        "q5_supplier_volume",
+        "q6_forecast_revenue",
+        "raw_message_decode_stats",
+        "rollup_revenue",
+        "semi_anti_customers",
+        "setop_customers_96_97",
+        "string_funcs_parts",
+        "token_top20",
+        "top3_orders_per_customer",
+        "user_event_type_sets",
+        "user_spend_deciles",
+        "user_type_count_map",
     ]
-    # New rows-only BLAS-kernel rows (r7 verdict item 5) — must appear
-    # in the r8 window to be exercised by the driver at all.
-    blas_rows = [
+    # Rows whose code/oracle CHANGED this round — they must be in the
+    # driver window to re-certify: the BLAS rows now carry real oracles
+    # (r8 verdict item 3) and the banded-LSH rows run max_bucket_freq
+    # (item 4); emb_cosine_topk / emb_ivf_assign share the refactored
+    # oracle SQL with the BLAS rows.
+    changed = [
         "emb_ivf_assign_blas",
         "emb_cosine_topk_blas",
-    ]
-    # North-star LLM-ops rows kept in the always-sampled head (13 slots
-    # this round; winnow/fingerprint-groups defer to r9 — see docstring).
-    llm_kept = [
-        "doc_dedup_exact",
-        "doc_ngram_jaccard_pairs",
-        "doc_ngram_jaccard_capped",
-        "doc_lsh_verified_near_dups",
         "doc_minhash_lsh_pairs",
+        "doc_lsh_verified_near_dups",
         "doc_simhash",
-        "doc_near_dup_components",
-        "doc_near_dup_survivor_stats",
-        "doc_token_stats",
-        "doc_pipeline_clean_corpus",
         "emb_cosine_topk",
         "emb_ivf_assign",
+    ]
+    # North-star LLM-ops rows kept in the always-sampled head (6 slots
+    # this round; jaccard_pairs/survivor_stats rotate out — r8-green).
+    llm_kept = [
+        "doc_dedup_exact",
+        "doc_ngram_jaccard_capped",
+        "doc_near_dup_components",
+        "doc_token_stats",
+        "doc_pipeline_clean_corpus",
         "emb_ivf_topk",
     ]
     # ValueError, not assert: these guard the driver-sample window and
     # must survive python -O (a stripped assert would silently ship a
     # mis-sized window and drop queries out of the first-50 sample)
-    if len(promoted) != 35 or len(llm_kept) != 13 or len(blas_rows) != 2:
+    if len(promoted) != 37 or len(changed) != 7 or len(llm_kept) != 6:
         raise ValueError(
-            f"window is 35+13+2; got {len(promoted)} promoted + "
-            f"{len(llm_kept)} llm + {len(blas_rows)} blas"
+            f"window is 37+7+6; got {len(promoted)} promoted + "
+            f"{len(changed)} changed + {len(llm_kept)} llm"
         )
-    # r9 promotion queue: doc_winnow_fingerprints, doc_fingerprint_groups
-    # (deferred this round), then the 33 other rows whose newest green
-    # record is r7.
-    head = llm_kept + blas_rows + promoted
+    # r10 promotion queue: doc_ngram_jaccard_pairs and
+    # doc_near_dup_survivor_stats (deferred this round), then the rows
+    # whose newest green record is r8.
+    head = promoted + changed + llm_kept
     missing = [n for n in head if n not in REGISTRY]
     if missing:
         raise ValueError(f"promoted queries not in registry: {missing}")
