@@ -248,6 +248,93 @@ def test_minhash_on_stream_matches_batch(spark, tmp_path):
     assert got[1] != got[3]
 
 
+def test_streaming_near_dup_recipe_matches_batch_pipeline(spark, tmp_path, sf_dir):
+    """The documented streaming near-dup recipe (r8 verdict item 5),
+    end-to-end: minhash signatures are streaming-legal (fully narrow —
+    in-row shingles and permutation minima, no shuffle), but the
+    two-pass bucket-cap prefilter (groupBy + semi-join) is batch-only
+    by construction. The 100 TB shape is therefore:
+
+      1. signatures computed IN-STREAM as documents arrive, appended to
+         a durable signature table (parquet sink, availableNow trigger
+         here standing in for the periodic micro-batch drain);
+      2. a PERIODIC BATCH job over the stored signature table: LSH
+         banding with max_bucket_freq → exact-Jaccard verification on
+         candidates → connected components → survivor set.
+
+    Parity contract: the streamed-signature path must produce the
+    IDENTICAL survivor set to the all-batch pipeline on the same
+    corpus. Reference analog: a Callysto user hand-rolls exactly this
+    split inside agent closures — per-message feature extraction in the
+    agent, periodic table-wide reconciliation
+    (/root/reference/callysto/src/types/agent.rs:120-143)."""
+    import shutil
+
+    from callysto_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        verify_candidate_pairs,
+    )
+    from callysto_spark.operators.graph import connected_components
+
+    # Corpus: the sf documents table plus planted one-token-appended
+    # twins for every doc_id < 20 — real near-dups for the recipe to find.
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    twins = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" planted")).alias("text"),
+    )
+    corpus = d.unionByName(twins)
+
+    stage = tmp_path / "nd_stage"
+    stage.mkdir()
+    corpus.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "nd_scratch"))
+    for i, f in enumerate(sorted((tmp_path / "nd_scratch").iterdir())):
+        if f.name.endswith(".parquet"):
+            shutil.copy(f, stage / f"{i:04d}.parquet")
+
+    # 1. in-stream signatures -> durable parquet signature table
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    sig_stream = minhash_signatures(stream, "doc_id", "text", num_hashes=64, n=4)
+    assert sig_stream.isStreaming
+    sig_path = tmp_path / "nd_sigs"
+    q = (
+        sig_stream.writeStream.format("parquet")
+        .option("path", str(sig_path))
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # 2. periodic batch job over the STORED signature table
+    def survivors_from(sigs):
+        cands = minhash_lsh_candidates(
+            sigs, bands=16, rows_per_band=4, max_bucket_freq=64
+        )
+        verified = verify_candidate_pairs(corpus, cands, "doc_id", "text", n=4, threshold=0.6)
+        comps = connected_components(verified.select("doc_a", "doc_b"), "doc_a", "doc_b")
+        dropped = comps.filter(F.col("vertex") != F.col("component")).select(
+            F.col("vertex").alias("doc_id")
+        )
+        return {r["doc_id"] for r in corpus.join(dropped, "doc_id", "left_anti").select("doc_id").collect()}
+
+    streamed = survivors_from(spark.read.parquet(str(sig_path)))
+    batch = survivors_from(minhash_signatures(corpus, "doc_id", "text", num_hashes=64, n=4))
+    assert streamed == batch
+    # the recipe actually dropped near-dups: every planted twin pair
+    # lost exactly one member
+    n_corpus = corpus.count()
+    assert len(streamed) < n_corpus
+    # a doc and its planted twin never BOTH survive
+    both = [i for i in range(20) if i in streamed and i + 100000 in streamed]
+    assert not both, f"twin pairs with both members surviving: {both}"
+
+
 def test_sessionize_accepts_ntz_and_ltz_timestamps(spark):
     """The operator must produce identical sessions whether ``ts`` is
     TIMESTAMP (LTZ) or TIMESTAMP_NTZ — driver testdata has shipped both
