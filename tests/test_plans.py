@@ -220,6 +220,36 @@ def test_minhash_signatures_no_hash_exchange(spark, sf_dir):
         assert "Window" not in plan, f"{engine}: no window in the shingle pipeline"
 
 
+def test_lsh_banding_capped_plan_shape(spark, sf_dir):
+    """The REGISTERED LSH rows run max_bucket_freq (r8 verdict item 4 —
+    the driver-exercised configuration is the 100 TB one), so the plan
+    must show the two-pass cap, not a post-hoc filter: the bucket
+    self-join's inputs pass through a left-semi df-prefilter (hot
+    buckets dropped streaming through the probe, never paired), and
+    the only non-semi join is the final inner bucket self-join. No
+    Cartesian/nested-loop anywhere."""
+    from callysto_spark.operators.dedup import minhash_lsh_candidates, minhash_signatures
+    from callysto_spark.plans import physical_plan
+    from callysto_spark.plans.audit import _walk_logical
+    from callysto_spark.tables import load as load_tables
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    sigs = minhash_signatures(d, "doc_id", "text", num_hashes=64, n=4, hash_engine="md5_60")
+    cands = minhash_lsh_candidates(
+        sigs, bands=16, rows_per_band=4, hash_engine="md5_60", max_bucket_freq=64
+    )
+    plan = physical_plan(cands)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    opt = cands._jdf.queryExecution().optimizedPlan()
+    joins = [n.joinType().toString() for n in _walk_logical(opt) if n.getClass().getSimpleName() == "Join"]
+    assert joins.count("LeftSemi") >= 2, (
+        f"expected a semi-join df-prefilter under BOTH sides of the bucket self-join; saw {joins}"
+    )
+    assert [j for j in joins if j != "LeftSemi"] == ["Inner"], (
+        f"only the bucket self-join may be non-semi; saw {joins}"
+    )
+
+
 def test_winnow_operator_no_shuffle(spark, sf_dir):
     """Winnowing fingerprints are computed fully in-row: the operator's
     plan has no window and no hash-partition exchange (only the
