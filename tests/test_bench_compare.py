@@ -145,11 +145,13 @@ def test_gate_passes_on_same_code_canary_overcorrection(tmp_path):
 
 
 def test_gate_passes_on_real_same_code_artifacts():
-    # The r8 verdict's done-criterion: BENCH_BASELINE.json (anchor,
-    # recorded on final r8 code) vs BENCH_r08.json (driver artifact of
-    # the SAME code) must pass the standing gate.
+    # The r8 verdict's done-criterion: the r8 anchor (recorded on final
+    # r8 code, frozen here as a fixture — the live BENCH_BASELINE.json
+    # rotates to each round's final code and is no longer same-code
+    # with BENCH_r08) vs BENCH_r08.json (driver artifact of the SAME
+    # code) must pass the standing gate.
     root = Path(__file__).resolve().parents[1]
-    old = root / "BENCH_BASELINE.json"
+    old = Path(__file__).parent / "fixtures" / "BENCH_ANCHOR_r8_same_code.json"
     new = root / "BENCH_r08.json"
     if not (old.exists() and new.exists()):
         import pytest
