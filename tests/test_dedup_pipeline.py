@@ -277,3 +277,91 @@ def test_capped_jaccard_recompute_mode_matches_persist(spark, sf_dir):
         ).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_lsh_banding_cap_semantics_match_python_reference(spark):
+    """Property test for the FULL banding + bucket-cap semantics (r9):
+    on hypothesis-generated corpora with forced duplicate clusters, the
+    capped candidate set must equal exactly
+
+        {(a, b) : a < b share a (band, band_hash) bucket
+                  whose document frequency is in [2, cap]}
+
+    recomputed by a pure-Python third implementation (hashlib md5_60
+    spec hash, affine permutations, band hashes) — and the uncapped set
+    must equal the same with the df ceiling removed. This pins the
+    two-pass df prefilter's semantics beyond the fixed oracle corpus:
+    any drift in band slicing, band hashing, df counting, or the
+    [2, cap] boundary shows up as a set mismatch."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from callysto_spark.operators.dedup import (
+        _MERSENNE_P,
+        _hash_params,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    TOKENS = ["alpha", "bravo", "charlie", "delta", "echo", "fox", "golf", "hotel"]
+    text_st = st.lists(st.sampled_from(TOKENS), min_size=4, max_size=20).map(" ".join)
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def shingles(text: str, n: int = 4) -> list[str]:
+        toks = re.split(r"\s+", text.strip().lower())
+        upper = max(len(toks) - (n - 1), 1)
+        return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(upper)))
+
+    params = _hash_params(32)
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(data=st.data())
+    def run(data):
+        # a small text pool sampled WITH replacement: duplicate clusters
+        # are near-certain, so buckets with df > cap actually occur
+        pool = data.draw(st.lists(text_st, min_size=2, max_size=5))
+        texts = data.draw(st.lists(st.sampled_from(pool), min_size=4, max_size=12))
+        cap = data.draw(st.integers(min_value=2, max_value=4))
+        docs = list(enumerate(texts))
+
+        want_sigs = {}
+        for doc_id, text in docs:
+            hs = [h60(g) % _MERSENNE_P for g in shingles(text)]
+            want_sigs[doc_id] = [min((a * h + b) % _MERSENNE_P for h in hs) for a, b in params]
+        buckets = defaultdict(set)
+        for doc_id, sig in want_sigs.items():
+            for b in range(8):
+                bh = h60(",".join(str(v) for v in sig[4 * b : 4 * b + 4]))
+                buckets[(b, bh)].add(doc_id)
+        want_uncapped, want_capped = set(), set()
+        for members in buckets.values():
+            ms = sorted(members)
+            pairs = {(a, b) for i, a in enumerate(ms) for b in ms[i + 1 :]}
+            want_uncapped |= pairs
+            if 2 <= len(members) <= cap:
+                want_capped |= pairs
+
+        df = spark.createDataFrame(docs, ["doc_id", "text"]).repartition(3)
+        sigs = minhash_signatures(df, "doc_id", "text", num_hashes=32, n=4, hash_engine="md5_60")
+        got_capped = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_candidates(
+                sigs, bands=8, rows_per_band=4, hash_engine="md5_60", max_bucket_freq=cap
+            ).collect()
+        }
+        got_uncapped = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_candidates(
+                sigs, bands=8, rows_per_band=4, hash_engine="md5_60"
+            ).collect()
+        }
+        assert got_capped == want_capped, f"cap={cap}: {got_capped ^ want_capped}"
+        assert got_uncapped == want_uncapped
+        assert got_capped <= got_uncapped
+
+    run()
