@@ -58,6 +58,28 @@ def pushed_filters(df: DataFrame) -> list[str]:
         i = j
 
 
+def scan_read_schemas(df: DataFrame) -> list[tuple[str, list[str]]]:
+    """(table, read columns) for every parquet scan in the plan.
+
+    The instrument for the column-pruning contract: a scan whose
+    ReadSchema lists every column of a wide table means pruning never
+    reached it (an opaque barrier — e.g. a mapInPandas over full rows,
+    or a stray ``select('*')`` — forced a full-width read), which at
+    100 TB is the difference between reading 2 columns and 11."""
+    import re
+
+    plan = physical_plan(df)
+    out: list[tuple[str, list[str]]] = []
+    loc = re.compile(r"Location.*?/(\w+)\.parquet")
+    rs = re.compile(r"ReadSchema: struct<([^>]*)>")
+    for block in plan.split("Scan parquet")[1:]:
+        m, s = loc.search(block), rs.search(block)
+        if m and s:
+            cols = [c.split(":")[0].strip() for c in s.group(1).split(",") if c.strip()]
+            out.append((m.group(1), cols))
+    return out
+
+
 def broadcast_join_count(df: DataFrame) -> int:
     return physical_plan(df).count("BroadcastHashJoin")
 

@@ -117,6 +117,29 @@ def test_registry_wide_plan_sweep(spark, sf_dir):
     assert not failures, failures
 
 
+def test_registry_wide_column_pruning_sweep(spark, sf_dir):
+    """Column pruning must reach EVERY parquet scan of a wide table:
+    no registry query may read all columns of a table wider than 3
+    (measured r9: zero full-width scans across all 87 plans — this
+    pins it). A full-width scan means an opaque barrier (mapInPandas
+    over full rows, select('*') through a UDF) blocked pruning — at
+    100 TB that's reading 11 lineitem columns for a 2-column query."""
+    from callysto_spark.plans.audit import scan_read_schemas
+
+    widths = {}
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        widths[t] = len(spark.read.parquet(f"{sf_dir}/{t}.parquet").columns)
+    failures = []
+    for name in sorted(REGISTRY):
+        for table, cols in scan_read_schemas(REGISTRY[name].fn(spark, sf_dir)):
+            w = widths.get(table)
+            if w and w > 3 and len(cols) >= w:
+                failures.append(f"{name}: full-width scan of {table} ({len(cols)}/{w} cols)")
+    assert not failures, failures
+
+
 def test_deciles_no_global_window_funnel(spark, sf_dir):
     """user_spend_deciles must not funnel the per-user aggregate through
     one task: the data path range-partitions; the only SinglePartition
