@@ -334,6 +334,41 @@ def test_streaming_near_dup_recipe_matches_batch_pipeline(spark, tmp_path, sf_di
     both = [i for i in range(20) if i in streamed and i + 100000 in streamed]
     assert not both, f"twin pairs with both members surviving: {both}"
 
+    # Incremental contract — the recipe's actual operating mode is
+    # PERIODIC drains: a second availableNow run over the same dir plus
+    # newly arrived files must append ONLY the new docs' signatures
+    # (checkpoint offsets skip the already-drained files; reprocessing
+    # the corpus each drain would be quadratic over a pipeline's life).
+    late = corpus.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), F.col("text")
+    )
+    late.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "nd_scratch2"))
+    for f in sorted((tmp_path / "nd_scratch2").iterdir()):
+        if f.name.endswith(".parquet"):
+            shutil.copy(f, stage / "9999.parquet")
+    n_before = spark.read.parquet(str(sig_path)).count()
+    q2 = (
+        minhash_signatures(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stage)),
+            "doc_id",
+            "text",
+            num_hashes=64,
+            n=4,
+        )
+        .writeStream.format("parquet")
+        .option("path", str(sig_path))
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    sig_after = spark.read.parquet(str(sig_path))
+    assert sig_after.count() == n_before + 5, "second drain must append exactly the new docs"
+    new_ids = {r["doc"] for r in sig_after.filter(F.col("doc") >= 200000).collect()}
+    assert new_ids == {200000 + i for i in range(5)}
+
 
 def test_sessionize_accepts_ntz_and_ltz_timestamps(spark):
     """The operator must produce identical sessions whether ``ts`` is
