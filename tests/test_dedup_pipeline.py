@@ -365,3 +365,71 @@ def test_lsh_banding_cap_semantics_match_python_reference(spark):
         assert got_capped <= got_uncapped
 
     run()
+
+
+def test_simhash_candidates_semantics_match_python_reference(spark):
+    """Property test for simhash_candidates (banded blocking + exact
+    in-row Hamming verify + bucket cap) directly on hypothesis-generated
+    hex signatures: the output must equal exactly
+
+        {(a, b, hamming(a,b)) : a < b share a (band, slice) bucket
+                                [with df in [2, cap] when capped]
+                                and hamming(a, b) <= max_hamming}
+
+    recomputed in pure Python. Pins slice widths, the bucket-df
+    boundary, and the per-hex-digit popcount Hamming fold on arbitrary
+    signature clusters (mutated copies of a base — shared slices and
+    near-misses are forced)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from callysto_spark.operators.dedup import simhash_candidates
+
+    HEX = "0123456789ABCDEF"
+
+    def ham(x: str, y: str) -> int:
+        return sum(bin(int(a, 16) ^ int(b, 16)).count("1") for a, b in zip(x, y))
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(data=st.data())
+    def run(data):
+        base = data.draw(st.text(HEX, min_size=16, max_size=16))
+        n_docs = data.draw(st.integers(4, 10))
+        sigs = {}
+        for doc in range(n_docs):
+            s = list(base)
+            for _ in range(data.draw(st.integers(0, 4))):
+                pos = data.draw(st.integers(0, 15))
+                s[pos] = data.draw(st.sampled_from(HEX))
+            sigs[doc] = "".join(s)
+        bands = data.draw(st.sampled_from([2, 4]))
+        cap = data.draw(st.sampled_from([None, 2, 3]))
+        max_hamming = data.draw(st.integers(1, bands - 1)) if bands > 2 else 1
+
+        width = 16 // bands
+        from collections import defaultdict
+
+        buckets = defaultdict(set)
+        for doc, s in sigs.items():
+            for b in range(bands):
+                buckets[(b, s[b * width : (b + 1) * width])].add(doc)
+        want = set()
+        for members in buckets.values():
+            if cap is not None and not (2 <= len(members) <= cap):
+                continue
+            ms = sorted(members)
+            for i, a in enumerate(ms):
+                for b2 in ms[i + 1 :]:
+                    h = ham(sigs[a], sigs[b2])
+                    if h <= max_hamming:
+                        want.add((a, b2, h))
+
+        df = spark.createDataFrame(list(sigs.items()), ["doc", "simhash"]).repartition(3)
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_candidates(
+                df, bands=bands, max_hamming=max_hamming, max_bucket_freq=cap
+            ).collect()
+        }
+        assert got == want, f"bands={bands} cap={cap} mh={max_hamming}: {got ^ want}"
+
+    run()
