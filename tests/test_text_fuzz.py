@@ -118,3 +118,50 @@ def test_lang_scores_count_adjacent_stopwords_fully(spark):
     rows = df.select(scores["en"].alias("en"), scores["es"].alias("es")).collect()
     assert rows[0]["en"] == 3  # was 2 under the consuming spec
     assert rows[1]["es"] == 2  # 'de' twice; adjacent 'la de' boundary kept
+
+
+def test_winnow_fingerprints_match_python_reference(spark):
+    """Property test: winnowing (positional k-grams -> sha256-prefix
+    hashes -> sliding-window minima -> distinct) recomputed in pure
+    Python on hypothesis-generated token streams — repeated tokens,
+    docs shorter than k tokens (truncated gram), docs with fewer than w
+    grams (single global minimum), empty text. The SQL oracle replays
+    the registered rows on the fixed corpus; this pins the mechanics on
+    the shapes the corpus lacks."""
+    import hashlib
+
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from callysto_spark.operators.text import winnow_fingerprints
+
+    TOKENS = ["aa", "bb", "cc", "dd"]
+
+    def py_winnow(text: str, k: int, w: int) -> set[str]:
+        toks = text.strip().lower().split() or [""]
+        if text.strip() == "":
+            toks = [""]
+        upper = max(len(toks) - (k - 1), 1)
+        grams = [" ".join(toks[i : i + k]) for i in range(upper)]
+        hs = [hashlib.sha256(g.encode()).hexdigest()[:16] for g in grams]
+        if len(hs) >= w:
+            return {min(hs[p - w : p]) for p in range(w, len(hs) + 1)}
+        return {min(hs)}
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(data=st.data())
+    def run(data):
+        n_docs = data.draw(st.integers(2, 6))
+        docs = [
+            (i, " ".join(data.draw(st.lists(st.sampled_from(TOKENS), min_size=0, max_size=12))))
+            for i in range(n_docs)
+        ]
+        k = data.draw(st.integers(2, 3))
+        w = data.draw(st.integers(2, 5))
+        df = spark.createDataFrame(docs, ["doc_id", "text"]).repartition(3)
+        got = {}
+        for r in winnow_fingerprints(df, "doc_id", "text", k=k, w=w).collect():
+            got.setdefault(r["doc"], set()).add(r["fp"])
+        want = {doc_id: py_winnow(text, k, w) for doc_id, text in docs}
+        assert got == want, f"k={k} w={w}: {({d: got.get(d, set()) ^ want[d] for d in want})}"
+
+    run()
