@@ -281,6 +281,11 @@ def main() -> None:
         # and only gates on normalized-alone when 1t and mt corroborate.
         "cpu_canary_mt_s": canary_mt_s,
         "cpu_canary_mt_end_s": canary_mt_end_s,
+        # the mt canary's wall time scales with its thread count —
+        # bench_compare refuses to compare mt ratios across different
+        # counts (a 48-thread run on 32 cores reads ~1.5x slower from
+        # configuration alone, not host speed)
+        "cpu_canary_mt_threads": cpus,
         # fixed 256 MiB write+fsync / warm-read reference (see io_canary):
         # read cross-round INGEST deltas against io_canary_write_mbps the
         # way query deltas are read against the cpu canary

@@ -71,11 +71,27 @@ def scan_read_schemas(df: DataFrame) -> list[tuple[str, list[str]]]:
     plan = physical_plan(df)
     out: list[tuple[str, list[str]]] = []
     loc = re.compile(r"Location.*?/(\w+)\.parquet")
-    rs = re.compile(r"ReadSchema: struct<([^>]*)>")
+    # greedy to the LAST '>' on the line: nested types
+    # (array<float>, map<string,int>, struct<...>) contain '>' and ','
+    # themselves, so a lazy regex + raw comma split would silently drop
+    # every column after the first nested one — exactly the wide
+    # mapInPandas tables this helper exists to audit
+    rs = re.compile(r"ReadSchema: struct<(.*)>")
     for block in plan.split("Scan parquet")[1:]:
         m, s = loc.search(block), rs.search(block)
         if m and s:
-            cols = [c.split(":")[0].strip() for c in s.group(1).split(",") if c.strip()]
+            cols, depth, start = [], 0, 0
+            body = s.group(1)
+            for i, ch in enumerate(body + ","):
+                if ch in "<([":
+                    depth += 1
+                elif ch in ">)]":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    field = body[start:i].strip()
+                    if field:
+                        cols.append(field.split(":")[0].strip())
+                    start = i + 1
             out.append((m.group(1), cols))
     return out
 

@@ -171,6 +171,46 @@ def test_gate_fails_on_anchor_query_missing_from_new(tmp_path):
     assert bench_compare.main([str(po), str(pn), "--gate"]) == 1
 
 
+def test_corroborated_host_speedup_normalizes_by_mt(tmp_path):
+    # r9 review finding: with both canaries < 1 and corroborating
+    # (st 0.80x, mt 0.70x), normalizing by the nearest-to-1 ratio (st)
+    # would hide a real 1.4x regression at norm 1.22. Corroborated
+    # pairs must normalize by MT — the reference 32-thread walls track.
+    old = _art({"q1": 1.0}, canary=0.30, cpu_canary_mt_s=1.00)
+    new = _art({"q1": 0.98}, canary=0.24, cpu_canary_mt_s=0.70)
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    # raw 0.98 masks it; norm by mt = 0.98/0.70 = 1.40 > 1.25 -> gates
+    assert bench_compare.main([str(po), str(pn), "--gate"]) == 1
+
+
+def test_mt_canary_thread_count_mismatch_ignored():
+    # the mt canary's wall scales with its thread count: ratios across
+    # different counts measure configuration, not host speed
+    old = _art({"q1": 1.0}, canary=0.30, cpu_canary_mt_s=0.10, cpu_canary_mt_threads=32)
+    new = _art({"q1": 1.0}, canary=0.30, cpu_canary_mt_s=0.15, cpu_canary_mt_threads=48)
+    lines, worse, _ = bench_compare.compare(old, new, threshold=1.25)
+    assert any("thread counts differ" in ln for ln in lines)
+    q1 = next(ln for ln in lines if ln.startswith("q1"))
+    assert " 1.00x  1.00x" in q1  # mt ignored: host = st ratio 1.00
+    assert not worse
+
+
+def test_mt_only_artifact_header_is_honest():
+    # r9 review finding: with cpu_canary_s missing but the mt canary
+    # present, the header used to claim RAW ratios while the norm
+    # column was mt-normalized
+    old = _art({"q1": 1.0}, cpu_canary_mt_s=0.10)
+    new = _art({"q1": 2.0}, cpu_canary_mt_s=0.20)
+    lines, _, errors = bench_compare.compare(old, new, threshold=1.25)
+    assert any("uses the mt canary alone" in ln for ln in lines)
+    assert not any("RAW ratios" in ln for ln in lines)
+    q1 = next(ln for ln in lines if ln.startswith("q1"))
+    assert " 2.00x  1.00x" in q1  # norm divided by mt's 2.00x
+    assert any("cpu_canary_s missing" in e for e in errors)  # still gates
+
+
 def test_mt_canary_normalizes_by_ratio_nearest_one():
     # st canary says 0.80x, mt canary says 1.00x: normalize by the ratio
     # nearest 1 (under-correcting is gate-stricter, never lenient)

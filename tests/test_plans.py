@@ -117,6 +117,21 @@ def test_registry_wide_plan_sweep(spark, sf_dir):
     assert not failures, failures
 
 
+def test_scan_read_schemas_handles_nested_types(spark, sf_dir):
+    """The ReadSchema parser must survive nested column types: an
+    array<float> column contains '>' and ',' itself, so a lazy regex +
+    raw comma split silently dropped every column after the first
+    nested one — undercounting exactly the wide Arrow/mapInPandas
+    tables the pruning sweep exists to audit (r9 review finding)."""
+    from callysto_spark.plans.audit import scan_read_schemas
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    [(table, cols)] = scan_read_schemas(e.select("vec_id", "embedding", "label"))
+    assert table == "embeddings" and cols == ["vec_id", "embedding", "label"]
+    [(_, pruned)] = scan_read_schemas(e.select("vec_id"))
+    assert pruned == ["vec_id"]
+
+
 def test_registry_wide_column_pruning_sweep(spark, sf_dir):
     """Column pruning must reach EVERY parquet scan of a wide table:
     no registry query may read all columns of a table wider than 3

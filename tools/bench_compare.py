@@ -31,20 +31,22 @@ while 32-thread query walls did not move, so dividing raw ratios by
 the 1.25 bar at raw 1.12x.  Two fixes, both here:
 
 - ``bench.py`` now also records ``cpu_canary_mt_s`` — the SAME
-  checksum workload fanned across all cores — and this tool
-  normalizes by whichever canary ratio is CLOSER TO 1 (the true host
-  factor for a 32-thread query mix lies between the single- and
-  multi-thread ratios; picking the nearer-to-1 one under-corrects,
-  which can only make the gate stricter, never lenient).
-- The gate requires agreement: when the two canaries corroborate each
-  other (ratios within 15%) the normalization is trustworthy and a
-  normalized regression gates alone; when they diverge — or when a
-  legacy artifact has only the single-thread canary, the exact r8
-  false-alarm configuration — a query gates only if BOTH its raw AND
-  its normalized ratio exceed the threshold (a host speedup can mask
-  a real regression in raw and a host slowdown can mask one in
-  normalized, so requiring both rules out the over-correction mode
-  while still catching any regression the host can't explain away).
+  checksum workload fanned across all cores.  When the two canaries
+  CORROBORATE (ratios within 15%) the tool normalizes by the
+  MULTI-THREAD ratio — the reference 32-thread query walls actually
+  track — and a normalized regression gates alone.  When they
+  diverge, or a legacy artifact has only the single-thread canary
+  (the exact r8 false-alarm configuration), the tool normalizes by
+  whichever available ratio is closer to 1 and a query gates only if
+  BOTH its raw AND its normalized ratio exceed the threshold.
+- The raw-AND-norm fallback is a deliberate recall trade, stated
+  plainly: under uncorroborated canaries a real regression that a
+  genuine host SPEEDUP hides in raw (host 0.5x, code 1.6x -> raw
+  0.8x) is NOT caught — that is the price of eliminating the r8
+  same-code false alarm, paid only on artifact pairs whose host
+  reading is untrustworthy.  The mt canary exists precisely so
+  post-r9 artifact pairs corroborate and take the norm-alone path,
+  where both mask directions are caught.
 """
 
 from __future__ import annotations
@@ -74,16 +76,19 @@ def compare(old: dict, new: dict, threshold: float = 1.10) -> tuple[list[str], l
     errors: list[str] = []
     c_old = old.get("cpu_canary_s")
     c_new = new.get("cpu_canary_s")
-    mt_old = old.get("cpu_canary_mt_s")
-    mt_new = new.get("cpu_canary_mt_s")
+    mt_old = new_mt = None
+    th_old, th_new = old.get("cpu_canary_mt_threads"), new.get("cpu_canary_mt_threads")
+    if th_old and th_new and th_old != th_new:
+        # the mt canary's wall time scales with its thread count: ratios
+        # across different counts measure configuration, not host speed
+        lines.append(
+            f"note: mt canary thread counts differ ({th_old} vs {th_new}) — "
+            "mt ratio not comparable, ignored"
+        )
+    else:
+        mt_old, new_mt = old.get("cpu_canary_mt_s"), new.get("cpu_canary_mt_s")
     host_st = c_new / c_old if c_old and c_new else None
-    host_mt = mt_new / mt_old if mt_old and mt_new else None
-    # normalization factor: the canary ratio CLOSEST TO 1 among those
-    # available — the true host factor for a 32-thread query mix lies
-    # between the single- and multi-thread ratios, so the nearer-to-1
-    # pick under-corrects (gate-stricter, never gate-lenient)
-    candidates = [h for h in (host_st, host_mt) if h]
-    host = min(candidates, key=lambda h: abs(h - 1.0)) if candidates else 1.0
+    host_mt = new_mt / mt_old if mt_old and new_mt else None
     # corroborated = the two canaries agree on the host factor; only
     # then is a normalized ratio trustworthy enough to gate ALONE
     corroborated = (
@@ -91,17 +96,27 @@ def compare(old: dict, new: dict, threshold: float = 1.10) -> tuple[list[str], l
         and host_mt is not None
         and abs(host_st / host_mt - 1.0) <= 0.15
     )
-    if host_st is not None:
-        lines.append(
-            f"host speed: 1t canary {c_old:.3f}s -> {c_new:.3f}s ({host_st:.2f}x)"
-            + (
-                f"; mt canary {mt_old:.3f}s -> {mt_new:.3f}s ({host_mt:.2f}x)"
-                if host_mt is not None
-                else ""
-            )
-            + f"; normalizing by {host:.2f}x (ratio nearest 1)"
-        )
-        if host_mt is None:
+    # normalization factor: when the canaries corroborate, use the
+    # MULTI-THREAD ratio — it is the reference 32-thread query walls
+    # actually track (normalizing by the st ratio here would be
+    # gate-LENIENT whenever the host sped up: st 0.80/mt 0.70 hides a
+    # 1.4x regression at norm 1.22). When they diverge — or only one
+    # canary exists — take the available ratio closest to 1; the
+    # raw-AND-norm gate rule below carries the residual uncertainty.
+    if corroborated:
+        host = host_mt
+    else:
+        candidates = [h for h in (host_st, host_mt) if h]
+        host = min(candidates, key=lambda h: abs(h - 1.0)) if candidates else 1.0
+    if host_st is not None or host_mt is not None:
+        parts = []
+        if host_st is not None:
+            parts.append(f"1t canary {c_old:.3f}s -> {c_new:.3f}s ({host_st:.2f}x)")
+        if host_mt is not None:
+            parts.append(f"mt canary {mt_old:.3f}s -> {new_mt:.3f}s ({host_mt:.2f}x)")
+        why = "mt, corroborated" if corroborated else "ratio nearest 1"
+        lines.append("host speed: " + "; ".join(parts) + f"; normalizing by {host:.2f}x ({why})")
+        if host_st is not None and host_mt is None:
             if not 0.8 <= host_st <= 1.25:
                 # the only canary is SINGLE-THREAD: across windows whose
                 # clocks differ this much, single-thread turbo and
@@ -113,13 +128,13 @@ def compare(old: dict, new: dict, threshold: float = 1.10) -> tuple[list[str], l
                     "single-thread normalization is approximate at this gap; "
                     "read normalized ratios with ~25% uncertainty"
                 )
-        elif not corroborated:
+        elif host_st is not None and not corroborated:
             lines.append(
                 f"caution: 1t ({host_st:.2f}x) and mt ({host_mt:.2f}x) canaries "
                 "disagree — mixed host drift; a regression gates only if "
                 "BOTH raw and normalized exceed the threshold"
             )
-    else:
+    if host_st is None:
         missing = [
             name
             for name, c in (("old", c_old), ("new", c_new))
@@ -127,7 +142,11 @@ def compare(old: dict, new: dict, threshold: float = 1.10) -> tuple[list[str], l
         ]
         lines.append(
             f"host speed: no cpu_canary_s in {'/'.join(missing)} artifact"
-            " — RAW ratios (host drift not separable from code change)"
+            + (
+                " — normalized column uses the mt canary alone"
+                if host_mt is not None
+                else " — RAW ratios (host drift not separable from code change)"
+            )
         )
         errors.append(f"cpu_canary_s missing in {'/'.join(missing)} artifact")
     io_old, io_new = old.get("io_canary_write_mbps"), new.get("io_canary_write_mbps")
