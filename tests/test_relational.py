@@ -245,3 +245,50 @@ def test_changelog_null_op_is_delete_opt_in(spark):
     )
     out = changelog_materialize(changes, ["k"], [F.col("off")], null_op_is_delete=True).collect()
     assert len(out) == 1 and out[0]["k"] == 2 and out[0]["payload"] == "c"
+
+
+def test_changelog_materialize_matches_replay_reference(spark):
+    """Property test: changelog_materialize (one window pass) must equal
+    a sequential last-offset-wins replay — the reference's
+    apply_changelog_batch semantics (stores/inmemory.rs:185-226) — on
+    hypothesis-generated change streams with interleaved upserts,
+    explicit deletes, NULL ops, key churn (delete -> re-upsert), and
+    both NULL-op contracts."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    from callysto_spark.operators.changelog import changelog_materialize
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(data=st.data())
+    def run(data):
+        n = data.draw(st.integers(1, 25))
+        ops = data.draw(
+            st.lists(st.sampled_from(["upsert", "delete", None]), min_size=n, max_size=n)
+        )
+        keys = data.draw(st.lists(st.integers(0, 4), min_size=n, max_size=n))
+        null_is_delete = data.draw(st.booleans())
+        # unique offsets = the total order the operator requires
+        changes = [
+            (k, off, op, f"v{off}" if op == "upsert" else None)
+            for off, (k, op) in enumerate(zip(keys, ops))
+        ]
+
+        state: dict[int, tuple] = {}
+        for k, off, op, payload in changes:  # sequential replay reference
+            if op == "delete" or (op is None and null_is_delete):
+                state.pop(k, None)
+            else:
+                state[k] = (off, op, payload)
+        want = {(k, off, op, payload) for k, (off, op, payload) in state.items()}
+
+        df = spark.createDataFrame(changes, "k long, off long, op string, payload string")
+        got = {
+            tuple(r)
+            for r in changelog_materialize(
+                df, ["k"], [F.col("off")], null_op_is_delete=null_is_delete
+            ).collect()
+        }
+        assert got == want, f"null_is_delete={null_is_delete}: {got ^ want}"
+
+    run()
