@@ -78,70 +78,74 @@ def load_all() -> dict[str, Query]:
     oracle-checkable sketch/raw-message queries plus the pre-r4 head
     rows; r6 promoted the five stalest bench-headline rows plus the
     tpch2/3/4 tail; r7 re-certified the five r4 rows + all 30 r5 rows;
-    r8 promoted all 35 r6-latest rows plus the two new BLAS rows. r9
-    (THIS round, per the round-8 VERDICT item 2) promotes ALL 37 rows
-    whose newest green record is r7 — doc_winnow_fingerprints and
-    doc_fingerprint_groups head the queue as planned, then the
-    raw_message/avro_roundtrip, sketch, tpch-head, events/streaming-
-    twin and relational remainder. The 13-slot kept head is every row
-    whose CODE or ORACLE changed this round — the two BLAS rows (now
-    carrying real oracles instead of oracle=None, verdict item 3), the
-    two banded-LSH rows (now running max_bucket_freq, the 100 TB
-    configuration, verdict item 4), doc_simhash (cap-rationale
-    documented), and the refactored-oracle ANN rows — plus the
-    highest-value always-on LLM rows. doc_ngram_jaccard_pairs and
-    doc_near_dup_survivor_stats (r8-green, unchanged) rotate out one
-    round to make room.
+    r8 promoted all 35 r6-latest rows plus the two new BLAS rows; r9
+    promoted all 37 r7-latest rows, keeping the 13 rows whose code or
+    oracle changed that round (BLAS oracles, max_bucket_freq LSH,
+    shared-oracle ANN) plus the always-on LLM heads. r10 (THIS round,
+    per the round-9 VERDICT item 1) promotes ALL 37 rows whose newest
+    green record is r8 — doc_ngram_jaccard_pairs and
+    doc_near_dup_survivor_stats (the two rows r9 deferred) head the
+    queue as the registry promised, then the TPC-H body
+    (q1..q22 remainder), the asof/sessionize/frame/argmax rows and the
+    text-scoring remainder. The 13-slot kept head: the 6 always-on
+    LLM-ops rows plus the 7 newest-machinery rows (BLAS in-plan-guard
+    oracles, the max_bucket_freq=64 banded-LSH configuration,
+    doc_simhash, and the shared-oracle ANN rows) — each of those 7 has
+    exactly ONE round of green on its r9-reworked code/oracle, so a
+    second consecutive certification is the cheapest high-value use of
+    the slack slots. No registry row's code or oracle changes in r10
+    (registry frozen at 87, verdict item 7).
     """
     from callysto_spark.queries import llm_ops, tpch2, tpch3, tpch4, events, arrays, messages, tpch  # noqa: F401
 
     promoted = [
-        # the two rows the r8 verdict named as heading the r9 queue:
-        "doc_winnow_fingerprints",
-        "doc_fingerprint_groups",
-        # the rest of the r7-certified window (newest green = r7):
-        "left_join_customer_orders",
-        "full_outer_nation_activity",
-        "null_handling_funcs",
-        "string_normalize_parts",
-        "token_positions",
-        "approx_distinct_parts",
-        "avro_roundtrip_stats",
-        "case_bucket_orders",
-        "cube_status_priority",
-        "distinct_counts_by_flag",
-        "embedding_array_stats",
-        "events_changelog_materialize",
-        "events_dedup_latest",
-        "events_hourly_tumbling",
-        "events_interval_join_clicks",
-        "events_json_kv",
-        "events_sliding_1h_30m",
-        "events_type_stats",
-        "events_user_salted_counts",
-        "events_value_quantile_sketch",
-        "grouping_sets_order_stats",
-        "order_month_stats",
-        "pivot_linestatus",
-        "q5_supplier_volume",
-        "q6_forecast_revenue",
-        "raw_message_decode_stats",
-        "rollup_revenue",
-        "semi_anti_customers",
-        "setop_customers_96_97",
-        "string_funcs_parts",
-        "token_top20",
-        "top3_orders_per_customer",
-        "user_event_type_sets",
-        "user_spend_deciles",
-        "user_type_count_map",
+        # the two rows the r9 rotation deferred (and queued first):
+        "doc_ngram_jaccard_pairs",
+        "doc_near_dup_survivor_stats",
+        # the rest of the r8-certified set (newest green = r8):
+        "q1_pricing_summary",
+        "q2_cheapest_supplier",
+        "q3_shipping_priority",
+        "q4_priority_with_discounted_lines",
+        "q7_bilateral_volume",
+        "q8_market_share",
+        "q9_profit_by_nation_year",
+        "q10_returned_items",
+        "q11_important_parts",
+        "q12_priority_by_bracket",
+        "q13_customer_order_distribution",
+        "q14_promo_share",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q18_large_orders",
+        "q19_bracket_revenue",
+        "q21_waiting_suppliers",
+        "q22_idle_rich_customers",
+        "scalar_subquery_vs_max",
+        "setop_all_variants",
+        "argmax_order_per_nation",
+        "customer_balance_distribution",
+        "orders_price_range_frame",
+        "part_type_topk",
+        "price_quartiles_by_segment",
+        "shipping_delay_histogram",
+        "supplier_daily_running",
+        "suppliers_many_parts",
+        "events_asof_purchase_click",
+        "events_sessionize",
+        "emb_label_near_pairs",
+        "doc_bpe_token_stats",
+        "doc_lang_scores",
+        "doc_quality_score",
+        "doc_stratified_sample",
     ]
-    # Rows whose code/oracle CHANGED this round — they must be in the
-    # driver window to re-certify: the BLAS rows now carry real oracles
-    # (r8 verdict item 3) and the banded-LSH rows run max_bucket_freq
-    # (item 4); emb_cosine_topk / emb_ivf_assign share the refactored
-    # oracle SQL with the BLAS rows.
-    changed = [
+    # The 7 newest-machinery rows: each has exactly one round of green
+    # on its r9-reworked code/oracle (BLAS in-plan-guard oracles, the
+    # max_bucket_freq=64 banded-LSH configuration, doc_simhash's
+    # cap-rationale, the shared-oracle ANN rows) — a second consecutive
+    # certification before they age into the normal rotation. No code
+    # or oracle changed in r10.
+    watch = [
         "emb_ivf_assign_blas",
         "emb_cosine_topk_blas",
         "doc_minhash_lsh_pairs",
@@ -150,8 +154,7 @@ def load_all() -> dict[str, Query]:
         "emb_cosine_topk",
         "emb_ivf_assign",
     ]
-    # North-star LLM-ops rows kept in the always-sampled head (6 slots
-    # this round; jaccard_pairs/survivor_stats rotate out — r8-green).
+    # North-star LLM-ops rows kept in the always-sampled head.
     llm_kept = [
         "doc_dedup_exact",
         "doc_ngram_jaccard_capped",
@@ -163,15 +166,14 @@ def load_all() -> dict[str, Query]:
     # ValueError, not assert: these guard the driver-sample window and
     # must survive python -O (a stripped assert would silently ship a
     # mis-sized window and drop queries out of the first-50 sample)
-    if len(promoted) != 37 or len(changed) != 7 or len(llm_kept) != 6:
+    if len(promoted) != 37 or len(watch) != 7 or len(llm_kept) != 6:
         raise ValueError(
             f"window is 37+7+6; got {len(promoted)} promoted + "
-            f"{len(changed)} changed + {len(llm_kept)} llm"
+            f"{len(watch)} watch + {len(llm_kept)} llm"
         )
-    # r10 promotion queue: doc_ngram_jaccard_pairs and
-    # doc_near_dup_survivor_stats (deferred this round), then the rows
-    # whose newest green record is r8.
-    head = promoted + changed + llm_kept
+    # r11 promotion queue: the 37 rows whose newest green record is r9
+    # (the r9 window minus the 13 rows kept above).
+    head = promoted + watch + llm_kept
     missing = [n for n in head if n not in REGISTRY]
     if missing:
         raise ValueError(f"promoted queries not in registry: {missing}")

@@ -172,17 +172,12 @@ def test_load_all_idempotent_and_windowed():
     assert first == second, "load_all must be order-stable across calls"
     assert len(first) == len(set(first)) == 87
     head = first[:50]
-    # rows deferred by the r9 rotation: every one is r8-green (the
+    # rows deferred by the r10 rotation: every one is r9-green (the
     # newest possible certification), making room for the 37 rows whose
-    # newest green was r7
+    # newest green was r8
     deferred = {
-        "doc_quality_score",
-        "doc_lang_scores",
-        "doc_bpe_token_stats",
-        "doc_stratified_sample",
-        "doc_ngram_jaccard_pairs",
-        "doc_near_dup_survivor_stats",
-        "emb_label_near_pairs",
+        "doc_winnow_fingerprints",
+        "doc_fingerprint_groups",
     }
     missing = [
         n
@@ -192,7 +187,7 @@ def test_load_all_idempotent_and_windowed():
     assert not missing, f"north-star queries fell out of the sampled window: {missing}"
     # the freshness justification for the deferral, checked against the
     # actual newest driver artifact when present
-    art = Path(__file__).resolve().parents[1] / "CORRECTNESS_r08.json"
+    art = Path(__file__).resolve().parents[1] / "CORRECTNESS_r09.json"
     if art.exists():
         rec = json.loads(art.read_text())
         rec = rec.get("parsed", rec)
