@@ -99,9 +99,11 @@ def cpu_canary_mt(n_threads: int = 32) -> float:
     gate). This canary fans the same sha256 checksum workload across
     ``n_threads`` OS threads — hashlib releases the GIL on large
     buffers, so the wall time tracks genuine all-core throughput, the
-    figure 32-thread query walls actually follow. ``bench_compare``
-    normalizes by whichever canary ratio is nearer 1 and only lets a
-    normalized ratio gate alone when the two canaries corroborate.
+    figure 32-thread query walls actually follow. When the two canary
+    ratios corroborate (within 15%), ``bench_compare`` normalizes by
+    the MULTI-THREAD ratio and gates on the normalized reading alone;
+    only diverging or legacy (mt-less) canary pairs fall back to the
+    ratio nearest 1 under the raw-AND-norm gate rule.
 
     Min-of-3 like the 1t canary; ~64 MiB hashed per thread per trial.
     """
@@ -277,8 +279,9 @@ def main() -> None:
         "cpu_canary_end_s": canary_end_s,
         # the same checksum workload fanned across all cores (GIL-free
         # sha256): the host factor 32-thread query walls actually track.
-        # bench_compare normalizes by whichever canary ratio is nearer 1
-        # and only gates on normalized-alone when 1t and mt corroborate.
+        # When 1t and mt corroborate, bench_compare normalizes by THIS
+        # ratio and gates on normalized alone; diverging/legacy pairs
+        # fall back to nearest-1 normalization with raw-AND-norm gating.
         "cpu_canary_mt_s": canary_mt_s,
         "cpu_canary_mt_end_s": canary_mt_end_s,
         # the mt canary's wall time scales with its thread count —
