@@ -273,3 +273,37 @@ def test_ingest_io_normalization_reported():
     ing = next(ln for ln in lines if ln.startswith("INGEST"))
     # raw 0.50x but io canary also halved -> 1.00x io-normalized
     assert "0.50x" in ing and "1.00x io-normalized" in ing
+
+
+def test_committed_artifact_pair_corroborates_and_gates_norm_alone():
+    """r9 verdict item 3: both committed artifacts (the anchor and the
+    newest round's bench) carry the mt canary with the same thread
+    count, their two canary ratios corroborate (within 15%), and the
+    standing gate therefore takes the "mt, corroborated" norm-alone
+    path — the configuration where both raw-mask directions are
+    caught. If a future round's artifact loses the mt canary or the
+    canaries stop corroborating on same-host artifacts, this trips
+    before the driver's per-round gate run does."""
+    root = Path(__file__).resolve().parents[1]
+    anchor = root / "BENCH_BASELINE.json"
+    newest = max(root.glob("BENCH_r*.json"))
+    if not anchor.exists():
+        import pytest
+
+        pytest.skip("anchor artifact not present")
+    old, new = bench_compare.load(str(anchor)), bench_compare.load(str(newest))
+    for art, name in ((old, "anchor"), (new, newest.name)):
+        assert art.get("cpu_canary_s"), f"{name} lost the 1t canary"
+        assert art.get("cpu_canary_mt_s"), f"{name} lost the mt canary"
+    assert old.get("cpu_canary_mt_threads") == new.get("cpu_canary_mt_threads"), (
+        "mt canary thread counts differ — ratios not comparable"
+    )
+    host_st = new["cpu_canary_s"] / old["cpu_canary_s"]
+    host_mt = new["cpu_canary_mt_s"] / old["cpu_canary_mt_s"]
+    assert abs(host_st / host_mt - 1.0) <= 0.15, (
+        f"canaries diverge on the committed pair: 1t {host_st:.2f}x vs mt {host_mt:.2f}x"
+    )
+    lines, _, errors = bench_compare.compare(old, new, threshold=1.25)
+    assert not errors
+    header = next(ln for ln in lines if ln.startswith("host speed:"))
+    assert "mt, corroborated" in header, header
