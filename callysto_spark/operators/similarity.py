@@ -582,7 +582,23 @@ def ivf_write(
     directories (partition pruning), so serving cost is
     ``nprobe/n_cells`` of the corpus in IO, not just in compute.
     ``engine='pandas'`` scores assignment with BLAS — the right kernel
-    for a large-k index build (see :func:`ivf_assign`)."""
+    for a large-k index build (see :func:`ivf_assign`).
+
+    ``mode='append'`` is the incremental-maintenance path (at 100 TB an
+    index is appended to, not rebuilt per batch): the new batch is
+    assigned against the FROZEN centroids passed here — which must be
+    the ones the index was built with, or probe-time cell selection
+    (same centroids, :func:`probe_cells_for_queries`) would disagree
+    with storage-time placement and silently miss neighbors — and its
+    files land inside the existing ``cell=`` directories, so a stored
+    probe serves the union with unchanged pruning. Centroid-drift
+    policy: appending never updates centroids; as the appended
+    distribution drifts, cells imbalance and recall for a fixed
+    ``nprobe`` decays, so re-fit + full rebuild (``mode='overwrite'``)
+    when monitoring shows cell-population skew or recall beyond
+    tolerance. Appends are also not transactional on plain parquet —
+    serialize writers, or layer a table format (Delta/Iceberg) for
+    concurrent maintenance."""
     assigned = ivf_assign(corpus, id_col, vec_col, centroids, engine=engine)
     assigned.write.mode(mode).partitionBy("cell").parquet(path)
 

@@ -71,3 +71,65 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
     assert joined.count() > 0
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_ivf_index_append_serves_union_from_frozen_centroids(spark, tmp_path, sf_dir):
+    """Incremental index maintenance (r9 verdict item 5): ivf_write
+    with mode='append' must place a second batch's vectors in the SAME
+    cell= directories the frozen centroids dictate (no new cells, no
+    re-assignment of batch 1), and ivf_topk_stored must serve the
+    union — equal to an in-memory ivf_topk over the concatenated
+    corpus — with partition pruning intact."""
+    import os
+    import re
+
+    from callysto_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        ivf_topk_stored,
+        ivf_write,
+        kmeans_centroids,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    first = e.filter(F.col("vec_id") % 2 == 0)
+    second = e.filter(F.col("vec_id") % 2 == 1)
+    # centroids fitted on batch 1 only, then FROZEN — the append
+    # contract: batch 2 is assigned against these, not a re-fit
+    cents = kmeans_centroids(first, "vec_id", "embedding", k=8, iters=3, sample=512)
+    path = str(tmp_path / "ivf_index")
+    ivf_write(first, "vec_id", "embedding", cents, path)
+    dirs_before = {d for d in os.listdir(path) if d.startswith("cell=")}
+    ivf_write(second, "vec_id", "embedding", cents, path, mode="append")
+    dirs_after = {d for d in os.listdir(path) if d.startswith("cell=")}
+    # appended files may populate a cell batch 1 left empty, but every
+    # directory must be one of the frozen centroids' cells
+    frozen_cells = {f"cell={cid}" for cid, _ in cents}
+    assert dirs_before <= dirs_after <= frozen_cells
+
+    # each appended vector landed in the directory its frozen-centroid
+    # assignment dictates
+    stored = spark.read.parquet(path)
+    expected = ivf_assign(e, "vec_id", "embedding", cents)
+    mism = (
+        stored.select("vec_id", F.col("cell").alias("stored_cell"))
+        .join(expected.select("vec_id", "cell"), "vec_id", "full_outer")
+        .filter(
+            F.col("stored_cell").isNull()
+            | F.col("cell").isNull()
+            | (F.col("stored_cell") != F.col("cell"))
+        )
+    )
+    assert mism.count() == 0
+
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < 3).collect()
+    ]
+    served = ivf_topk_stored(spark, path, "vec_id", "embedding", queries, cents, k=10, nprobe=2)
+    plan = physical_plan(served)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan[:800]
+    mem = ivf_topk(e, "vec_id", "embedding", [0, 1, 2], cents, k=10, nprobe=2)
+    as_set = lambda df: {(r["query_id"], r["neighbor_id"], r["rank"]) for r in df.collect()}
+    assert as_set(served) == as_set(mem)
