@@ -394,3 +394,111 @@ def test_sessionize_accepts_ntz_and_ltz_timestamps(spark):
         got = {(r["user_id"], r["ts"].replace(tzinfo=None)): r["session_id"]
                for r in out.collect()}
         assert got == expected, f"wrong sessions for {spark_type}"
+
+
+def test_streaming_near_dup_recipe_survives_kill_restart(spark, tmp_path, sf_dir):
+    """Chaos drill for the streaming near-dup recipe (r9 verdict item
+    4): kill the signature stream MID-CORPUS (after the first
+    micro-batch of a file-per-trigger drain, with most of the corpus
+    still unread), restart from the same checkpoint, finish the drain,
+    then run the periodic batch LSH/verify/components stage — the
+    survivor set must equal the all-batch pipeline's exactly, with no
+    signature lost or duplicated across the restart boundary. The
+    parquet sink's _spark_metadata commit log + checkpoint offsets are
+    what make the boundary exactly-once; this drives them the way
+    tests/test_durability.py drives the stateful-table changelog
+    (reference analog: /root/reference/callysto/src/runtime/recovery.rs:51-99)."""
+    import shutil
+    import time
+
+    from callysto_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        verify_candidate_pairs,
+    )
+    from callysto_spark.operators.graph import connected_components
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    twins = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" planted")).alias("text"),
+    )
+    corpus = d.unionByName(twins)
+    n_corpus = corpus.count()
+
+    # stage as 8 files so one trigger = ~1/8 of the corpus
+    stage = tmp_path / "cr_stage"
+    stage.mkdir()
+    corpus.repartition(8).write.mode("overwrite").parquet(str(tmp_path / "cr_scratch"))
+    n_files = 0
+    for f in sorted((tmp_path / "cr_scratch").iterdir()):
+        if f.name.endswith(".parquet"):
+            shutil.copy(f, stage / f"{n_files:04d}.parquet")
+            n_files += 1
+    assert n_files == 8
+
+    sig_path, ckpt = tmp_path / "cr_sigs", tmp_path / "cr_ckpt"
+
+    def start(trigger):
+        return (
+            minhash_signatures(
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(stage)),
+                "doc_id",
+                "text",
+                num_hashes=64,
+                n=4,
+            )
+            .writeStream.format("parquet")
+            .option("path", str(sig_path))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(**trigger)
+            .start()
+        )
+
+    # 1. first incarnation: long processing-time trigger => exactly one
+    # micro-batch (one file) commits before we kill it
+    q = start({"processingTime": "120 seconds"})
+    deadline = time.time() + 120
+    drained = 0
+    while time.time() < deadline:
+        try:
+            drained = spark.read.parquet(str(sig_path)).count()
+        except Exception:  # sink dir not created yet
+            drained = 0
+        if drained > 0:
+            break
+        time.sleep(0.25)
+    q.stop()  # kill mid-corpus
+    assert 0 < drained < n_corpus, (
+        f"kill must land mid-corpus: {drained}/{n_corpus} signatures drained"
+    )
+
+    # 2. restart from the SAME checkpoint; drain the remaining files
+    q2 = start({"availableNow": True})
+    q2.awaitTermination(180)
+
+    # exactly-once across the boundary: every doc signed once
+    sigs = spark.read.parquet(str(sig_path))
+    assert sigs.count() == n_corpus, "signatures lost or duplicated across restart"
+    assert sigs.select("doc").distinct().count() == n_corpus
+    batch_sigs = minhash_signatures(corpus, "doc_id", "text", num_hashes=64, n=4)
+    got = {r["doc"]: list(r["signature"]) for r in sigs.collect()}
+    want = {r["doc"]: list(r["signature"]) for r in batch_sigs.collect()}
+    assert got == want
+
+    # 3. periodic batch stage over the restart-spanning signature table
+    def survivors_from(s):
+        cands = minhash_lsh_candidates(s, bands=16, rows_per_band=4, max_bucket_freq=64)
+        verified = verify_candidate_pairs(corpus, cands, "doc_id", "text", n=4, threshold=0.6)
+        comps = connected_components(verified.select("doc_a", "doc_b"), "doc_a", "doc_b")
+        dropped = comps.filter(F.col("vertex") != F.col("component")).select(
+            F.col("vertex").alias("doc_id")
+        )
+        return {
+            r["doc_id"]
+            for r in corpus.join(dropped, "doc_id", "left_anti").select("doc_id").collect()
+        }
+
+    assert survivors_from(sigs) == survivors_from(batch_sigs)
