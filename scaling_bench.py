@@ -260,9 +260,10 @@ def time_pipeline(spark, build, n_runs: int) -> tuple[float, int, float, float, 
 IVF_MARKER = "## IVF index-size probe"
 STOP_MARKER = "## Stop-shingle probes"
 E2E_MARKER = "## End-to-end near-dup pipeline at 100x"
+KMV_MARKER = "## KMV tail probe"  # owned by tools/kmv_tail_probe.py
 # every marker-delimited section is owned by one probe mode and
 # preserved verbatim by the others (and by the full-curve rewrite)
-ALL_MARKERS = (IVF_MARKER, STOP_MARKER, E2E_MARKER)
+ALL_MARKERS = (IVF_MARKER, STOP_MARKER, E2E_MARKER, KMV_MARKER)
 
 
 def _replace_section(md_path: str, marker: str, text: str) -> None:

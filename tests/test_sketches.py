@@ -319,3 +319,29 @@ def test_bounded_topk_tiebreak_is_total_order(spark):
         df = spark.createDataFrame(pdf).repartition(5)
         out = _bounded_topk(df, ["g"], "h", 2, tiebreak=[F.col("t").asc()])
         assert sorted((r["h"], r["t"]) for r in out.collect()) == [(1, "z"), (5, "b")]
+
+
+def test_kmv_global_group_plan_bounded(spark, sf_dir):
+    """The scaling bench's worst-case shape: ONE global group (constant
+    group key). Catalyst folds the constant out of the window's
+    partition spec, so InferWindowGroupLimit does NOT fire here —
+    instead the global row_number<=k filter must become a
+    TakeOrderedAndProject(limit=k): per-partition top-k, then a
+    single-partition merge fed k rows per map partition. If a Spark
+    upgrade loses that rewrite, the plan degrades to an UNBOUNDED
+    global sort on one reducer (all distinct keys into one task) — the
+    exact concentration the r9 verdict told us to rule out — and this
+    pin fails before SCALING.md finds out the slow way."""
+    from callysto_spark.operators.dedup import shingle_rows
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = shingle_rows(d, "doc_id", "text", n=4)
+    df = kmv_distinct(
+        sh.select(F.lit("all").alias("scope"), "g"), ["scope"], F.col("g"), k=256
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject(limit=256" in plan, (
+        f"global bounded top-k rewrite missing — single-reducer sort risk:\n{plan}"
+    )
+    # and the estimator still computes on the bounded survivor set
+    assert df.count() == 1
