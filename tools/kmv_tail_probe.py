@@ -15,14 +15,18 @@ the operator, this probe answers WHICH phase grows, on a clean window:
   top-k (per-partition Sort + WindowGroupLimit Partial, then the
   single-group final merge) + estimator agg.
 
-The deltas isolate the suspects the r9 verdict named: if the final
-single-group merge concentrated, full_kmv - distinct_only would grow
-with scale — but that merge's input is k rows per post-shuffle
-partition (256 x 32 = 8192 rows at ANY corpus size with the fixed
-local[32] partition count), so constant is the prediction. Spill
-metrics (memory/disk bytes) are captured per variant because hash-agg
-spill onset between 30x and 100x is the one mechanism that could bend
-the distinct exchange superlinear at exactly the tail segment.
+The deltas isolate the suspects the r9 verdict named. The top-k phase
+(full_kmv - distinct_only) is PREDICTED to grow LINEARLY: its
+per-partition top-256 pass must scan every distinct hash (O(n) scan
+with an O(k) heap — that scan IS the prune). What must stay constant
+is the single-group FINAL merge, whose input is k rows per map
+partition (256 x 32 at any corpus size with the fixed local[32]
+partition count). Concentration therefore shows up as the top-k
+delta's own 30x->100x growth exponent exceeding linear, not as the
+delta merely growing. Spill metrics (memory/disk bytes) are captured
+per variant because hash-agg spill onset between 30x and 100x is the
+one mechanism that could bend the distinct exchange superlinear at
+exactly the tail segment.
 
 Usage:
     python tools/kmv_tail_probe.py [--scales 10,30,100] [--update-md]
@@ -156,7 +160,7 @@ def _md_section(probe: dict, cpus: int, n_runs: int) -> str:
     d_rows = []
     for label, a, b in (
         ("distinct exchange (distinct_only - scan)", "distinct_only", "scan_shingle"),
-        ("topk sort + WGL + final merge (full - distinct_only)", "full_kmv", "distinct_only"),
+        ("bounded topk (TakeOrderedAndProject) + final merge (full - distinct_only)", "full_kmv", "distinct_only"),
     ):
         cells = [f"{round(pts[str(s)][a]['t'] - pts[str(s)][b]['t'], 3)}" for s in scales]
         d_rows.append(f"| {label} | " + " | ".join(cells) + " |")
@@ -183,8 +187,6 @@ def _md_section(probe: dict, cpus: int, n_runs: int) -> str:
 
 
 def main() -> None:
-    from callysto_spark.session import get_spark
-
     scales = [10, 30, 100]
     if "--scales" in sys.argv:
         scales = [int(s) for s in sys.argv[sys.argv.index("--scales") + 1].split(",")]
@@ -193,21 +195,34 @@ def main() -> None:
     base_docs = int(os.environ.get("SPARK_GRAFT_SCALE_BASE_DOCS", "5000"))
     md_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
 
-    spark = get_spark("callysto-kmv-probe", cpus=cpus, extra_conf={"spark.ui.enabled": "true"})
-    root = tempfile.mkdtemp(prefix="callysto_kmv_probe_")
-    points: dict[str, dict[str, dict]] = {}
-    try:
-        for s in scales:
-            d = f"{root}/x{s}"
-            sb.gen_documents(spark, base_docs * s, d)
-            points[str(s)] = {}
-            for name, build in variants(spark, d).items():
-                points[str(s)][name] = time_variant(spark, build, n_runs)
-                print(f"# {name} @ {s}x: {json.dumps(points[str(s)][name])}", file=sys.stderr)
-            shutil.rmtree(d, ignore_errors=True)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-        spark.stop()
+    if "--from-json" in sys.argv:
+        # replay mode: recompute tails/deltas/finding (the INTERPRETIVE
+        # layer) from a recorded run's points — measurements are never
+        # altered; used when the finding logic improves after an
+        # expensive measurement window already closed
+        src = sys.argv[sys.argv.index("--from-json") + 1]
+        with open(src) as f:
+            rec = json.load(f)
+        points = rec["points"]
+        scales = rec["scales"]
+    else:
+        from callysto_spark.session import get_spark
+
+        spark = get_spark("callysto-kmv-probe", cpus=cpus, extra_conf={"spark.ui.enabled": "true"})
+        root = tempfile.mkdtemp(prefix="callysto_kmv_probe_")
+        points = {}
+        try:
+            for s in scales:
+                d = f"{root}/x{s}"
+                sb.gen_documents(spark, base_docs * s, d)
+                points[str(s)] = {}
+                for name, build in variants(spark, d).items():
+                    points[str(s)][name] = time_variant(spark, build, n_runs)
+                    print(f"# {name} @ {s}x: {json.dumps(points[str(s)][name])}", file=sys.stderr)
+                shutil.rmtree(d, ignore_errors=True)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+            spark.stop()
 
     lo, hi = scales[-2], scales[-1]
     tails = {
@@ -219,16 +234,40 @@ def main() -> None:
         s: round(points[str(s)]["full_kmv"]["t"] - points[str(s)]["distinct_only"]["t"], 3)
         for s in scales
     }
-    grew = merge_delta[hi] > 2 * max(merge_delta[lo], 0.05)
+    delta_tail = tail_exponent({s: max(merge_delta[s], 1e-3) for s in scales}, lo, hi)
+    # linear delta growth = the per-partition top-k SCAN (the prune
+    # itself); concentration = the delta growing beyond linear. Two
+    # guards: 1.15 allows exponent noise, and a 0.3s/5%-of-total floor
+    # refuses to attribute growth from deltas the host's between-run
+    # variance swamps (a slow-window rerun read a 0.17s delta swing as
+    # exponent 1.49 while the TOTAL tail stayed 0.994 — subtraction of
+    # two min-of-3 walls is meaningless below the floor).
+    measurable = merge_delta[hi] >= max(0.3, 0.05 * points[str(hi)]["full_kmv"]["t"])
+    concentrating = measurable and delta_tail is not None and delta_tail > 1.15
+    if not measurable:
+        delta_note = (
+            " — below the measurement floor (host between-run variance exceeds "
+            "the delta); the TOTAL tail governs"
+        )
+    elif concentrating:
+        delta_note = (
+            " — SUPERLINEAR: the bounded top-k is concentrating; fix before "
+            "trusting the curve."
+        )
+    else:
+        delta_note = (
+            " — at-or-under linear, i.e. the per-partition top-k scan (the "
+            "prune itself), with the fixed 8192-row final merge invisible"
+        )
     finding = (
-        f"Finding: full_kmv tail ({lo}x->{hi}x) = {full_tail}; the topk/merge delta "
-        f"moved {merge_delta[lo]}s -> {merge_delta[hi]}s"
-        + (" — the bounded top-k IS concentrating; fix before trusting the curve."
-           if grew else
-           " — flat, as the fixed k x partitions merge input (8192 rows at any "
-           "corpus size) predicts; growth, if any, lives in the linear scan/"
-           "exchange phases and the committed 1.061 reading is attributable to "
-           "the r9 window's 14.4 loadavg.")
+        f"Finding: full_kmv tail ({lo}x->{hi}x) = {full_tail}; the topk-phase delta "
+        f"(full - distinct_only) moved {merge_delta[lo]}s -> {merge_delta[hi]}s "
+        f"(exponent {delta_tail})" + delta_note
+        + (". The committed 1.061 reading is attributable to the r9 window's "
+           "14.4 loadavg, not to the single-group merge (whose input is plan-"
+           "bounded at k rows/partition — pinned by "
+           "tests/test_sketches.py::test_kmv_global_group_plan_bounded)."
+           if full_tail is not None and full_tail <= 1.0 else ".")
     )
     probe = {"scales": scales, "points": points, "tails": tails, "merge_delta": {str(k): v for k, v in merge_delta.items()}, "finding": finding}
     print(json.dumps({"metric": "kmv_tail_probe", **probe}))
