@@ -307,3 +307,54 @@ def test_committed_artifact_pair_corroborates_and_gates_norm_alone():
     assert not errors
     header = next(ln for ln in lines if ln.startswith("host speed:"))
     assert "mt, corroborated" in header, header
+
+
+def test_mid_run_drift_normalizes_by_bracketed_mean(tmp_path):
+    """r10 recalibration: contention arriving MID-RUN slows the query
+    walls while the start canary still reads the fast window — the
+    exact same-code false-FAIL observed live (mt start 0.112s, end
+    0.137s, three queries pushed past 1.25x under start-only
+    normalization). The bracketed mean must absorb it and note the
+    within-run drift."""
+    old = _art(
+        {"q1": 0.40, "q2": 0.80}, canary=0.30,
+        cpu_canary_end_s=0.30, cpu_canary_mt_s=0.126,
+        cpu_canary_mt_end_s=0.126, cpu_canary_mt_threads=32,
+    )
+    # host slows ~25% partway through: walls average ~1.2x, start
+    # canaries unchanged, end canaries carry the slowdown
+    new = _art(
+        {"q1": 0.48, "q2": 0.96}, canary=0.30,
+        cpu_canary_end_s=0.39, cpu_canary_mt_s=0.126,
+        cpu_canary_mt_end_s=0.17, cpu_canary_mt_threads=32,
+    )
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    assert bench_compare.main([str(po), str(pn), "--gate"]) == 0
+    lines, worse, _ = bench_compare.compare(old, new, threshold=1.25)
+    assert not worse
+    assert any("WITHIN the run" in ln for ln in lines)
+
+
+def test_real_regression_not_masked_by_bracketed_mean(tmp_path):
+    # a genuine 1.5x code regression on a STABLE host (start == end
+    # canaries) must still gate — bracketing must not add leniency
+    stable = dict(cpu_canary_end_s=0.30, cpu_canary_mt_s=0.126,
+                  cpu_canary_mt_end_s=0.126, cpu_canary_mt_threads=32)
+    old = _art({"q1": 0.40, "q2": 0.80}, canary=0.30, **stable)
+    new = _art({"q1": 0.60, "q2": 0.80}, canary=0.30, **stable)
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    assert bench_compare.main([str(po), str(pn), "--gate"]) == 1
+
+
+def test_legacy_artifact_without_end_samples_unchanged():
+    # pre-r7 artifacts have no end canaries: ratios must fall back to
+    # start-only (not crash, not silently drop the canary)
+    old = _art({"q1": 0.4}, canary=0.30)
+    new = _art({"q1": 0.6}, canary=0.45)
+    lines, worse, _ = bench_compare.compare(old, new, threshold=1.10)
+    assert any("1.50x" in ln and "host speed" in ln for ln in lines)
+    assert not worse

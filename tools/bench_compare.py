@@ -47,6 +47,18 @@ the 1.25 bar at raw 1.12x.  Two fixes, both here:
   reading is untrustworthy.  The mt canary exists precisely so
   post-r9 artifact pairs corroborate and take the norm-alone path,
   where both mask directions are caught.
+
+Bracketed-mean normalization (r10): each canary is sampled before AND
+after the timed queries; every ratio above is computed from the MEAN
+of the two samples, which is centered on the window the queries ran
+in.  Start-only normalization mis-read any run where contention
+arrived mid-run — observed on same-code runs nine minutes apart: one
+passed the gate with margin, the other's mt canary drifted 0.112s ->
+0.137s within the run (external load climbing to 11) and start-only
+normalization inflated three queries past 1.25x; their bracketed
+ratios read 0.99-1.22x.  A within-run canary drift beyond 20% is
+additionally called out as a note line.  Legacy artifacts without end
+samples fall back to start-only, unchanged.
 """
 
 from __future__ import annotations
@@ -74,8 +86,21 @@ def compare(old: dict, new: dict, threshold: float = 1.10) -> tuple[list[str], l
     drift and pass on real regressions in a fast window."""
     lines: list[str] = []
     errors: list[str] = []
-    c_old = old.get("cpu_canary_s")
-    c_new = new.get("cpu_canary_s")
+
+    def bracket(art: dict, start_key: str, end_key: str):
+        # each canary is sampled BEFORE and AFTER the timed queries;
+        # their mean is centered on the window the queries actually ran
+        # in. Normalizing by the start sample alone mis-reads any run
+        # where contention arrives mid-run (observed on same-code runs:
+        # mt start 0.112 -> end 0.137 while external load climbed to 11
+        # — start-only normalization inflated three queries past the
+        # 1.25x gate; the bracketed mean read them 0.99-1.22x). Legacy
+        # artifacts without the end sample fall back to start-only.
+        s, e = art.get(start_key), art.get(end_key)
+        return (s + e) / 2.0 if s and e else s
+
+    c_old = bracket(old, "cpu_canary_s", "cpu_canary_end_s")
+    c_new = bracket(new, "cpu_canary_s", "cpu_canary_end_s")
     mt_old = new_mt = None
     th_old, th_new = old.get("cpu_canary_mt_threads"), new.get("cpu_canary_mt_threads")
     if th_old and th_new and th_old != th_new:
@@ -86,7 +111,20 @@ def compare(old: dict, new: dict, threshold: float = 1.10) -> tuple[list[str], l
             "mt ratio not comparable, ignored"
         )
     else:
-        mt_old, new_mt = old.get("cpu_canary_mt_s"), new.get("cpu_canary_mt_s")
+        mt_old = bracket(old, "cpu_canary_mt_s", "cpu_canary_mt_end_s")
+        new_mt = bracket(new, "cpu_canary_mt_s", "cpu_canary_mt_end_s")
+    for art, label in ((new, "new"), (old, "old")):
+        for sk, ek, nm in (
+            ("cpu_canary_s", "cpu_canary_end_s", "1t"),
+            ("cpu_canary_mt_s", "cpu_canary_mt_end_s", "mt"),
+        ):
+            s, e = art.get(sk), art.get(ek)
+            if s and e and abs(e / s - 1.0) > 0.20:
+                lines.append(
+                    f"note: {label} artifact's {nm} canary drifted {s:.3f}s -> "
+                    f"{e:.3f}s WITHIN the run (mid-run host drift; bracketed "
+                    "mean used for normalization)"
+                )
     host_st = c_new / c_old if c_old and c_new else None
     host_mt = new_mt / mt_old if mt_old and new_mt else None
     # corroborated = the two canaries agree on the host factor; only
@@ -111,9 +149,9 @@ def compare(old: dict, new: dict, threshold: float = 1.10) -> tuple[list[str], l
     if host_st is not None or host_mt is not None:
         parts = []
         if host_st is not None:
-            parts.append(f"1t canary {c_old:.3f}s -> {c_new:.3f}s ({host_st:.2f}x)")
+            parts.append(f"1t canary {c_old:.3f}s -> {c_new:.3f}s ({host_st:.2f}x, bracketed means)")
         if host_mt is not None:
-            parts.append(f"mt canary {mt_old:.3f}s -> {new_mt:.3f}s ({host_mt:.2f}x)")
+            parts.append(f"mt canary {mt_old:.3f}s -> {new_mt:.3f}s ({host_mt:.2f}x, bracketed means)")
         why = "mt, corroborated" if corroborated else "ratio nearest 1"
         lines.append("host speed: " + "; ".join(parts) + f"; normalizing by {host:.2f}x ({why})")
         if host_st is not None and host_mt is None:
