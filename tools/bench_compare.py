@@ -59,6 +59,21 @@ normalization inflated three queries past 1.25x; their bracketed
 ratios read 0.99-1.22x.  A within-run canary drift beyond 20% is
 additionally called out as a note line.  Legacy artifacts without end
 samples fall back to start-only, unchanged.
+
+Noise-banded corroborated gating (r10): five same-code bench runs in
+one evening spread individual sub-second query walls up to 1.32x
+(min-of-5 each) while artifact TOTALS spread only 0.97-1.13x
+normalized — a single-run per-query norm-alone gate at 1.25x
+false-fails ~1 run in 5 on this host.  Under corroborated canaries a
+query therefore gates when: raw AND norm both exceed the threshold;
+OR norm exceeds `hard` (2x the margin — 1.5 at the default gate,
+outside any observed same-code spread); OR norm exceeds the threshold
+AND the artifact total's normalized ratio exceeds `total_bar` (1.20
+at the default gate — a uniform slowdown raw-masked by host speedup).
+A band exceedance with a flat total is printed as WATCH, not gated.
+Documented escape: a single-query regression between threshold and
+`hard`, raw-masked by a simultaneous host speedup, with a flat total
+— bounded, and caught next round when the anchor rotates under it.
 """
 
 from __future__ import annotations
@@ -205,6 +220,18 @@ def compare(old: dict, new: dict, threshold: float = 1.10) -> tuple[list[str], l
                 errors.append("new artifact self-flags load_contaminated")
 
     qo, qn = old.get("queries", {}), new.get("queries", {})
+    # noise-banded corroborated gating (r10): `hard` sits outside the
+    # worst same-code per-query spread measured on this host (1.32x
+    # across five runs in one evening); `total_bar` sits above the
+    # worst same-code TOTAL spread (1.13x normalized across those five
+    # runs, 1.18x on the committed same-code anchor/BENCH_r09 pair —
+    # the mt canary itself swings ~10% between same-host windows and
+    # that swing lands directly in every normalized total). At the
+    # default gate threshold 1.25 these are 1.50 and 1.20.
+    hard = 1.0 + (threshold - 1.0) * 2.0
+    total_bar = 1.0 + (threshold - 1.0) * 0.8
+    _vo, _vn = old.get("value"), new.get("value")
+    total_norm = (_vn / _vo) / host if _vo and _vn else None
     lines.append(
         f"{'query':<30} {'old_s':>7} {'new_s':>7} {'raw':>6} {'norm':>6}"
     )
@@ -234,9 +261,31 @@ def compare(old: dict, new: dict, threshold: float = 1.10) -> tuple[list[str], l
         raw = qn[name] / qo[name]
         norm = raw / host
         mark = ""
-        if norm > threshold and (raw > threshold or corroborated):
+        if norm > threshold and raw > threshold:
+            # raw and normalized agree the query got slower — gates on
+            # every path (host drift cannot explain both directions)
             mark = "  <-- slower beyond host drift"
             worse.append(name)
+        elif norm > threshold and corroborated:
+            # normalized-only exceedance under corroborated canaries.
+            # Single-run per-query walls are NOISY: five same-code
+            # bench runs in one evening spread individual sub-second
+            # queries up to 1.32x (min-of-5 each, flat loadavg) while
+            # their TOTALS spread only 0.97-1.13x normalized. So a
+            # norm-only exceedance in the (threshold, hard] band gates
+            # only when the artifact TOTAL corroborates a real
+            # slowdown; beyond `hard` (outside any observed same-code
+            # spread) it gates alone — which keeps the raw-masked
+            # catch: a genuine regression the host speedup hides in
+            # raw reads norm >= the regression itself.
+            if norm > hard or (total_norm is not None and total_norm > total_bar):
+                mark = "  <-- slower beyond host drift"
+                worse.append(name)
+            else:
+                mark = (
+                    "  (norm in same-code noise band; total flat — WATCH,"
+                    " not gated)"
+                )
         elif norm > threshold:
             # normalized-only exceedance under an uncorroborated canary:
             # the r8 false-alarm mode (single-thread turbo moved, the
