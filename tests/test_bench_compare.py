@@ -416,3 +416,22 @@ def test_raw_masked_band_regression_beyond_hard_bar_gates(tmp_path):
     po.write_text(json.dumps(old))
     pn.write_text(json.dumps(new))
     assert bench_compare.main([str(po), str(pn), "--gate"]) == 1
+
+
+def test_bench_flagged_registry_rows_match_anchor_queries():
+    """The gate errors when an ANCHOR query is missing from a new
+    artifact, but a newly bench-flagged registry row absent from the
+    anchor would escape gating silently (compare prints 'only in new'
+    without failing). Pin the two sets equal so flagging a new bench
+    row forces an anchor refresh in the same change."""
+    from callysto_spark.queries import load_all
+
+    root = Path(__file__).resolve().parents[1]
+    anchor = root / "BENCH_BASELINE.json"
+    if not anchor.exists():
+        import pytest
+
+        pytest.skip("anchor artifact not present")
+    bench_rows = sorted(n for n, q in load_all().items() if q.bench)
+    anchor_rows = sorted(json.loads(anchor.read_text())["queries"])
+    assert bench_rows == anchor_rows
