@@ -128,11 +128,13 @@ def compare(old: dict, new: dict, threshold: float = 1.10) -> tuple[list[str], l
     else:
         mt_old = bracket(old, "cpu_canary_mt_s", "cpu_canary_mt_end_s")
         new_mt = bracket(new, "cpu_canary_mt_s", "cpu_canary_mt_end_s")
+    drift_watch = [("cpu_canary_s", "cpu_canary_end_s", "1t")]
+    if mt_old is not None or new_mt is not None:
+        # an mt canary ignored for thread-count mismatch never enters a
+        # ratio — a drift note claiming it feeds normalization would lie
+        drift_watch.append(("cpu_canary_mt_s", "cpu_canary_mt_end_s", "mt"))
     for art, label in ((new, "new"), (old, "old")):
-        for sk, ek, nm in (
-            ("cpu_canary_s", "cpu_canary_end_s", "1t"),
-            ("cpu_canary_mt_s", "cpu_canary_mt_end_s", "mt"),
-        ):
+        for sk, ek, nm in drift_watch:
             s, e = art.get(sk), art.get(ek)
             if s and e and abs(e / s - 1.0) > 0.20:
                 lines.append(
