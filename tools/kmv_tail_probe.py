@@ -224,6 +224,8 @@ def main() -> None:
             shutil.rmtree(root, ignore_errors=True)
             spark.stop()
 
+    if len(scales) < 2:
+        raise SystemExit("need at least two scales to fit a tail exponent")
     lo, hi = scales[-2], scales[-1]
     tails = {
         name: tail_exponent({s: points[str(s)][name]["t"] for s in scales}, lo, hi)
