@@ -99,11 +99,14 @@ def cpu_canary_mt(n_threads: int = 32) -> float:
     gate). This canary fans the same sha256 checksum workload across
     ``n_threads`` OS threads — hashlib releases the GIL on large
     buffers, so the wall time tracks genuine all-core throughput, the
-    figure 32-thread query walls actually follow. When the two canary
-    ratios corroborate (within 15%), ``bench_compare`` normalizes by
-    the MULTI-THREAD ratio and gates on the normalized reading alone;
-    only diverging or legacy (mt-less) canary pairs fall back to the
-    ratio nearest 1 under the raw-AND-norm gate rule.
+    figure 32-thread query walls actually follow. ``bench_compare``
+    reads every canary as the bracketed mean of its before/after
+    samples; when the two canary ratios corroborate (within 15%) it
+    normalizes by the MULTI-THREAD ratio and gates per query under the
+    noise-band rule (raw AND norm agree, norm beyond the 1.5x hard
+    bar, or the artifact total normalized beyond 1.20x; a lone band
+    exceedance prints as WATCH); diverging or legacy (mt-less) canary
+    pairs fall back to the ratio nearest 1 under raw-AND-norm gating.
 
     Min-of-3 like the 1t canary; ~64 MiB hashed per thread per trial.
     """
@@ -279,9 +282,10 @@ def main() -> None:
         "cpu_canary_end_s": canary_end_s,
         # the same checksum workload fanned across all cores (GIL-free
         # sha256): the host factor 32-thread query walls actually track.
-        # When 1t and mt corroborate, bench_compare normalizes by THIS
-        # ratio and gates on normalized alone; diverging/legacy pairs
-        # fall back to nearest-1 normalization with raw-AND-norm gating.
+        # When 1t and mt corroborate (on bracketed start/end means),
+        # bench_compare normalizes by THIS ratio and gates under the
+        # noise-band rule; diverging/legacy pairs fall back to
+        # nearest-1 normalization with raw-AND-norm gating.
         "cpu_canary_mt_s": canary_mt_s,
         "cpu_canary_mt_end_s": canary_mt_end_s,
         # the mt canary's wall time scales with its thread count —
