@@ -195,6 +195,34 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    warm_cap = int(os.environ.get("SPARK_GRAFT_BENCH_WARMS", "12"))
+
+    def warm_to_plateau(build) -> int:
+        """Run the query until its wall time reaches the JIT plateau
+        (r10 finding: 20 same-session runs of emb_ivf_topk fall
+        2.39s->0.79s from JVM JIT tiering — and the decline is GRADUAL,
+        ~5-8% per run through run ~10, measured r11, so a single warm
+        run leaves the timed min 1.2-1.4x above steady state and the
+        same-code per-query spread at 1.22-1.32x). Rule: keep warming
+        while new minimums keep arriving; stop when 3 consecutive runs
+        fail to improve the running best by >3%, cap ``warm_cap``.
+        Returns the number of warm runs consumed (stderr diagnostics).
+        """
+        best = float("inf")
+        stale = 0
+        for i in range(warm_cap):
+            t0 = time.perf_counter()
+            run(build())
+            dt = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            if dt < best * 0.97:
+                best = dt
+                stale = 0
+            else:
+                stale += 1
+                if stale >= 3:
+                    return i + 1
+        return warm_cap
 
     def settle(pause: float = 0.75) -> None:
         # Force the deferred JVM cleanup (ContextCleaner shuffle-file
@@ -212,12 +240,14 @@ def main() -> None:
         time.sleep(pause)
 
     timings: dict[str, float | None] = {}
+    warmups: dict[str, int] = {}
     errors: dict[str, str] = {}
     for name in names:
-        # steady-state measurement: first execution pays whole-stage
-        # codegen JIT (~10s of generated-class compilation per complex
-        # plan — irrelevant at 100 TB where it amortizes to noise);
-        # run once to warm, then time n_runs and report the MIN (the
+        # steady-state measurement: first executions pay whole-stage
+        # codegen compilation AND the JVM's tiered JIT ramp (~10 runs
+        # of gradual 5-8%/run decline, r11-measured — irrelevant at
+        # 100 TB where it amortizes to noise); warm to the plateau
+        # (warm_to_plateau), then time n_runs and report the MIN (the
         # steady-state convention — sub-second queries need n≥5 for
         # round-over-round deltas to exceed scheduler/GC noise).
         # Per-query isolation: one broken query must cost ONLY its own
@@ -226,8 +256,7 @@ def main() -> None:
         try:
             if name in os.environ.get("SPARK_GRAFT_BENCH_FAIL", "").split(","):
                 raise RuntimeError("injected failure (SPARK_GRAFT_BENCH_FAIL)")
-            run(registry[name].fn(spark, sf_dir))
-            spark.catalog.clearCache()
+            warmups[name] = warm_to_plateau(lambda: registry[name].fn(spark, sf_dir))
             settle()
             best = float("inf")
             for _ in range(n_runs):
@@ -236,7 +265,11 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
                 spark.catalog.clearCache()
             timings[name] = round(best, 3)
-            print(f"# {name}: {timings[name]:.3f}s (min of {n_runs})", file=sys.stderr)
+            print(
+                f"# {name}: {timings[name]:.3f}s (min of {n_runs} after "
+                f"{warmups[name]} warm runs)",
+                file=sys.stderr,
+            )
         except Exception as exc:
             timings[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
@@ -298,6 +331,11 @@ def main() -> None:
         # way query deltas are read against the cpu canary
         "io_canary_write_mbps": io_can["write_mbps"],
         "io_canary_read_mbps": io_can["read_mbps"],
+        # how many warm runs each query needed to hit its JIT plateau
+        # (warm_to_plateau): a query pinned at the cap means the timed
+        # min may still sit above steady state — read its cross-round
+        # delta with that in mind
+        "warm_runs": warmups,
     }
     if contaminated:
         out["load_contaminated"] = True
@@ -310,12 +348,19 @@ def main() -> None:
     if ingest is not None:
         # MEDIAN is the headline (round-5 verdict: a best whose median is
         # half of it is not a trustworthy number on a shared VM); best
-        # and the per-trial list ride along, and a spread above the 25%
-        # ceiling flags the run as noisy rather than hiding it.
+        # and the per-trial list ride along. r11: the noisy flag reads
+        # the NORMALIZED spread (per-trial mt-canary brackets remove
+        # host drift — what remains is genuine measurement noise), and
+        # the canary-normalized median + per-trial canaries ride along
+        # so a contended window's committed figure can be re-read.
         out["ingest_mbps"] = ingest["median"]
         out["ingest_mbps_best"] = ingest["best"]
         out["ingest_mbps_trials"] = ingest["trials"]
+        out["ingest_mbps_norm"] = ingest["median_norm"]
+        out["ingest_mbps_trials_norm"] = ingest["trials_norm"]
+        out["ingest_trial_canaries_s"] = ingest["trial_canaries_s"]
         out["ingest_spread_pct"] = ingest["spread_pct"]
+        out["ingest_raw_spread_pct"] = ingest["raw_spread_pct"]
         if ingest["spread_pct"] > 25:
             out["ingest_noisy"] = True
     print(json.dumps(out))
@@ -373,6 +418,26 @@ def ingest_bench(spark) -> dict | None:
     actually see), with best + the per-trial list as sidecars and a 25%
     spread ceiling that marks the JSON noisy when exceeded. Set the
     msgs env var to 0 to skip.
+
+    r11 measurement discipline (r10 finding 3: committed median halved
+    609->425 MB/s with an 85% trial spread while the io canary read
+    0.99x — i.e. WINDOW CONTENTION DURING TRIALS, which a run-level
+    canary can't see):
+
+    - one untimed warm DRAIN first (the batch warm above heats parquet
+      decode, but the first streaming drain still pays
+      FileStreamSource/offset-log JIT — measured as the slowest trial
+      in most runs), discarded;
+    - the multi-thread cpu canary is sampled BETWEEN trials, so every
+      trial gets a bracketed host-speed reading; each trial's MB/s is
+      normalized to the run's median canary
+      (mbps * trial_canary / median_canary — canary is wall TIME, so a
+      2x-slower host during a trial scales that trial 2x up);
+    - the headline ``ingest_mbps`` stays the RAW median (comparable to
+      the reference's 278.47 MB/s and to prior rounds);
+      ``ingest_mbps_norm`` + per-trial canaries ride along, and the
+      noisy flag reads the NORMALIZED spread — residual spread after
+      removing host drift is genuine measurement noise.
     """
     import gc
     import shutil
@@ -419,15 +484,17 @@ def ingest_bench(spark) -> dict | None:
         # one-file warm leaves the first trial running interpreted
         # code — measured 220 vs 580+ MB/s on the first timed drain.
         spark.read.parquet(f"{base}/stage").agg(F.sum(F.length("value"))).collect()
+        n_threads = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         results: list[float] = []
-        for t in range(trials):
+        trial_canaries: list[float] = []  # samples bracketing each trial
+        for t in range(-1, trials):  # trial -1 = untimed warm drain
             settle()
             stats: dict = {"bytes": 0, "t0": None, "t1": None}
             src = SourceSpec.parquet_stream(f"{base}/stage", schema="key long, value string")
             # 16 files × 2 row-group splits = 32 tasks/batch — exactly
             # the core count; 8 files left half the machine idle
             src.options["maxFilesPerTrigger"] = 16
-            app = App(f"bench_ingest_t{t}", spark=spark, checkpoint_root=f"{base}/ckpt{t}")
+            app = App(f"bench_ingest_t{t + 1}", spark=spark, checkpoint_root=f"{base}/ckpt{t + 1}")
 
             @app.agent("counter", src)
             def counter(b, ctx):
@@ -438,12 +505,25 @@ def ingest_bench(spark) -> dict | None:
 
             app.run(await_termination=True, timeout=600)
             app.stop()
+            if t < 0:
+                # warm drain: heats the streaming-path JIT (source
+                # discovery, offset log, foreachBatch crossing); result
+                # discarded. Its post-drain canary sample opens trial
+                # 0's bracket.
+                print("# ingest warm drain (discarded)", file=sys.stderr)
+                trial_canaries.append(cpu_canary_mt(n_threads))
+                continue
+            sample = cpu_canary_mt(n_threads)
             if stats["t0"] is None or stats["t1"] is None or stats["t1"] <= stats["t0"]:
                 # timeout before the first batch finished — drop THIS
                 # trial, keep the others (a TypeError here used to ride
-                # the broad except and discard every completed trial)
+                # the broad except and discard every completed trial).
+                # The fresh sample REPLACES the previous one so the next
+                # trial's "before" reading stays adjacent to it.
+                trial_canaries[-1] = sample
                 print(f"# ingest trial {t}: no completed batch (timeout?), skipped", file=sys.stderr)
                 continue
+            trial_canaries.append(sample)
             dt = stats["t1"] - stats["t0"]
             mbps = stats["bytes"] / (1024 * 1024) / dt
             print(
@@ -456,17 +536,41 @@ def ingest_bench(spark) -> dict | None:
             return None
         import statistics
 
-        spread = (max(results) - min(results)) / max(results) * 100
+        # per-trial bracketed host factor: mean of the canary samples
+        # taken immediately before and after the trial (trial_canaries
+        # has exactly len(results)+1 entries — skipped trials popped
+        # theirs). Normalize each trial to the run's median bracket.
+        brackets = [
+            (trial_canaries[i] + trial_canaries[i + 1]) / 2 for i in range(len(results))
+        ]
+        ref = statistics.median(brackets)
+        # normalization exists to remove LARGE host drift (r10: trials
+        # 173-1160 MB/s under window contention); when the brackets are
+        # flat (<15% max/min — inside the canary's own min-of-3 sample
+        # noise at idle), applying it would INJECT canary jitter into
+        # flat trials, so skip it
+        if max(brackets) / min(brackets) <= 1.15:
+            norm = list(results)
+        else:
+            norm = [m * b / ref for m, b in zip(results, brackets)]
+        spread = (max(norm) - min(norm)) / max(norm) * 100
+        raw_spread = (max(results) - min(results)) / max(results) * 100
         print(
             f"# ingest best={max(results):.1f} median={statistics.median(results):.1f} "
-            f"min={min(results):.1f} MB/s spread={spread:.0f}% over {trials} trials",
+            f"min={min(results):.1f} MB/s raw_spread={raw_spread:.0f}% "
+            f"norm_median={statistics.median(norm):.1f} norm_spread={spread:.0f}% "
+            f"over {len(results)} trials",
             file=sys.stderr,
         )
         return {
             "best": round(max(results), 1),
             "median": round(statistics.median(results), 1),
             "trials": [round(v, 1) for v in results],
+            "median_norm": round(statistics.median(norm), 1),
+            "trials_norm": [round(v, 1) for v in norm],
+            "trial_canaries_s": [round(v, 3) for v in trial_canaries],
             "spread_pct": round(spread, 1),
+            "raw_spread_pct": round(raw_spread, 1),
         }
     except Exception as exc:  # never fail the bench line on the extra metric
         print(f"# ingest bench failed: {exc}", file=sys.stderr)
