@@ -27,7 +27,7 @@ def test_uniform_host_slowdown_normalizes_to_one():
     # Every query 1.5x slower AND the canary 1.5x slower => host, not code.
     old = _art({"q1": 0.4, "q2": 0.8}, canary=0.30)
     new = _art({"q1": 0.6, "q2": 1.2}, canary=0.45)
-    lines, _, _ = bench_compare.compare(old, new, threshold=1.10)
+    lines, _, _, _ = bench_compare.compare(old, new, threshold=1.10)
     assert any("no query slower than" in ln for ln in lines)
     q1 = next(ln for ln in lines if ln.startswith("q1"))
     assert " 1.50x" in q1 and " 1.00x" in q1  # raw 1.5, normalized 1.0
@@ -36,7 +36,7 @@ def test_uniform_host_slowdown_normalizes_to_one():
 def test_real_regression_survives_normalization():
     old = _art({"q1": 0.4, "q2": 0.8}, canary=0.30)
     new = _art({"q1": 0.4, "q2": 1.6}, canary=0.30)  # q2 genuinely 2x
-    lines, _, _ = bench_compare.compare(old, new, threshold=1.10)
+    lines, _, _, _ = bench_compare.compare(old, new, threshold=1.10)
     assert any("regressions" in ln and "q2" in ln for ln in lines)
     assert not any("regressions" in ln and "q1" in ln for ln in lines)
 
@@ -44,14 +44,14 @@ def test_real_regression_survives_normalization():
 def test_missing_canary_reports_raw():
     old = _art({"q1": 0.4})  # pre-r7 artifact: no cpu_canary_s
     new = _art({"q1": 0.6}, canary=0.30)
-    lines, _, _ = bench_compare.compare(old, new)
+    lines, _, _, _ = bench_compare.compare(old, new)
     assert any("RAW ratios" in ln and "old" in ln for ln in lines)
 
 
 def test_self_flagged_artifacts_warn():
     old = _art({"q1": 0.4}, canary=0.3)
     new = _art({"q1": 0.4}, canary=0.3, ingest_noisy=True)
-    lines, _, _ = bench_compare.compare(old, new)
+    lines, _, _, _ = bench_compare.compare(old, new)
     assert any("self-flags" in ln and "ingest_noisy" in ln for ln in lines)
 
 
@@ -70,7 +70,7 @@ def test_failed_query_nulls_do_not_crash():
     old = _art({"q1": 0.4, "q2": None, "q3": 0.0}, canary=0.3)
     old["value"] = 0.4
     new = _art({"q1": 0.6, "q2": 0.5, "q3": 0.2}, canary=0.3)
-    lines, _, _ = bench_compare.compare(old, new)
+    lines, _, _, _ = bench_compare.compare(old, new)
     assert any("q2" in ln and "not comparable" in ln and "old failed" in ln for ln in lines)
     assert any("q3" in ln and "not comparable" in ln for ln in lines)
     assert any(ln.startswith("q1") and "1.50x" in ln for ln in lines)
@@ -79,7 +79,7 @@ def test_failed_query_nulls_do_not_crash():
 def test_query_set_drift_is_visible():
     old = _art({"q1": 0.4, "gone": 0.2}, canary=0.3)
     new = _art({"q1": 0.4, "added": 0.2}, canary=0.3)
-    lines, _, _ = bench_compare.compare(old, new)
+    lines, _, _, _ = bench_compare.compare(old, new)
     assert any("gone" in ln and "only in old" in ln for ln in lines)
     assert any("added" in ln and "only in new" in ln for ln in lines)
 
@@ -190,7 +190,7 @@ def test_mt_canary_thread_count_mismatch_ignored():
     # different counts measure configuration, not host speed
     old = _art({"q1": 1.0}, canary=0.30, cpu_canary_mt_s=0.10, cpu_canary_mt_threads=32)
     new = _art({"q1": 1.0}, canary=0.30, cpu_canary_mt_s=0.15, cpu_canary_mt_threads=48)
-    lines, worse, _ = bench_compare.compare(old, new, threshold=1.25)
+    lines, worse, _, _ = bench_compare.compare(old, new, threshold=1.25)
     assert any("thread counts differ" in ln for ln in lines)
     q1 = next(ln for ln in lines if ln.startswith("q1"))
     assert " 1.00x  1.00x" in q1  # mt ignored: host = st ratio 1.00
@@ -203,7 +203,7 @@ def test_mt_only_artifact_header_is_honest():
     # column was mt-normalized
     old = _art({"q1": 1.0}, cpu_canary_mt_s=0.10)
     new = _art({"q1": 2.0}, cpu_canary_mt_s=0.20)
-    lines, _, errors = bench_compare.compare(old, new, threshold=1.25)
+    lines, _, errors, _ = bench_compare.compare(old, new, threshold=1.25)
     assert any("uses the mt canary alone" in ln for ln in lines)
     assert not any("RAW ratios" in ln for ln in lines)
     q1 = next(ln for ln in lines if ln.startswith("q1"))
@@ -216,7 +216,7 @@ def test_mt_canary_normalizes_by_ratio_nearest_one():
     # nearest 1 (under-correcting is gate-stricter, never lenient)
     old = _art({"q1": 1.0}, canary=0.30, cpu_canary_mt_s=1.0)
     new = _art({"q1": 1.0}, canary=0.24, cpu_canary_mt_s=1.0)
-    lines, worse, _ = bench_compare.compare(old, new, threshold=1.10)
+    lines, worse, _, _ = bench_compare.compare(old, new, threshold=1.10)
     q1 = next(ln for ln in lines if ln.startswith("q1"))
     assert " 1.00x  1.00x" in q1  # raw 1.0, normalized by mt's 1.00x not st's 0.80x
     assert not worse
@@ -245,7 +245,7 @@ def test_diverging_canaries_fall_back_to_raw_and_norm(tmp_path):
     po.write_text(json.dumps(old))
     pn.write_text(json.dumps(new))
     assert bench_compare.main([str(po), str(pn), "--gate"]) == 0
-    lines, _, _ = bench_compare.compare(
+    lines, _, _, _ = bench_compare.compare(
         bench_compare.load(str(po)), bench_compare.load(str(pn)), threshold=1.25
     )
     assert any("disagree" in ln for ln in lines)
@@ -256,12 +256,12 @@ def test_ingest_explained_by_io_canary_annotated():
     # delta within 25%, the line says so (host I/O, not code)
     old = _art({"q1": 0.4}, canary=0.3, ingest_mbps=900.0, io_canary_write_mbps=660.0)
     new = _art({"q1": 0.4}, canary=0.3, ingest_mbps=500.0, io_canary_write_mbps=380.0)
-    lines, _, _ = bench_compare.compare(old, new)
+    lines, _, _, _ = bench_compare.compare(old, new)
     ing = next(ln for ln in lines if ln.startswith("INGEST"))
     assert "explained by io canary" in ing
     # ...and NOT when the ingest delta far exceeds the io canary's
     new2 = _art({"q1": 0.4}, canary=0.3, ingest_mbps=200.0, io_canary_write_mbps=660.0)
-    lines, _, _ = bench_compare.compare(old, new2)
+    lines, _, _, _ = bench_compare.compare(old, new2)
     ing = next(ln for ln in lines if ln.startswith("INGEST"))
     assert "explained by io canary" not in ing
 
@@ -269,7 +269,7 @@ def test_ingest_explained_by_io_canary_annotated():
 def test_ingest_io_normalization_reported():
     old = _art({"q1": 0.4}, canary=0.3, ingest_mbps=1000.0, io_canary_write_mbps=800.0)
     new = _art({"q1": 0.4}, canary=0.3, ingest_mbps=500.0, io_canary_write_mbps=400.0)
-    lines, _, _ = bench_compare.compare(old, new)
+    lines, _, _, _ = bench_compare.compare(old, new)
     ing = next(ln for ln in lines if ln.startswith("INGEST"))
     # raw 0.50x but io canary also halved -> 1.00x io-normalized
     assert "0.50x" in ing and "1.00x io-normalized" in ing
@@ -291,12 +291,23 @@ def test_committed_artifact_pair_corroborates_and_gates_norm_alone():
     exactly the branch the predicate dictates for whatever the window
     recorded (a diverging pair must show the nearest-1 fallback, not a
     silently wrong header)."""
+    import re
+
+    import pytest
+
     root = Path(__file__).resolve().parents[1]
     anchor = root / "BENCH_BASELINE.json"
-    newest = max(root.glob("BENCH_r*.json"))
+    # numeric round sort: lexicographic max picks BENCH_r99 over
+    # BENCH_r100 at three digits, silently testing a stale artifact;
+    # an empty glob must skip (fresh clone), not ValueError
+    rounds = sorted(
+        root.glob("BENCH_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.stem).group(1)),
+    )
+    if not rounds:
+        pytest.skip("no BENCH_r*.json artifacts present")
+    newest = rounds[-1]
     if not anchor.exists():
-        import pytest
-
         pytest.skip("anchor artifact not present")
     old, new = bench_compare.load(str(anchor)), bench_compare.load(str(newest))
     for art, name in ((old, "anchor"), (new, newest.name)):
@@ -312,7 +323,7 @@ def test_committed_artifact_pair_corroborates_and_gates_norm_alone():
     host_st = br(new, "cpu_canary_s", "cpu_canary_end_s") / br(old, "cpu_canary_s", "cpu_canary_end_s")
     host_mt = br(new, "cpu_canary_mt_s", "cpu_canary_mt_end_s") / br(old, "cpu_canary_mt_s", "cpu_canary_mt_end_s")
     corroborated = abs(host_st / host_mt - 1.0) <= 0.15
-    lines, _, errors = bench_compare.compare(old, new, threshold=1.25)
+    lines, _, errors, _ = bench_compare.compare(old, new, threshold=1.25)
     assert not errors
     header = next(ln for ln in lines if ln.startswith("host speed:"))
     expected = "mt, corroborated" if corroborated else "ratio nearest 1"
@@ -349,7 +360,7 @@ def test_mid_run_drift_normalizes_by_bracketed_mean(tmp_path):
     po.write_text(json.dumps(old))
     pn.write_text(json.dumps(new))
     assert bench_compare.main([str(po), str(pn), "--gate"]) == 0
-    lines, worse, _ = bench_compare.compare(old, new, threshold=1.25)
+    lines, worse, _, _ = bench_compare.compare(old, new, threshold=1.25)
     assert not worse
     assert any("WITHIN the run" in ln for ln in lines)
 
@@ -372,7 +383,7 @@ def test_legacy_artifact_without_end_samples_unchanged():
     # start-only (not crash, not silently drop the canary)
     old = _art({"q1": 0.4}, canary=0.30)
     new = _art({"q1": 0.6}, canary=0.45)
-    lines, worse, _ = bench_compare.compare(old, new, threshold=1.10)
+    lines, worse, _, _ = bench_compare.compare(old, new, threshold=1.10)
     assert any("1.50x" in ln and "host speed" in ln for ln in lines)
     assert not worse
 
@@ -396,7 +407,7 @@ def test_noise_band_exceedance_with_flat_total_is_watch_not_gate(tmp_path):
     po.write_text(json.dumps(old))
     pn.write_text(json.dumps(new))
     assert bench_compare.main([str(po), str(pn), "--gate"]) == 0
-    lines, worse, _ = bench_compare.compare(old, new, threshold=1.25)
+    lines, worse, _, _ = bench_compare.compare(old, new, threshold=1.25)
     assert not worse
     assert any("WATCH" in ln for ln in lines)
 

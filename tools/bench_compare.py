@@ -92,15 +92,26 @@ def load(path: str) -> dict:
     return art
 
 
-def compare(old: dict, new: dict, threshold: float = 1.10) -> tuple[list[str], list[str], list[str]]:
-    """Return (report lines, regressions beyond host drift, gate errors).
+def compare(
+    old: dict, new: dict, threshold: float = 1.10
+) -> tuple[list[str], list[str], list[str], list[str]]:
+    """Return (report lines, regressions beyond host drift, gate errors,
+    WATCH hits).
 
     ``gate errors`` are conditions that make the comparison itself
     untrustworthy under --gate (missing canary, self-flagged artifacts)
     — a gate that silently falls back to raw ratios would fail on host
-    drift and pass on real regressions in a fast window."""
+    drift and pass on real regressions in a fast window.
+
+    ``WATCH hits`` are queries whose normalized ratio exceeded the
+    threshold inside the same-code noise band with a flat total — not
+    gated (see the noise-band rationale in the module docstring), but
+    returned as data and printed as a single greppable ``WATCH:`` line
+    so repeated WATCHes on the same query can be tracked across rounds
+    instead of relying on a human reading the per-query prose."""
     lines: list[str] = []
     errors: list[str] = []
+    watch: list[str] = []
 
     def bracket(art: dict, start_key: str, end_key: str):
         # each canary is sampled BEFORE and AFTER the timed queries;
@@ -128,10 +139,16 @@ def compare(old: dict, new: dict, threshold: float = 1.10) -> tuple[list[str], l
     else:
         mt_old = bracket(old, "cpu_canary_mt_s", "cpu_canary_mt_end_s")
         new_mt = bracket(new, "cpu_canary_mt_s", "cpu_canary_mt_end_s")
+    host_st = c_new / c_old if c_old and c_new else None
+    host_mt = new_mt / mt_old if mt_old and new_mt else None
     drift_watch = [("cpu_canary_s", "cpu_canary_end_s", "1t")]
-    if mt_old is not None or new_mt is not None:
-        # an mt canary ignored for thread-count mismatch never enters a
-        # ratio — a drift note claiming it feeds normalization would lie
+    if host_mt is not None:
+        # the drift note claims "bracketed mean used for normalization",
+        # so it must only fire when the mt ratio actually ENTERS a
+        # normalization candidate: ignored-for-thread-mismatch OR
+        # one-sided mt samples (host_mt None) never feed a ratio, and a
+        # note on them would make the same misleading claim the guard
+        # exists to prevent
         drift_watch.append(("cpu_canary_mt_s", "cpu_canary_mt_end_s", "mt"))
     for art, label in ((new, "new"), (old, "old")):
         for sk, ek, nm in drift_watch:
@@ -142,8 +159,6 @@ def compare(old: dict, new: dict, threshold: float = 1.10) -> tuple[list[str], l
                     f"{e:.3f}s WITHIN the run (mid-run host drift; bracketed "
                     "mean used for normalization)"
                 )
-    host_st = c_new / c_old if c_old and c_new else None
-    host_mt = new_mt / mt_old if mt_old and new_mt else None
     # corroborated = the two canaries agree on the host factor; only
     # then is a normalized ratio trustworthy enough to gate ALONE
     corroborated = (
@@ -288,6 +303,7 @@ def compare(old: dict, new: dict, threshold: float = 1.10) -> tuple[list[str], l
                     "  (norm in same-code noise band; total flat — WATCH,"
                     " not gated)"
                 )
+                watch.append(name)
         elif norm > threshold:
             # normalized-only exceedance under an uncorroborated canary:
             # the r8 false-alarm mode (single-thread turbo moved, the
@@ -329,7 +345,11 @@ def compare(old: dict, new: dict, threshold: float = 1.10) -> tuple[list[str], l
         lines.append(
             f"no query slower than {threshold:g}x after host normalization"
         )
-    return lines, worse, errors
+    if watch:
+        # machine-readable WATCH summary: one greppable line, stable
+        # prefix, sorted names — diffable across rounds
+        lines.append("WATCH: " + ", ".join(sorted(watch)))
+    return lines, worse, errors, watch
 
 
 def main(argv: list[str]) -> int:
@@ -348,7 +368,7 @@ def main(argv: list[str]) -> int:
     )
     args = p.parse_args(argv)
     threshold = args.threshold if args.threshold is not None else (1.25 if args.gate else 1.10)
-    lines, worse, errors = compare(load(args.old), load(args.new), threshold)
+    lines, worse, errors, _watch = compare(load(args.old), load(args.new), threshold)
     for line in lines:
         print(line)
     if not args.gate:

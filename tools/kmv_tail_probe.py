@@ -205,6 +205,12 @@ def main() -> None:
             rec = json.load(f)
         points = rec["points"]
         scales = rec["scales"]
+        # prefer the RECORDED run's settings for the MD header: stamping
+        # the replay env's cpus/n_runs would mislabel a run measured
+        # under different SPARK_GRAFT_* values (legacy recordings
+        # without these fields keep the env defaults)
+        cpus = int(rec.get("cpus", cpus))
+        n_runs = int(rec.get("n_runs", n_runs))
     else:
         from callysto_spark.session import get_spark
 
@@ -271,7 +277,17 @@ def main() -> None:
            "tests/test_sketches.py::test_kmv_global_group_plan_bounded)."
            if full_tail is not None and full_tail <= 1.0 else ".")
     )
-    probe = {"scales": scales, "points": points, "tails": tails, "merge_delta": {str(k): v for k, v in merge_delta.items()}, "finding": finding}
+    probe = {
+        "scales": scales,
+        "points": points,
+        "tails": tails,
+        "merge_delta": {str(k): v for k, v in merge_delta.items()},
+        "finding": finding,
+        # measurement-time settings, so --from-json replays label the
+        # MD section with the run's own discipline, not the replay env's
+        "cpus": cpus,
+        "n_runs": n_runs,
+    }
     print(json.dumps({"metric": "kmv_tail_probe", **probe}))
     if "--update-md" in sys.argv:
         sb._replace_section(md_path, KMV_MARKER, _md_section(probe, cpus, n_runs))
