@@ -133,3 +133,55 @@ def test_ivf_index_append_serves_union_from_frozen_centroids(spark, tmp_path, sf
     mem = ivf_topk(e, "vec_id", "embedding", [0, 1, 2], cents, k=10, nprobe=2)
     as_set = lambda df: {(r["query_id"], r["neighbor_id"], r["rank"]) for r in df.collect()}
     assert as_set(served) == as_set(mem)
+
+
+def test_ivf_index_stats_flags_drifted_append(spark, tmp_path, sf_dir):
+    """ivf_index_stats is the monitoring callable behind ivf_write's
+    centroid-drift policy (r10 verdict item 5): a healthy fitted index
+    reads near-balanced and unflagged; a deliberately drifted append
+    (every new vector a near-copy of ONE stored vector, so frozen
+    assignment piles the whole batch into that vector's cell) must
+    flip rebuild_recommended via the skew figure. Also pins the cost
+    contract: the stats scan reads NO data columns (ReadSchema empty —
+    cell comes from directory names), so the health check stays
+    metadata-priced on a 100 TB index."""
+    import re
+
+    from callysto_spark.operators.similarity import (
+        ivf_index_stats,
+        ivf_write,
+        kmeans_centroids,
+    )
+
+    e = load(spark, sf_dir, "embeddings")["embeddings"]
+    cents = kmeans_centroids(e, "vec_id", "embedding", k=8, iters=3, sample=512)
+    path = str(tmp_path / "ivf_index")
+    ivf_write(e, "vec_id", "embedding", cents, path)
+    healthy = ivf_index_stats(spark, path, n_cells=len(cents))
+    assert healthy["rows"] == e.count()
+    assert healthy["n_cells_observed"] == len(healthy["cells"]) <= len(cents)
+    assert healthy["skew"] >= 1.0
+
+    # drifted batch: one stored vector replicated 4x the corpus size
+    # with fresh ids — frozen-centroid assignment sends ALL of it to
+    # that vector's cell
+    n = e.count()
+    seed = e.limit(1).select("embedding")
+    drifted = (
+        spark.range(n * 4)
+        .select((F.col("id") + 1_000_000).alias("vec_id"))
+        .crossJoin(F.broadcast(seed))
+        .select("vec_id", F.col("embedding").alias("embedding"), F.lit("drift").alias("label"))
+    )
+    ivf_write(drifted, "vec_id", "embedding", cents, path, mode="append")
+    after = ivf_index_stats(spark, path, n_cells=len(cents))
+    assert after["rows"] == n * 5
+    assert after["skew"] > healthy["skew"]
+    assert after["skew"] > 4.0
+    assert after["rebuild_recommended"] is True
+
+    # cost contract: zero data columns in the scan
+    counted = spark.read.parquet(path).groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    plan = physical_plan(counted)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None and m.group(1) == "", plan[:800]
