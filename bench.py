@@ -448,9 +448,14 @@ def ingest_bench(spark) -> dict | None:
     from callysto_spark.app import App
     from callysto_spark.sources import SourceSpec
 
-    # 50k ≈ 3.5 GB: long enough (~10s+) that startup jitter stops moving
-    # the MB/s figure, closer to the reference's 200k-message methodology
-    n = int(os.environ.get("SPARK_GRAFT_INGEST_MSGS", "50000"))
+    # 100k ≈ 7 GB: long enough (~10s+) that startup jitter stops moving
+    # the MB/s figure, closer to the reference's 200k-message
+    # methodology — and, staged as 64 files drained 16 per trigger,
+    # FOUR full-width micro-batches per trial instead of the previous
+    # two (r11: with 2 batches, one slow batch moved the whole trial
+    # ~2x, the dominant term in the 54-61% trial spreads the per-trial
+    # canary could not explain)
+    n = int(os.environ.get("SPARK_GRAFT_INGEST_MSGS", "100000"))
     trials = int(os.environ.get("SPARK_GRAFT_INGEST_TRIALS", "5"))
     if n <= 0:
         return None
@@ -460,7 +465,7 @@ def ingest_bench(spark) -> dict | None:
         payload = F.repeat(chunk, 74000 // 64)
         (
             spark.range(n)
-            .repartition(32)
+            .repartition(64)
             .select(F.col("id").alias("key"), payload.alias("value"))
             .write.mode("overwrite")
             .parquet(f"{base}/gen")
@@ -492,7 +497,9 @@ def ingest_bench(spark) -> dict | None:
             stats: dict = {"bytes": 0, "t0": None, "t1": None}
             src = SourceSpec.parquet_stream(f"{base}/stage", schema="key long, value string")
             # 16 files × 2 row-group splits = 32 tasks/batch — exactly
-            # the core count; 8 files left half the machine idle
+            # the core count (8 files left half the machine idle); with
+            # 64 staged files that is 4 full-width batches per trial, so
+            # a single slow batch moves the trial 25%, not 2x
             src.options["maxFilesPerTrigger"] = 16
             app = App(f"bench_ingest_t{t + 1}", spark=spark, checkpoint_root=f"{base}/ckpt{t + 1}")
 
