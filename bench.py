@@ -197,6 +197,22 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     warm_cap = int(os.environ.get("SPARK_GRAFT_BENCH_WARMS", "12"))
 
+    # global warm pass: one execution of EVERY bench query before any
+    # timed section. The first query's per-query warm-up alone cannot
+    # protect it — fresh-session runs 1/3 (r11) read the alphabetically
+    # first query 1.3-1.8x over its flat-window wall with its opening
+    # mt-bracket sample at 0.400s vs the 0.085-0.12s idle reading: the
+    # session's own C2 JIT compilation storm (Spark internals, codegen
+    # classloading, shuffle machinery) competes on all cores through
+    # the first minutes. One pass over the full set moves that
+    # session-global work before the first bracket opens.
+    for name in names:
+        try:
+            run(registry[name].fn(spark, sf_dir))
+        except Exception:
+            pass  # the per-query section reports the failure properly
+        spark.catalog.clearCache()
+
     def warm_to_plateau(build) -> int:
         """Run the query until its wall time reaches the JIT plateau
         (r10 finding: 20 same-session runs of emb_ivf_topk fall
@@ -242,6 +258,23 @@ def main() -> None:
     timings: dict[str, float | None] = {}
     warmups: dict[str, int] = {}
     errors: dict[str, str] = {}
+    # per-query canary brackets (r11): the run-wide start/end canaries
+    # certify the WINDOW, but both r11 same-code runs showed the host
+    # drifting WITHIN the query section (run 1: 1t 0.294s -> 0.399s;
+    # run 2: queries uniformly 1.2-1.9x slower while the mt canary at
+    # the run edges read FASTER) — a run-wide bracketed mean cannot
+    # attribute that drift to the queries it actually hit. Sample the
+    # mt canary immediately before and after each query's timed
+    # min-of-n (AFTER its warm-up, so the bracket encloses exactly the
+    # timed region); bench_compare normalizes each query by ITS OWN
+    # bracket ratio when both artifacts carry one. ~1s of canary per
+    # query, the only known fix for mid-run drift this host keeps
+    # demonstrating.
+    query_canaries: dict[str, list[float]] = {}
+    # the run's best-seen mt sample = the idle reference the
+    # contended-window retry compares brackets against; seeded from the
+    # admission-time sample and lowered whenever a faster one appears
+    idle_mt = canary_mt_s
     for name in names:
         # steady-state measurement: first executions pay whole-stage
         # codegen compilation AND the JVM's tiered JIT ramp (~10 runs
@@ -257,17 +290,42 @@ def main() -> None:
             if name in os.environ.get("SPARK_GRAFT_BENCH_FAIL", "").split(","):
                 raise RuntimeError("injected failure (SPARK_GRAFT_BENCH_FAIL)")
             warmups[name] = warm_to_plateau(lambda: registry[name].fn(spark, sf_dir))
-            settle()
-            best = float("inf")
-            for _ in range(n_runs):
-                t0 = time.perf_counter()
-                run(registry[name].fn(spark, sf_dir))
-                best = min(best, time.perf_counter() - t0)
-                spark.catalog.clearCache()
+            # contended-window retry: a bracket mean beyond 1.5x the
+            # run's best-seen mt sample means an external burst hit the
+            # timed section (run 3: one query's opening sample read
+            # 0.400s vs 0.085s idle and its wall 1.8x its flat-window
+            # value) — re-time in a fresh window, keep the attempt with
+            # the FLATTEST bracket (per-query normalization corrects a
+            # slow-but-flat host; nothing corrects a burst mid-min-of-n)
+            kept = None  # (bracket_mean, best_s, b0, b1)
+            for attempt in range(3):
+                settle()
+                b0 = cpu_canary_mt(cpus)
+                best = float("inf")
+                for _ in range(n_runs):
+                    t0 = time.perf_counter()
+                    run(registry[name].fn(spark, sf_dir))
+                    best = min(best, time.perf_counter() - t0)
+                    spark.catalog.clearCache()
+                b1 = cpu_canary_mt(cpus)
+                idle_mt = min(idle_mt, b0, b1)
+                bmean = (b0 + b1) / 2
+                if kept is None or bmean < kept[0]:
+                    kept = (bmean, best, b0, b1)
+                if bmean <= 1.5 * idle_mt:
+                    break
+                print(
+                    f"# {name}: bracket {b0:.3f}/{b1:.3f}s vs idle "
+                    f"{idle_mt:.3f}s — contended window, re-timing "
+                    f"({attempt + 1}/3)",
+                    file=sys.stderr,
+                )
+            _, best, b0, b1 = kept
+            query_canaries[name] = [b0, b1]
             timings[name] = round(best, 3)
             print(
                 f"# {name}: {timings[name]:.3f}s (min of {n_runs} after "
-                f"{warmups[name]} warm runs)",
+                f"{warmups[name]} warm runs; bracket {b0:.3f}/{b1:.3f}s)",
                 file=sys.stderr,
             )
         except Exception as exc:
@@ -336,6 +394,14 @@ def main() -> None:
         # min may still sit above steady state — read its cross-round
         # delta with that in mind
         "warm_runs": warmups,
+        # [before, after] mt-canary samples tight around each query's
+        # timed min-of-n (taken AFTER the warm-up, so the bracket
+        # encloses exactly the timed region): bench_compare normalizes
+        # each query by its OWN bracket ratio when both artifacts carry
+        # one — run-wide brackets cannot attribute mid-run drift to the
+        # specific queries it hit (both r11 same-code runs drifted
+        # mid-query-section)
+        "query_canary_mt_s": query_canaries,
     }
     if contaminated:
         out["load_contaminated"] = True
@@ -346,23 +412,30 @@ def main() -> None:
         out["partial"] = True
         out["n_failed"] = len(errors)
     if ingest is not None:
-        # MEDIAN is the headline (round-5 verdict: a best whose median is
-        # half of it is not a trustworthy number on a shared VM); best
-        # and the per-trial list ride along. r11: the noisy flag reads
-        # the NORMALIZED spread (per-trial mt-canary brackets remove
-        # host drift — what remains is genuine measurement noise), and
-        # the canary-normalized median + per-trial canaries ride along
-        # so a contended window's committed figure can be re-read.
+        # MEDIAN OF CLEAN TRIALS is the headline (round-5 verdict: a
+        # best whose median is half of it is not a trustworthy number
+        # on a shared VM); best and the per-trial list ride along.
+        # r11: trials whose window fails the cleanliness check (cpu
+        # bracket > 1.5x idle or io probe < half best — see
+        # ingest_bench) are discarded and re-run; the discarded
+        # readings ride along in ``ingest_discarded_trials`` so the
+        # filtering is auditable. The noisy flag reads the NORMALIZED
+        # spread over clean trials, or fires unconditionally when the
+        # clean-window budget ran out.
         out["ingest_mbps"] = ingest["median"]
         out["ingest_mbps_best"] = ingest["best"]
         out["ingest_mbps_trials"] = ingest["trials"]
         out["ingest_mbps_norm"] = ingest["median_norm"]
         out["ingest_mbps_trials_norm"] = ingest["trials_norm"]
         out["ingest_trial_canaries_s"] = ingest["trial_canaries_s"]
+        out["ingest_trial_io_probes_mbps"] = ingest["trial_io_probes_mbps"]
         out["ingest_spread_pct"] = ingest["spread_pct"]
         out["ingest_raw_spread_pct"] = ingest["raw_spread_pct"]
-        if ingest["spread_pct"] > 25:
+        out["ingest_discarded_trials"] = ingest["discarded_trials"]
+        if ingest["spread_pct"] > 25 or ingest["window_exhausted"]:
             out["ingest_noisy"] = True
+        if ingest["window_exhausted"]:
+            out["ingest_window_exhausted"] = True
     print(json.dumps(out))
     spark.stop()
     if contaminated:
@@ -428,16 +501,24 @@ def ingest_bench(spark) -> dict | None:
       decode, but the first streaming drain still pays
       FileStreamSource/offset-log JIT — measured as the slowest trial
       in most runs), discarded;
-    - the multi-thread cpu canary is sampled BETWEEN trials, so every
-      trial gets a bracketed host-speed reading; each trial's MB/s is
-      normalized to the run's median canary
-      (mbps * trial_canary / median_canary — canary is wall TIME, so a
-      2x-slower host during a trial scales that trial 2x up);
-    - the headline ``ingest_mbps`` stays the RAW median (comparable to
-      the reference's 278.47 MB/s and to prior rounds);
+    - the multi-thread cpu canary AND a 64 MiB write+fsync io probe
+      are sampled BETWEEN trials, so every trial gets a bracketed
+      host-speed reading on both axes;
+    - trials whose window fails the cleanliness check (cpu bracket
+      > 1.5x the section's best-seen sample, or io probe < half the
+      section's best) are DISCARDED and re-run, up to
+      SPARK_GRAFT_INGEST_RETRIES (default 5) extra attempts —
+      normalization cannot rescue a burst-hit trial (run 3: 47.3 MB/s
+      under a 0.776s-vs-0.085s cpu bracket normalized to 111.5, still
+      10x off the clean trials), so the only honest treatments are
+      exclusion-with-audit-trail (``ingest_discarded_trials``) or the
+      ``ingest_window_exhausted`` flag when the budget runs out;
+    - the headline ``ingest_mbps`` is the RAW median over CLEAN trials
+      (comparable to the reference's 278.47 MB/s and to prior rounds);
       ``ingest_mbps_norm`` + per-trial canaries ride along, and the
-      noisy flag reads the NORMALIZED spread — residual spread after
-      removing host drift is genuine measurement noise.
+      noisy flag reads the NORMALIZED spread over clean trials —
+      residual spread after excluding contended windows and removing
+      in-band host drift is genuine measurement noise.
     """
     import gc
     import shutil
@@ -490,10 +571,37 @@ def ingest_bench(spark) -> dict | None:
         # code — measured 220 vs 580+ MB/s on the first timed drain.
         spark.read.parquet(f"{base}/stage").agg(F.sum(F.length("value"))).collect()
         n_threads = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-        results: list[float] = []
-        trial_canaries: list[float] = []  # samples bracketing each trial
-        for t in range(-1, trials):  # trial -1 = untimed warm drain
-            settle()
+        # contended-trial discipline (r11): normalization cannot rescue
+        # a trial that a neighbor's burst hit — run 3 measured a trial
+        # at 47.3 MB/s bracketed by mt samples of 0.776s vs the 0.085s
+        # idle reading, and the canary-normalized figure (111.5) was
+        # still 10x off the clean trials. So trials whose window fails
+        # a cleanliness check are DISCARDED and re-run (up to
+        # SPARK_GRAFT_INGEST_RETRIES extra attempts): clean means the
+        # trial's cpu bracket is within 1.5x the section's best-seen
+        # sample AND its post-trial 64 MiB write+fsync probe is within
+        # 2x of the section's best — CPU and IO contention checked
+        # separately because run 3's trial 1 ran 853 vs 1265 MB/s under
+        # a flat CPU bracket (IO-only contention).
+        max_attempts = trials + int(os.environ.get("SPARK_GRAFT_INGEST_RETRIES", "5"))
+
+        def io_probe() -> float:
+            # 64 MiB write+fsync in the drain's own directory — the
+            # IO-side twin of the cpu bracket samples
+            block = b"\x5a" * (4 << 20)
+            p = f"{base}/_ioprobe.bin"
+            t0 = time.perf_counter()
+            with open(p, "wb") as f:
+                for _ in range(16):
+                    f.write(block)
+                f.flush()
+                os.fsync(f.fileno())
+            os.remove(p)
+            return 64 / (time.perf_counter() - t0)
+
+        attempts: list[dict] = []  # every completed timed drain
+
+        def drain(label: str, ckpt: str) -> dict:
             stats: dict = {"bytes": 0, "t0": None, "t1": None}
             src = SourceSpec.parquet_stream(f"{base}/stage", schema="key long, value string")
             # 16 files × 2 row-group splits = 32 tasks/batch — exactly
@@ -501,7 +609,7 @@ def ingest_bench(spark) -> dict | None:
             # 64 staged files that is 4 full-width batches per trial, so
             # a single slow batch moves the trial 25%, not 2x
             src.options["maxFilesPerTrigger"] = 16
-            app = App(f"bench_ingest_t{t + 1}", spark=spark, checkpoint_root=f"{base}/ckpt{t + 1}")
+            app = App(label, spark=spark, checkpoint_root=ckpt)
 
             @app.agent("counter", src)
             def counter(b, ctx):
@@ -512,44 +620,63 @@ def ingest_bench(spark) -> dict | None:
 
             app.run(await_termination=True, timeout=600)
             app.stop()
-            if t < 0:
-                # warm drain: heats the streaming-path JIT (source
-                # discovery, offset log, foreachBatch crossing); result
-                # discarded. Its post-drain canary sample opens trial
-                # 0's bracket.
-                print("# ingest warm drain (discarded)", file=sys.stderr)
-                trial_canaries.append(cpu_canary_mt(n_threads))
-                continue
-            sample = cpu_canary_mt(n_threads)
+            return stats
+
+        settle()
+        # warm drain: heats the streaming-path JIT (source discovery,
+        # offset log, foreachBatch crossing); result discarded. Its
+        # post-drain samples open attempt 0's bracket.
+        drain("bench_ingest_warm", f"{base}/ckpt_warm")
+        print("# ingest warm drain (discarded)", file=sys.stderr)
+        prev_cpu = cpu_canary_mt(n_threads)
+        cpu_samples = [prev_cpu]
+        io_samples = [io_probe()]
+        for attempt in range(max_attempts):
+            settle()
+            stats = drain(f"bench_ingest_t{attempt}", f"{base}/ckpt{attempt}")
+            post_cpu = cpu_canary_mt(n_threads)
+            cpu_samples.append(post_cpu)
+            io_now = io_probe()
+            io_samples.append(io_now)
             if stats["t0"] is None or stats["t1"] is None or stats["t1"] <= stats["t0"]:
-                # timeout before the first batch finished — drop THIS
-                # trial, keep the others (a TypeError here used to ride
-                # the broad except and discard every completed trial).
-                # The fresh sample REPLACES the previous one so the next
-                # trial's "before" reading stays adjacent to it.
-                trial_canaries[-1] = sample
-                print(f"# ingest trial {t}: no completed batch (timeout?), skipped", file=sys.stderr)
+                # timeout before the first batch finished — this attempt
+                # produced no reading; the fresh samples still advance
+                # the bracket chain
+                prev_cpu = post_cpu
+                print(f"# ingest attempt {attempt}: no completed batch (timeout?), skipped", file=sys.stderr)
                 continue
-            trial_canaries.append(sample)
             dt = stats["t1"] - stats["t0"]
             mbps = stats["bytes"] / (1024 * 1024) / dt
+            attempts.append(
+                {"mbps": mbps, "bracket": (prev_cpu + post_cpu) / 2, "io": io_now}
+            )
+            prev_cpu = post_cpu
+            idle_cpu, best_io = min(cpu_samples), max(io_samples)
+            for a in attempts:  # refs tighten as samples accumulate
+                a["clean"] = a["bracket"] <= 1.5 * idle_cpu and a["io"] >= best_io / 2
+            n_clean = sum(a["clean"] for a in attempts)
             print(
-                f"# ingest trial {t}: {stats['bytes']/1048576:.0f} MB in {dt:.2f}s = {mbps:.1f} MB/s",
+                f"# ingest attempt {attempt}: {stats['bytes']/1048576:.0f} MB in {dt:.2f}s "
+                f"= {mbps:.1f} MB/s (bracket {attempts[-1]['bracket']:.3f}s vs idle "
+                f"{idle_cpu:.3f}s, io probe {io_now:.0f} vs best {best_io:.0f} MB/s"
+                f"{'' if attempts[-1]['clean'] else ' — CONTENDED, discarded'})",
                 file=sys.stderr,
             )
-            results.append(mbps)
-        if not results:
+            if n_clean >= trials:
+                break
+        if not attempts:
             print("# ingest bench: zero completed trials", file=sys.stderr)
             return None
         import statistics
 
-        # per-trial bracketed host factor: mean of the canary samples
-        # taken immediately before and after the trial (trial_canaries
-        # has exactly len(results)+1 entries — skipped trials popped
-        # theirs). Normalize each trial to the run's median bracket.
-        brackets = [
-            (trial_canaries[i] + trial_canaries[i + 1]) / 2 for i in range(len(results))
-        ]
+        clean = [a for a in attempts if a["clean"]]
+        window_exhausted = len(clean) < 2
+        if window_exhausted:
+            # never got two clean windows in the attempt budget: report
+            # everything rather than nothing, flagged noisy below
+            clean = attempts
+        results = [a["mbps"] for a in clean]
+        brackets = [a["bracket"] for a in clean]
         ref = statistics.median(brackets)
         # normalization exists to remove LARGE host drift (r10: trials
         # 173-1160 MB/s under window contention); when the brackets are
@@ -569,15 +696,25 @@ def ingest_bench(spark) -> dict | None:
             f"over {len(results)} trials",
             file=sys.stderr,
         )
+        discarded = [a for a in attempts if not a["clean"]] if not window_exhausted else []
         return {
             "best": round(max(results), 1),
             "median": round(statistics.median(results), 1),
             "trials": [round(v, 1) for v in results],
             "median_norm": round(statistics.median(norm), 1),
             "trials_norm": [round(v, 1) for v in norm],
-            "trial_canaries_s": [round(v, 3) for v in trial_canaries],
+            "trial_canaries_s": [round(a["bracket"], 3) for a in clean],
+            "trial_io_probes_mbps": [round(a["io"], 0) for a in clean],
             "spread_pct": round(spread, 1),
             "raw_spread_pct": round(raw_spread, 1),
+            # honesty sidecar: contended attempts that were measured
+            # but excluded from the headline (their mbps + brackets),
+            # and whether the clean-window budget ran out
+            "discarded_trials": [
+                {"mbps": round(a["mbps"], 1), "bracket_s": round(a["bracket"], 3), "io_probe_mbps": round(a["io"], 0)}
+                for a in discarded
+            ],
+            "window_exhausted": window_exhausted,
         }
     except Exception as exc:  # never fail the bench line on the extra metric
         print(f"# ingest bench failed: {exc}", file=sys.stderr)

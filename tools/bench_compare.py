@@ -236,7 +236,34 @@ def compare(
             if label == "new" and "load_contaminated" in flags:
                 errors.append("new artifact self-flags load_contaminated")
 
+    # per-query mt-canary brackets (r11): [before, after] samples taken
+    # tight around each query's timed min-of-n. Run-wide brackets
+    # normalize every query by the same factor, but both r11 same-code
+    # runs drifted WITHIN the query section (one query's window read
+    # 2x slower while the run edges read flat) — per-query brackets
+    # attribute the drift to the queries it actually hit. When BOTH
+    # artifacts carry a bracket for a query (and the mt thread counts
+    # are comparable), that query normalizes by its OWN bracket ratio.
+    qc_old = old.get("query_canary_mt_s") or {}
+    qc_new = new.get("query_canary_mt_s") or {}
+    if th_old and th_new and th_old != th_new:
+        qc_old, qc_new = {}, {}  # same incomparability as the run-wide mt ratio
+
+    def q_bracket(name):
+        bo, bn = qc_old.get(name), qc_new.get(name)
+        if not bo or not bn or len(bo) != 2 or len(bn) != 2:
+            return None
+        if not all(v and v > 0 for v in (*bo, *bn)):
+            return None
+        return (bn[0] + bn[1]) / (bo[0] + bo[1])
+
     qo, qn = old.get("queries", {}), new.get("queries", {})
+    n_br = sum(1 for n in set(qo) & set(qn) if q_bracket(n) is not None)
+    if n_br:
+        lines.append(
+            f"per-query mt brackets: {n_br}/{len(set(qo) | set(qn))} queries "
+            "normalize by their own bracket ratio (mid-run drift removed)"
+        )
     # noise-banded corroborated gating (r10): `hard` sits outside the
     # worst same-code per-query spread measured on this host (1.32x
     # across five runs in one evening); `total_bar` sits above the
@@ -276,14 +303,15 @@ def compare(
                 errors.append(f"{name} failed in new artifact")
             continue
         raw = qn[name] / qo[name]
-        norm = raw / host
+        q_h = q_bracket(name)
+        norm = raw / (q_h if q_h is not None else host)
         mark = ""
         if norm > threshold and raw > threshold:
             # raw and normalized agree the query got slower — gates on
             # every path (host drift cannot explain both directions)
             mark = "  <-- slower beyond host drift"
             worse.append(name)
-        elif norm > threshold and corroborated:
+        elif norm > threshold and (corroborated or q_h is not None):
             # normalized-only exceedance under corroborated canaries.
             # Single-run per-query walls are NOISY: five same-code
             # bench runs in one evening spread individual sub-second
