@@ -429,6 +429,7 @@ def main() -> None:
         out["ingest_mbps_trials_norm"] = ingest["trials_norm"]
         out["ingest_trial_canaries_s"] = ingest["trial_canaries_s"]
         out["ingest_trial_io_probes_mbps"] = ingest["trial_io_probes_mbps"]
+        out["ingest_trial_batch_ratios"] = ingest["trial_batch_ratios"]
         out["ingest_spread_pct"] = ingest["spread_pct"]
         out["ingest_raw_spread_pct"] = ingest["raw_spread_pct"]
         out["ingest_discarded_trials"] = ingest["discarded_trials"]
@@ -501,18 +502,22 @@ def ingest_bench(spark) -> dict | None:
       decode, but the first streaming drain still pays
       FileStreamSource/offset-log JIT — measured as the slowest trial
       in most runs), discarded;
-    - the multi-thread cpu canary AND a 64 MiB write+fsync io probe
-      are sampled BETWEEN trials, so every trial gets a bracketed
-      host-speed reading on both axes;
+    - the multi-thread cpu canary is sampled BETWEEN trials (bracket),
+      a 64 MiB write+fsync io probe runs BEFORE each drain (a
+      post-drain probe measures the drain's own checkpoint writeback —
+      run 4 discarded its two fastest drains that way), and each
+      drain records its per-micro-batch MB/s (a burst that hits one of
+      the 4 batches is invisible to samples outside the drain);
     - trials whose window fails the cleanliness check (cpu bracket
-      > 1.5x the section's best-seen sample, or io probe < half the
-      section's best) are DISCARDED and re-run, up to
-      SPARK_GRAFT_INGEST_RETRIES (default 5) extra attempts —
-      normalization cannot rescue a burst-hit trial (run 3: 47.3 MB/s
-      under a 0.776s-vs-0.085s cpu bracket normalized to 111.5, still
-      10x off the clean trials), so the only honest treatments are
-      exclusion-with-audit-trail (``ingest_discarded_trials``) or the
-      ``ingest_window_exhausted`` flag when the budget runs out;
+      > 1.5x the section's best-seen sample, pre-drain io probe < half
+      the section's best, or fastest/slowest batch rate > 3x) are
+      DISCARDED and re-run, up to SPARK_GRAFT_INGEST_RETRIES (default
+      5) extra attempts — normalization cannot rescue a burst-hit
+      trial (run 3: 47.3 MB/s under a 0.776s-vs-0.085s cpu bracket
+      normalized to 111.5, still 10x off the clean trials), so the
+      only honest treatments are exclusion-with-audit-trail
+      (``ingest_discarded_trials``) or the ``ingest_window_exhausted``
+      flag when the budget runs out;
     - the headline ``ingest_mbps`` is the RAW median over CLEAN trials
       (comparable to the reference's 278.47 MB/s and to prior rounds);
       ``ingest_mbps_norm`` + per-trial canaries ride along, and the
@@ -602,7 +607,7 @@ def ingest_bench(spark) -> dict | None:
         attempts: list[dict] = []  # every completed timed drain
 
         def drain(label: str, ckpt: str) -> dict:
-            stats: dict = {"bytes": 0, "t0": None, "t1": None}
+            stats: dict = {"bytes": 0, "t0": None, "t1": None, "batch_mbps": []}
             src = SourceSpec.parquet_stream(f"{base}/stage", schema="key long, value string")
             # 16 files × 2 row-group splits = 32 tasks/batch — exactly
             # the core count (8 files left half the machine idle); with
@@ -613,10 +618,17 @@ def ingest_bench(spark) -> dict | None:
 
             @app.agent("counter", src)
             def counter(b, ctx):
+                t_in = time.perf_counter()
                 if stats["t0"] is None:
-                    stats["t0"] = time.perf_counter()
-                stats["bytes"] += b.agg(F.sum(F.length("value"))).collect()[0][0] or 0
+                    stats["t0"] = t_in
+                nbytes = b.agg(F.sum(F.length("value"))).collect()[0][0] or 0
+                stats["bytes"] += nbytes
                 stats["t1"] = time.perf_counter()
+                # per-batch rate: a burst that hits ONE of the 4 batches
+                # is invisible to the bracket samples outside the drain
+                stats["batch_mbps"].append(
+                    nbytes / (1024 * 1024) / max(stats["t1"] - t_in, 1e-6)
+                )
 
             app.run(await_termination=True, timeout=600)
             app.stop()
@@ -630,14 +642,19 @@ def ingest_bench(spark) -> dict | None:
         print("# ingest warm drain (discarded)", file=sys.stderr)
         prev_cpu = cpu_canary_mt(n_threads)
         cpu_samples = [prev_cpu]
-        io_samples = [io_probe()]
+        io_samples: list[float] = []
         for attempt in range(max_attempts):
             settle()
+            # io probe BEFORE the drain (post-settle): a probe taken
+            # right AFTER a drain measures the drain's own checkpoint/
+            # shuffle writeback, not the neighborhood — run 4 discarded
+            # its two FASTEST drains (1291/1311 MB/s) on post-drain
+            # probes of 124-145 MB/s while keeping a 424 MB/s one
+            io_now = io_probe()
+            io_samples.append(io_now)
             stats = drain(f"bench_ingest_t{attempt}", f"{base}/ckpt{attempt}")
             post_cpu = cpu_canary_mt(n_threads)
             cpu_samples.append(post_cpu)
-            io_now = io_probe()
-            io_samples.append(io_now)
             if stats["t0"] is None or stats["t1"] is None or stats["t1"] <= stats["t0"]:
                 # timeout before the first batch finished — this attempt
                 # produced no reading; the fresh samples still advance
@@ -647,18 +664,32 @@ def ingest_bench(spark) -> dict | None:
                 continue
             dt = stats["t1"] - stats["t0"]
             mbps = stats["bytes"] / (1024 * 1024) / dt
+            rates = stats["batch_mbps"]
+            # a burst that hits ONE micro-batch mid-drain is invisible
+            # to the samples outside it; batch-rate consistency sees it
+            batch_ratio = max(rates) / max(min(rates), 1e-6) if len(rates) > 1 else 1.0
             attempts.append(
-                {"mbps": mbps, "bracket": (prev_cpu + post_cpu) / 2, "io": io_now}
+                {
+                    "mbps": mbps,
+                    "bracket": (prev_cpu + post_cpu) / 2,
+                    "io": io_now,
+                    "batch_ratio": batch_ratio,
+                }
             )
             prev_cpu = post_cpu
             idle_cpu, best_io = min(cpu_samples), max(io_samples)
             for a in attempts:  # refs tighten as samples accumulate
-                a["clean"] = a["bracket"] <= 1.5 * idle_cpu and a["io"] >= best_io / 2
+                a["clean"] = (
+                    a["bracket"] <= 1.5 * idle_cpu
+                    and a["io"] >= best_io / 2
+                    and a["batch_ratio"] <= 3.0
+                )
             n_clean = sum(a["clean"] for a in attempts)
             print(
                 f"# ingest attempt {attempt}: {stats['bytes']/1048576:.0f} MB in {dt:.2f}s "
                 f"= {mbps:.1f} MB/s (bracket {attempts[-1]['bracket']:.3f}s vs idle "
-                f"{idle_cpu:.3f}s, io probe {io_now:.0f} vs best {best_io:.0f} MB/s"
+                f"{idle_cpu:.3f}s, pre-drain io probe {io_now:.0f} vs best {best_io:.0f} MB/s, "
+                f"batch ratio {batch_ratio:.1f}"
                 f"{'' if attempts[-1]['clean'] else ' — CONTENDED, discarded'})",
                 file=sys.stderr,
             )
@@ -705,13 +736,19 @@ def ingest_bench(spark) -> dict | None:
             "trials_norm": [round(v, 1) for v in norm],
             "trial_canaries_s": [round(a["bracket"], 3) for a in clean],
             "trial_io_probes_mbps": [round(a["io"], 0) for a in clean],
+            "trial_batch_ratios": [round(a["batch_ratio"], 1) for a in clean],
             "spread_pct": round(spread, 1),
             "raw_spread_pct": round(raw_spread, 1),
             # honesty sidecar: contended attempts that were measured
             # but excluded from the headline (their mbps + brackets),
             # and whether the clean-window budget ran out
             "discarded_trials": [
-                {"mbps": round(a["mbps"], 1), "bracket_s": round(a["bracket"], 3), "io_probe_mbps": round(a["io"], 0)}
+                {
+                    "mbps": round(a["mbps"], 1),
+                    "bracket_s": round(a["bracket"], 3),
+                    "io_probe_mbps": round(a["io"], 0),
+                    "batch_ratio": round(a["batch_ratio"], 1),
+                }
                 for a in discarded
             ],
             "window_exhausted": window_exhausted,
