@@ -250,8 +250,8 @@ def main() -> None:
             else:
                 stale += 1
                 if stale >= 3:
-                    return i + 1
-        return warm_cap
+                    return i + 1, best
+        return warm_cap, best
 
     def settle(pause: float = 0.75) -> None:
         # Force the deferred JVM cleanup (ContextCleaner shuffle-file
@@ -302,7 +302,15 @@ def main() -> None:
         try:
             if name in os.environ.get("SPARK_GRAFT_BENCH_FAIL", "").split(","):
                 raise RuntimeError("injected failure (SPARK_GRAFT_BENCH_FAIL)")
-            warmups[name] = warm_to_plateau(lambda: registry[name].fn(spark, sf_dir))
+            warmups[name], warm_best = warm_to_plateau(
+                lambda: registry[name].fn(spark, sf_dir)
+            )
+            # sub-second queries need more than n_runs samples for a
+            # stable min (r11 same-code pair: a 0.27s query read 0.36s
+            # across a whole flat-window min-of-5 — scheduler/GC noise
+            # at that wall length exceeds 25%): size the timed section
+            # to ~3s of total work, floor n_runs, cap 12
+            q_runs = max(n_runs, min(12, int(3.0 / max(warm_best, 0.25))))
             # contended-window retry: a bracket mean beyond 1.5x the
             # run's best-seen mt sample means an external burst hit the
             # timed section (run 3: one query's opening sample read
@@ -315,7 +323,7 @@ def main() -> None:
                 settle()
                 b0 = cpu_canary_mt(cpus)
                 best = float("inf")
-                for _ in range(n_runs):
+                for _ in range(q_runs):
                     t0 = time.perf_counter()
                     run(registry[name].fn(spark, sf_dir))
                     best = min(best, time.perf_counter() - t0)
@@ -337,7 +345,7 @@ def main() -> None:
             query_canaries[name] = [b0, b1]
             timings[name] = round(best, 3)
             print(
-                f"# {name}: {timings[name]:.3f}s (min of {n_runs} after "
+                f"# {name}: {timings[name]:.3f}s (min of {q_runs} after "
                 f"{warmups[name]} warm runs; bracket {b0:.3f}/{b1:.3f}s)",
                 file=sys.stderr,
             )

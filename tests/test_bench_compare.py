@@ -459,3 +459,88 @@ def test_bench_flagged_registry_rows_match_anchor_queries():
     bench_rows = sorted(n for n, q in load_all().items() if q.bench)
     anchor_rows = sorted(json.loads(anchor.read_text())["queries"])
     assert bench_rows == anchor_rows
+
+
+def _bracketed_art(queries, bracket_s, canary, mt, overrides=None):
+    """Artifact whose every query carries a [b, b] mt bracket; specific
+    queries can override their bracket via ``overrides``."""
+    qc = {n: list((overrides or {}).get(n, (bracket_s, bracket_s))) for n in queries}
+    return _art(
+        queries,
+        canary=canary,
+        cpu_canary_mt_s=mt,
+        cpu_canary_mt_threads=32,
+        query_canary_mt_s=qc,
+    )
+
+
+def test_bracketed_pair_normalizes_locally_contended_query_by_own_ratio():
+    """r11: a query whose own bracket ratio deviates >1.3x from the
+    bracket-ratio median was locally contended (run 3: opening sample
+    0.400s vs 0.085s idle, wall 1.8x its flat-window value) — its wall
+    moved WITH the local burst, so it normalizes by its own ratio and a
+    contended same-code reading must not gate."""
+    old = _bracketed_art({f"q{i}": 0.8 for i in range(8)}, 0.09, canary=0.30, mt=0.126)
+    newq = {f"q{i}": 0.8 for i in range(8)}
+    newq["q0"] = 1.6  # raw 2.0x...
+    new = _bracketed_art(
+        newq, 0.09, canary=0.30, mt=0.126,
+        overrides={"q0": (0.20, 0.16)},  # ...under a 2x local burst
+    )
+    lines, worse, _, watch = bench_compare.compare(old, new, threshold=1.25)
+    assert not worse and not watch
+    q0 = next(ln for ln in lines if ln.startswith("q0"))
+    assert " 2.00x" in q0 and " 1.00x" in q0  # raw 2.0, bracket-norm 1.0
+
+
+def test_bracket_sample_noise_is_not_injected_into_flat_queries():
+    """r11 calibration: individual brackets carry ±20% sample noise the
+    min-of-n walls do NOT follow — on the same-code pair, normalizing a
+    raw-0.98x query by its own 0.81x bracket ratio read it at 1.22x.
+    Inside the 1.3x dead-band a query must normalize by the MEDIAN."""
+    old = _bracketed_art({f"q{i}": 0.8 for i in range(8)}, 0.10, canary=0.30, mt=0.126)
+    new = _bracketed_art(
+        {f"q{i}": 0.8 for i in range(8)}, 0.10, canary=0.30, mt=0.126,
+        overrides={"q0": (0.081, 0.081)},  # 0.81x own ratio, walls flat
+    )
+    lines, worse, _, watch = bench_compare.compare(old, new, threshold=1.25)
+    assert not worse and not watch
+    q0 = next(ln for ln in lines if ln.startswith("q0"))
+    assert " 1.00x  1.00x" in q0.replace("  ", " ").replace("  ", " ") or "1.00x" in q0
+    # median of ratios is 1.0 -> norm 1.00x, not 1.23x
+    assert "1.23x" not in q0
+
+
+def test_bracketed_raw_masked_regression_beyond_tight_hard_bar_gates(tmp_path):
+    """r11: bracketed pairs gate a norm-only exceedance at 1.35 (vs the
+    legacy 1.5): a single-query 1.4x regression fully raw-masked by a
+    genuine 0.7x host speedup must gate alone — under the legacy bar it
+    escaped as WATCH."""
+    old = _bracketed_art({f"q{i}": 0.8 for i in range(8)}, 0.12, canary=0.30, mt=0.126)
+    newq = {f"q{i}": 0.56 for i in range(8)}  # host 0.7x, walls follow
+    newq["q0"] = 0.784  # raw 0.98x -> norm 1.4x
+    new = _bracketed_art(newq, 0.084, canary=0.21, mt=0.0882)
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    assert bench_compare.main([str(po), str(pn), "--gate"]) == 1
+    lines, worse, _, _ = bench_compare.compare(old, new, threshold=1.25)
+    assert worse == ["q0"]
+
+
+def test_bracketed_band_exceedance_with_flat_total_still_watches(tmp_path):
+    """The residual (1.25, 1.35] band stays WATCH on bracketed pairs:
+    the r11 same-code calibration pair itself produced a 1.31x
+    raw-and-norm reading on a 0.28s query (inverse direction), so
+    gating the band would false-fail same-code runs."""
+    old = _bracketed_art({f"q{i}": 0.8 for i in range(8)}, 0.12, canary=0.30, mt=0.126)
+    newq = {f"q{i}": 0.56 for i in range(8)}
+    newq["q0"] = 0.728  # raw 0.91x -> norm 1.3x: inside (1.25, 1.35]
+    new = _bracketed_art(newq, 0.084, canary=0.21, mt=0.0882)
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    assert bench_compare.main([str(po), str(pn), "--gate"]) == 0
+    lines, worse, _, watch = bench_compare.compare(old, new, threshold=1.25)
+    assert not worse and watch == ["q0"]
+    assert any(ln.startswith("WATCH: q0") for ln in lines)

@@ -74,6 +74,21 @@ A band exceedance with a flat total is printed as WATCH, not gated.
 Documented escape: a single-query regression between threshold and
 `hard`, raw-masked by a simultaneous host speedup, with a flat total
 — bounded, and caught next round when the anchor rotates under it.
+
+Per-query bracket normalization (r11): artifacts now carry
+``query_canary_mt_s`` — [before, after] mt samples tight around each
+query's timed min-of-n. When both artifacts carry them, the pair's
+host factor is the MEDIAN of the per-query bracket ratios (24+
+samples spanning the query section, vs 2 at the run edges), except
+that a query whose own ratio deviates from the median by >1.3x was
+locally contended and normalizes by its own ratio. Calibrated on an
+r11 same-code flat-window pair: median-normalized per-query ratios
+read 0.77-1.13x (individual brackets carry ±20% sample noise that
+min-of-n walls don't follow — normalizing by them raw would have
+read a flat query at 1.22x). Bracketed queries therefore gate under
+a TIGHTER hard bar (1.35 at the default gate vs the legacy 1.5),
+shrinking the WATCH-only escape band to (1.25, 1.35]; a >=1.35x
+regression gates alone no matter what raw or the total read.
 """
 
 from __future__ import annotations
@@ -241,15 +256,26 @@ def compare(
     # normalize every query by the same factor, but both r11 same-code
     # runs drifted WITHIN the query section (one query's window read
     # 2x slower while the run edges read flat) — per-query brackets
-    # attribute the drift to the queries it actually hit. When BOTH
-    # artifacts carry a bracket for a query (and the mt thread counts
-    # are comparable), that query normalizes by its OWN bracket ratio.
+    # attribute the drift to the queries it actually hit.
+    #
+    # Two-level use, calibrated on the r11 same-code pair:
+    # - the MEDIAN of all per-query bracket ratios is the pair's host
+    #   factor for bracketed queries (12 brackets spanning the whole
+    #   query section beat the 2-sample run edges);
+    # - a query whose own bracket ratio deviates from that median by
+    #   more than 1.3x was LOCALLY contended (run 3: one query's
+    #   opening sample read 0.400s vs 0.085s idle) and normalizes by
+    #   its own ratio. Inside 1.3x, individual brackets carry ±20%
+    #   sample noise that min-of-n walls do NOT follow — normalizing a
+    #   flat pair by them INJECTED up to 24% error on same-code runs
+    #   (raw 0.98x -> "norm" 1.22x), so near-median queries use the
+    #   median.
     qc_old = old.get("query_canary_mt_s") or {}
     qc_new = new.get("query_canary_mt_s") or {}
     if th_old and th_new and th_old != th_new:
         qc_old, qc_new = {}, {}  # same incomparability as the run-wide mt ratio
 
-    def q_bracket(name):
+    def q_bracket_own(name):
         bo, bn = qc_old.get(name), qc_new.get(name)
         if not bo or not bn or len(bo) != 2 or len(bn) != 2:
             return None
@@ -257,12 +283,34 @@ def compare(
             return None
         return (bn[0] + bn[1]) / (bo[0] + bo[1])
 
+    _own = {n: q_bracket_own(n) for n in set(qc_old) & set(qc_new)}
+    _ratios = sorted(r for r in _own.values() if r is not None)
+    bracket_median = _ratios[len(_ratios) // 2] if _ratios else None
+
+    def q_bracket(name):
+        own = _own.get(name)
+        if own is None or bracket_median is None:
+            return None
+        if not (1 / 1.3) <= own / bracket_median <= 1.3:
+            return own  # locally contended window: trust its own bracket
+        return bracket_median
+
     qo, qn = old.get("queries", {}), new.get("queries", {})
     n_br = sum(1 for n in set(qo) & set(qn) if q_bracket(n) is not None)
     if n_br:
+        n_local = sum(
+            1
+            for n in set(qo) & set(qn)
+            if q_bracket(n) is not None and q_bracket(n) != bracket_median
+        )
         lines.append(
             f"per-query mt brackets: {n_br}/{len(set(qo) | set(qn))} queries "
-            "normalize by their own bracket ratio (mid-run drift removed)"
+            f"normalize by the bracket-ratio median {bracket_median:.2f}x"
+            + (
+                f" ({n_local} locally-contended by their own ratio)"
+                if n_local
+                else ""
+            )
         )
     # noise-banded corroborated gating (r10): `hard` sits outside the
     # worst same-code per-query spread measured on this host (1.32x
@@ -274,8 +322,19 @@ def compare(
     # default gate threshold 1.25 these are 1.50 and 1.20.
     hard = 1.0 + (threshold - 1.0) * 2.0
     total_bar = 1.0 + (threshold - 1.0) * 0.8
+    # bracketed pairs get a tighter hard bar (1.35 at the default
+    # gate): the r11 same-code flat-window pair's worst per-query
+    # median-normalized ratio was 1.13x with min-of-n sized to >= ~3s
+    # of timed work per query, and the 1.30x worst-case envelope
+    # (inverting the one 0.77x outlier) sits under 1.35 — vs the 1.5x
+    # legacy bar derived from the unbracketed 1.32x same-code spread.
+    hard_br = 1.0 + (threshold - 1.0) * 1.4
     _vo, _vn = old.get("value"), new.get("value")
-    total_norm = (_vn / _vo) / host if _vo and _vn else None
+    total_norm = (
+        (_vn / _vo) / (bracket_median if bracket_median is not None else host)
+        if _vo and _vn
+        else None
+    )
     lines.append(
         f"{'query':<30} {'old_s':>7} {'new_s':>7} {'raw':>6} {'norm':>6}"
     )
@@ -323,7 +382,9 @@ def compare(
             # spread) it gates alone — which keeps the raw-masked
             # catch: a genuine regression the host speedup hides in
             # raw reads norm >= the regression itself.
-            if norm > hard or (total_norm is not None and total_norm > total_bar):
+            if norm > (hard_br if q_h is not None else hard) or (
+                total_norm is not None and total_norm > total_bar
+            ):
                 mark = "  <-- slower beyond host drift"
                 worse.append(name)
             else:
