@@ -512,13 +512,13 @@ def test_bracket_sample_noise_is_not_injected_into_flat_queries():
 
 
 def test_bracketed_raw_masked_regression_beyond_tight_hard_bar_gates(tmp_path):
-    """r11: bracketed pairs gate a norm-only exceedance at 1.35 (vs the
-    legacy 1.5): a single-query 1.4x regression fully raw-masked by a
-    genuine 0.7x host speedup must gate alone — under the legacy bar it
-    escaped as WATCH."""
+    """r11: bracketed (two-session) pairs gate a norm-only exceedance
+    at 1.40 (vs the legacy 1.5): a single-query 1.45x regression fully
+    raw-masked by a genuine 0.7x host speedup must gate alone — under
+    the legacy bar it escaped as WATCH."""
     old = _bracketed_art({f"q{i}": 0.8 for i in range(8)}, 0.12, canary=0.30, mt=0.126)
     newq = {f"q{i}": 0.56 for i in range(8)}  # host 0.7x, walls follow
-    newq["q0"] = 0.784  # raw 0.98x -> norm 1.4x
+    newq["q0"] = 0.812  # raw 1.02x -> norm 1.45x
     new = _bracketed_art(newq, 0.084, canary=0.21, mt=0.0882)
     po, pn = tmp_path / "old.json", tmp_path / "new.json"
     po.write_text(json.dumps(old))
@@ -529,7 +529,7 @@ def test_bracketed_raw_masked_regression_beyond_tight_hard_bar_gates(tmp_path):
 
 
 def test_bracketed_band_exceedance_with_flat_total_still_watches(tmp_path):
-    """The residual (1.25, 1.35] band stays WATCH on bracketed pairs:
+    """The residual (1.25, 1.40] band stays WATCH on bracketed pairs:
     the r11 same-code calibration pair itself produced a 1.31x
     raw-and-norm reading on a 0.28s query (inverse direction), so
     gating the band would false-fail same-code runs."""
@@ -544,3 +544,33 @@ def test_bracketed_band_exceedance_with_flat_total_still_watches(tmp_path):
     lines, worse, _, watch = bench_compare.compare(old, new, threshold=1.25)
     assert not worse and watch == ["q0"]
     assert any(ln.startswith("WATCH: q0") for ln in lines)
+
+
+def test_bracketed_same_code_raw_and_norm_band_reading_watches_not_gates(tmp_path):
+    """r11 core calibration fact: the same-code noise mode on bracketed
+    pairs is FLAT brackets with raw == norm (single-session JIT lottery;
+    two-session minimums still reach ~1.28x). A 1.31x raw-AND-norm
+    reading with a flat total — which the legacy raw-agreement rule
+    gated — must WATCH on a bracketed pair."""
+    old = _bracketed_art({f"q{i}": 0.8 for i in range(8)}, 0.09, canary=0.30, mt=0.126)
+    newq = {f"q{i}": 0.8 for i in range(8)}
+    newq["q0"] = 1.048  # raw 1.31x, brackets flat -> norm 1.31x
+    new = _bracketed_art(newq, 0.09, canary=0.30, mt=0.126)
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    assert bench_compare.main([str(po), str(pn), "--gate"]) == 0
+    lines, worse, _, watch = bench_compare.compare(old, new, threshold=1.25)
+    assert not worse and watch == ["q0"]
+
+
+def test_bracketed_uniform_slowdown_total_corroborates_and_gates(tmp_path):
+    """A uniform 1.3x code regression on a bracketed pair: every query
+    is in the band, but the artifact TOTAL (stable to ~1.06x on
+    same-code runs) corroborates at 1.3x > total_bar 1.20 -> gates."""
+    old = _bracketed_art({f"q{i}": 0.8 for i in range(8)}, 0.09, canary=0.30, mt=0.126)
+    new = _bracketed_art({f"q{i}": 1.04 for i in range(8)}, 0.09, canary=0.30, mt=0.126)
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    assert bench_compare.main([str(po), str(pn), "--gate"]) == 1

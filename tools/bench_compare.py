@@ -81,14 +81,23 @@ query's timed min-of-n. When both artifacts carry them, the pair's
 host factor is the MEDIAN of the per-query bracket ratios (24+
 samples spanning the query section, vs 2 at the run edges), except
 that a query whose own ratio deviates from the median by >1.3x was
-locally contended and normalizes by its own ratio. Calibrated on an
-r11 same-code flat-window pair: median-normalized per-query ratios
-read 0.77-1.13x (individual brackets carry ±20% sample noise that
-min-of-n walls don't follow — normalizing by them raw would have
-read a flat query at 1.22x). Bracketed queries therefore gate under
-a TIGHTER hard bar (1.35 at the default gate vs the legacy 1.5),
-shrinking the WATCH-only escape band to (1.25, 1.35]; a >=1.35x
-regression gates alone no matter what raw or the total read.
+locally contended and normalizes by its own ratio (individual
+brackets carry ±20% sample noise that min-of-n walls don't follow —
+normalizing a flat same-code query by its own bracket read it 1.22x).
+
+Two-session gating (r11): bracketed artifacts are TWO-SESSION
+minimums (bench.py re-rolls the C2 JIT lottery across two JVMs after
+single-session same-code walls measured up to 1.46x apart with flat
+brackets — a session-lifetime property no canary can see). For these
+pairs raw agreement is NOT extra evidence (the same-code noise mode
+is exactly flat brackets with raw == norm: a 0.28s query read 1.31x
+raw-and-norm on same code), so the whole (threshold, hard_br] band is
+WATCH regardless of raw, and a query gates only beyond hard_br (1.40
+at the default gate — the simulated two-session same-code envelope is
+0.78-1.28x) or when the artifact TOTAL corroborates a real slowdown
+(total_bar). Totals are far more stable than per-query walls: four
+same-code single-session runs spread totals 1.06x while individual
+queries spread 1.46x.
 """
 
 from __future__ import annotations
@@ -322,13 +331,14 @@ def compare(
     # default gate threshold 1.25 these are 1.50 and 1.20.
     hard = 1.0 + (threshold - 1.0) * 2.0
     total_bar = 1.0 + (threshold - 1.0) * 0.8
-    # bracketed pairs get a tighter hard bar (1.35 at the default
-    # gate): the r11 same-code flat-window pair's worst per-query
-    # median-normalized ratio was 1.13x with min-of-n sized to >= ~3s
-    # of timed work per query, and the 1.30x worst-case envelope
-    # (inverting the one 0.77x outlier) sits under 1.35 — vs the 1.5x
-    # legacy bar derived from the unbracketed 1.32x same-code spread.
-    hard_br = 1.0 + (threshold - 1.0) * 1.4
+    # bracketed pairs get a tighter hard bar (1.40 at the default
+    # gate): bracketed artifacts are two-session minimums (bench.py
+    # re-rolls the C2 JIT lottery across two JVMs — single-session
+    # same-code walls differed up to 1.46x with flat brackets), and
+    # the two-session same-code envelope simulated on the four r11
+    # runs is 0.78-1.28x. 1.40 clears that envelope with margin; the
+    # legacy 1.5x bar stays for single-session (unbracketed) pairs.
+    hard_br = 1.0 + (threshold - 1.0) * 1.6
     _vo, _vn = old.get("value"), new.get("value")
     total_norm = (
         (_vn / _vo) / (bracket_median if bracket_median is not None else host)
@@ -365,12 +375,30 @@ def compare(
         q_h = q_bracket(name)
         norm = raw / (q_h if q_h is not None else host)
         mark = ""
-        if norm > threshold and raw > threshold:
+        if q_h is not None and norm > threshold:
+            # bracketed pair: raw agreement is NOT extra evidence here
+            # — the same-code noise mode IS flat brackets with raw ==
+            # norm (the r11 calibration pair read a 0.28s query at
+            # 1.31x raw-and-norm on same code), so the band protects
+            # raw-agreeing exceedances too. Gates on: norm beyond the
+            # two-session hard bar, or the artifact TOTAL corroborating
+            # a real slowdown. Anything else in (threshold, hard_br] is
+            # WATCH — tracked, not gated.
+            if norm > hard_br or (total_norm is not None and total_norm > total_bar):
+                mark = "  <-- slower beyond host drift"
+                worse.append(name)
+            else:
+                mark = (
+                    "  (norm in same-code noise band; total flat — WATCH,"
+                    " not gated)"
+                )
+                watch.append(name)
+        elif norm > threshold and raw > threshold:
             # raw and normalized agree the query got slower — gates on
             # every path (host drift cannot explain both directions)
             mark = "  <-- slower beyond host drift"
             worse.append(name)
-        elif norm > threshold and (corroborated or q_h is not None):
+        elif norm > threshold and corroborated:
             # normalized-only exceedance under corroborated canaries.
             # Single-run per-query walls are NOISY: five same-code
             # bench runs in one evening spread individual sub-second
@@ -382,9 +410,7 @@ def compare(
             # spread) it gates alone — which keeps the raw-masked
             # catch: a genuine regression the host speedup hides in
             # raw reads norm >= the regression itself.
-            if norm > (hard_br if q_h is not None else hard) or (
-                total_norm is not None and total_norm > total_bar
-            ):
+            if norm > hard or (total_norm is not None and total_norm > total_bar):
                 mark = "  <-- slower beyond host drift"
                 worse.append(name)
             else:
