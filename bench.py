@@ -298,7 +298,7 @@ def main() -> None:
         # the session's best-seen mt sample = the idle reference the
         # contended-window retry compares brackets against; lowered
         # whenever a faster sample appears
-        idle_mt = cpu_canary_mt(cpus)
+        idle_mt = [cpu_canary_mt(cpus)]
         for name in names:
             # steady-state measurement: first executions pay
             # whole-stage codegen compilation AND the JVM's tiered JIT
@@ -339,15 +339,15 @@ def main() -> None:
                         best = min(best, time.perf_counter() - t0)
                         spark.catalog.clearCache()
                     b1 = cpu_canary_mt(cpus)
-                    idle_mt = min(idle_mt, b0, b1)
+                    idle_mt[0] = min(idle_mt[0], b0, b1)
                     bmean = (b0 + b1) / 2
                     if kept is None or bmean < kept[0]:
                         kept = (bmean, best, b0, b1)
-                    if bmean <= 1.5 * idle_mt:
+                    if bmean <= 1.5 * idle_mt[0]:
                         break
                     print(
                         f"# {name}: bracket {b0:.3f}/{b1:.3f}s vs idle "
-                        f"{idle_mt:.3f}s — contended window, re-timing "
+                        f"{idle_mt[0]:.3f}s — contended window, re-timing "
                         f"({attempt + 1}/3)",
                         file=sys.stderr,
                     )
@@ -365,7 +365,7 @@ def main() -> None:
                 print(f"# {name} [{label}]: FAILED {errors[name]}", file=sys.stderr)
                 spark.catalog.clearCache()
             settle()
-        return timings, warmups, query_canaries, errors
+        return timings, warmups, query_canaries, errors, idle_mt[0]
 
     # two-session minimum (r11): the C2 JIT lottery — which inlining/
     # code-layout decisions the compiler lands on — persists for a JVM
@@ -378,11 +378,11 @@ def main() -> None:
     # query's min. Simulated on the four r11 single-session runs, the
     # same-code per-query envelope shrinks from 0.69-1.46x to
     # 0.78-1.12x.
-    t1, w1, qc1, e1 = measure_session("s1")
+    t1, w1, qc1, e1, idle1 = measure_session("s1")
     spark.stop()
     spark = get_spark("callysto-bench-s2", cpus=cpus)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    t2, w2, qc2, e2 = measure_session("s2")
+    t2, w2, qc2, e2, idle2 = measure_session("s2")
 
     timings: dict[str, float | None] = {}
     warmups: dict[str, int] = {}
@@ -395,14 +395,35 @@ def main() -> None:
             timings[name] = None
             errors[name] = e2.get(name) or e1.get(name) or "failed in both sessions"
             continue
-        pick = 1 if (b is None or (a is not None and a <= b)) else 2
-        timings[name] = a if pick == 1 else b
-        warmups[name] = (w1 if pick == 1 else w2).get(name, 0)
-        query_canaries[name] = (qc1 if pick == 1 else qc2).get(name, [])
-        query_session[name] = pick
+        # prefer the session whose bracket is FLAT (<= 1.3x its session
+        # idle), then the lower wall: carrying a contended bracket with
+        # a burst-dodging min-of-n wall made the gate's local-contention
+        # override normalize a clean 0.98x raw reading to 0.70x/1.43x
+        # (run 9/10 pair, q1/q3) — the wall did NOT move with the burst
+        # because min-of-n exists to dodge bursts, so when either
+        # session measured cleanly, commit THAT measurement
+        cands = []
+        for wall, qc, w, sess, idle in (
+            (a, qc1, w1, 1, idle1),
+            (b, qc2, w2, 2, idle2),
+        ):
+            if wall is None:
+                continue
+            br = qc.get(name) or []
+            contended = (
+                len(br) == 2 and (br[0] + br[1]) / 2 > 1.3 * idle
+            )
+            cands.append((contended, wall, sess, br, w.get(name, 0)))
+        contended_pick, wall, sess, br, warm = min(cands)
+        timings[name] = wall
+        warmups[name] = warm
+        query_canaries[name] = br
+        query_session[name] = sess
         print(
-            f"# {name}: {timings[name]:.3f}s = min(s1 "
-            f"{a if a is not None else 'fail'}, s2 {b if b is not None else 'fail'})",
+            f"# {name}: {timings[name]:.3f}s = "
+            f"{'flat' if not contended_pick else 'CONTENDED-only'} pick "
+            f"s{sess} of (s1 {a if a is not None else 'fail'}, "
+            f"s2 {b if b is not None else 'fail'})",
             file=sys.stderr,
         )
     try:
