@@ -434,9 +434,11 @@ def compare(
         )
     vo, vn = old.get("value"), new.get("value")
     if vo and vn:
+        # display the SAME normalized total the total_bar gate reads
+        # (bracket-ratio median when available, run-wide host otherwise)
         lines.append(
             f"{'TOTAL':<30} {vo:>7.3f} {vn:>7.3f} "
-            f"{vn / vo:>5.2f}x {vn / vo / host:>5.2f}x"
+            f"{vn / vo:>5.2f}x {total_norm if total_norm is not None else vn / vo / host:>5.2f}x"
         )
     io, in_ = old.get("ingest_mbps"), new.get("ingest_mbps")
     if io and in_:
