@@ -57,3 +57,20 @@ def test_zero_spill_at_every_point_both_windows():
         for scale, variants in rec["points"].items():
             for name, m in variants.items():
                 assert m["spill_mem_mb"] == 0.0 and m["spill_disk_mb"] == 0.0, (fx, scale, name)
+
+
+def test_lo_endpoint_below_floor_defers_to_total():
+    """r11 window: the LO delta (0.23s at 30x) sat under the 0.3s floor
+    while the hi delta (2.41s) cleared it — and the window's 10x point
+    measured full_kmv FASTER than its own distinct_only subset, proving
+    ~0.4s between-variant variance that swamps the baseline. An
+    exponent over an under-floor BASELINE (this window read 1.95) is as
+    meaningless as one over an under-floor hi; the total tail (0.948,
+    sublinear) governs."""
+    rec = replay("kmv_tail_probe_r11_lofloor.json")
+    assert rec["tails"]["full_kmv"] <= 1.0
+    assert "below the measurement floor" in rec["finding"]
+    assert "SUPERLINEAR" not in rec["finding"]
+    # the physically-impossible inversion that proves the variance
+    pts = rec["points"]["10"]
+    assert pts["full_kmv"]["t"] < pts["distinct_only"]["t"]

@@ -249,8 +249,16 @@ def main() -> None:
     # refuses to attribute growth from deltas the host's between-run
     # variance swamps (a slow-window rerun read a 0.17s delta swing as
     # exponent 1.49 while the TOTAL tail stayed 0.994 — subtraction of
-    # two min-of-3 walls is meaningless below the floor).
-    measurable = merge_delta[hi] >= max(0.3, 0.05 * points[str(hi)]["full_kmv"]["t"])
+    # two min-of-3 walls is meaningless below the floor). The floor
+    # applies to BOTH endpoints: an exponent over an under-floor
+    # BASELINE is equally meaningless (r11: a 0.23s lo delta — in a
+    # window where full_kmv measured FASTER than its own subset at 10x,
+    # proving between-variant variance ~0.4s — read as exponent 1.95
+    # while the TOTAL tail stayed 0.948).
+    def _floor(s):
+        return max(0.3, 0.05 * points[str(s)]["full_kmv"]["t"])
+
+    measurable = merge_delta[hi] >= _floor(hi) and merge_delta[lo] >= _floor(lo)
     concentrating = measurable and delta_tail is not None and delta_tail > 1.15
     if not measurable:
         delta_note = (
