@@ -175,6 +175,106 @@ def io_canary() -> dict:
     return out
 
 
+# The driver records only the TAIL of stdout (~2 KB): BENCH_r11's final
+# JSON line grew past that with diagnostics (warm_runs, session wins,
+# per-trial ingest audit) and the driver captured a mid-line fragment —
+# `parsed: null`, the round's official bench record lost (r11 verdict
+# item 1). The final stdout line is therefore a HEADLINE bounded well
+# under the capture window; the full record goes to a sidecar file and,
+# if that fails, to stderr. 1800 leaves ~10% margin under 2048.
+HEADLINE_MAX_BYTES = 1800
+
+# Exactly the fields tools/bench_compare.py `compare()` + its --gate
+# read, plus the identity/honesty fields the round record needs. Order
+# matters only for readability; the set is what the artifact-pair gate
+# test pins (a slimming that drops one of these silently un-gates it).
+HEADLINE_KEYS = (
+    "metric", "value", "unit", "queries", "sf",
+    "loadavg_1m", "loadavg_at_gate",
+    "cpu_canary_s", "cpu_canary_end_s",
+    "cpu_canary_mt_s", "cpu_canary_mt_end_s", "cpu_canary_mt_threads",
+    "io_canary_write_mbps", "io_canary_read_mbps",
+    "query_canary_mt_s",
+    "ingest_mbps", "ingest_mbps_best", "ingest_mbps_norm",
+    "ingest_spread_pct", "ingest_raw_spread_pct",
+    "load_contaminated", "ingest_noisy", "ingest_window_exhausted",
+    "ingest_short_sample", "partial", "n_failed", "errors",
+)
+
+
+def split_headline(out: dict) -> tuple[dict, dict]:
+    """Split the full bench record into (headline, detail).
+
+    ``headline`` is the final-stdout-line dict: the HEADLINE_KEYS
+    subset, hard-bounded under HEADLINE_MAX_BYTES when serialized
+    compactly. ``detail`` is the FULL record (a superset of headline)
+    destined for the BENCH_DETAIL.json sidecar — bench_compare.load
+    can read either.
+
+    If the headline still exceeds the bound (e.g. a partial run with
+    many long error strings), trim deterministically, most-expendable
+    first, and record what was dropped in ``headline_trimmed`` so the
+    artifact is honest about its own slimming:
+    1. error strings shortened to their exception type;
+    2. per-query mt brackets dropped (bench_compare falls back to the
+       run-wide canary brackets — normalization survives, coarser);
+    3. the errors dict dropped entirely (``partial`` + ``n_failed``
+       still say the run is broken; per-query nulls in ``queries``
+       still gate-fail; full text lives in the detail sidecar).
+    """
+    headline = {k: out[k] for k in HEADLINE_KEYS if k in out}
+    if "errors" in headline:
+        # cap each message; full text lives in the detail record
+        headline["errors"] = {k: v[:80] for k, v in headline["errors"].items()}
+
+    def size(d: dict) -> int:
+        return len(json.dumps(d, separators=(",", ":")))
+
+    trimmed: list[str] = []
+    if size(headline) > HEADLINE_MAX_BYTES and "errors" in headline:
+        headline["errors"] = {
+            k: v.split(":", 1)[0] for k, v in headline["errors"].items()
+        }
+        trimmed.append("error_text")
+    if size(headline) > HEADLINE_MAX_BYTES and "query_canary_mt_s" in headline:
+        del headline["query_canary_mt_s"]
+        trimmed.append("query_canary_mt_s")
+    if size(headline) > HEADLINE_MAX_BYTES and "errors" in headline:
+        del headline["errors"]
+        trimmed.append("errors")
+    if trimmed:
+        headline["headline_trimmed"] = trimmed
+    return headline, dict(out)
+
+
+def emit(out: dict) -> str:
+    """Write the detail sidecar and return the compact headline line.
+
+    The headline is the LAST thing main() prints to stdout; everything
+    else (including the full record, when the sidecar can't be
+    written) goes to stderr."""
+    headline, detail = split_headline(out)
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+        print(f"# full diagnostics: {detail_path}", file=sys.stderr)
+    except OSError as exc:
+        print(f"# detail sidecar write failed ({exc}); full record follows", file=sys.stderr)
+        print(json.dumps(detail), file=sys.stderr)
+    line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > HEADLINE_MAX_BYTES:
+        # the trim ladder should make this unreachable; if a future
+        # field breaks that, say so loudly rather than ship a line the
+        # driver will truncate into an unparseable fragment again
+        print(
+            f"# WARNING: headline {len(line)} bytes > {HEADLINE_MAX_BYTES} "
+            "— extend split_headline's trim ladder",
+            file=sys.stderr,
+        )
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -212,7 +312,7 @@ def main() -> None:
         print(f"# ingest bench failed: {exc}", file=sys.stderr)
         ingest = None
 
-    def warm_to_plateau(build) -> int:
+    def warm_to_plateau(build) -> tuple[int, float]:
         """Run the query until its wall time reaches the JIT plateau
         (r10 finding: 20 same-session runs of emb_ivf_topk fall
         2.39s->0.79s from JVM JIT tiering — and the decline is GRADUAL,
@@ -221,7 +321,8 @@ def main() -> None:
         same-code per-query spread at 1.22-1.32x). Rule: keep warming
         while new minimums keep arriving; stop when 3 consecutive runs
         fail to improve the running best by >3%, cap ``warm_cap``.
-        Returns the number of warm runs consumed (stderr diagnostics).
+        Returns ``(warm_runs_consumed, best_warm_wall_s)`` — the best
+        warm wall sizes the timed section (``q_runs``) below.
         """
         best = float("inf")
         stale = 0
@@ -513,10 +614,12 @@ def main() -> None:
         # r11: trials whose window fails the cleanliness check (cpu
         # bracket > 1.5x idle or io probe < half best — see
         # ingest_bench) are discarded and re-run; the discarded
-        # readings ride along in ``ingest_discarded_trials`` so the
-        # filtering is auditable. The noisy flag reads the NORMALIZED
-        # spread over clean trials, or fires unconditionally when the
-        # clean-window budget ran out.
+        # readings ride along in ``ingest_discarded_trials`` (in the
+        # detail sidecar) so the filtering is auditable. The noisy
+        # flag reads the NORMALIZED spread over clean trials, and also
+        # fires when fewer than 2 clean trials existed
+        # (window_exhausted); a run that got 2..trials-1 clean trials
+        # is flagged short_sample instead.
         out["ingest_mbps"] = ingest["median"]
         out["ingest_mbps_best"] = ingest["best"]
         out["ingest_mbps_trials"] = ingest["trials"]
@@ -532,7 +635,11 @@ def main() -> None:
             out["ingest_noisy"] = True
         if ingest["window_exhausted"]:
             out["ingest_window_exhausted"] = True
-    print(json.dumps(out))
+        if ingest.get("short_sample"):
+            # the retry budget ran out with fewer clean trials than
+            # requested (but >= 2): the median stands on a short sample
+            out["ingest_short_sample"] = True
+    print(emit(out))
     spark.stop()
     if contaminated:
         # the JSON line (with its load_contaminated flag) is already on
@@ -611,8 +718,18 @@ def ingest_bench(spark) -> dict | None:
       trial (run 3: 47.3 MB/s under a 0.776s-vs-0.085s cpu bracket
       normalized to 111.5, still 10x off the clean trials), so the
       only honest treatments are exclusion-with-audit-trail
-      (``ingest_discarded_trials``) or the ``ingest_window_exhausted``
-      flag when the budget runs out;
+      (``ingest_discarded_trials``, each entry carrying its discard
+      reason) or, when the budget runs out, flags: ``short_sample``
+      whenever the loop exits with fewer clean trials than requested
+      (the median stands on a short window), escalating to
+      ``window_exhausted`` below 2 clean trials (no trustworthy
+      median exists — ALL attempts are reported, flagged noisy);
+    - r12 (r11 verdict item 5): the probes only catch contention they
+      can SEE — the r11 committed run admitted a 466 MB/s trial into
+      an 854 MB/s median under clean probes. With >= 3 otherwise-clean
+      trials, a trial whose bracket-normalized rate falls outside
+      [0.6x, 1.67x] of their median is discarded as a ``norm_outlier``
+      (both tails — symmetric) and the window refills;
     - the headline ``ingest_mbps`` is the RAW median over CLEAN trials
       (comparable to the reference's 278.47 MB/s and to prior rounds);
       ``ingest_mbps_norm`` + per-trial canaries ride along, and the
@@ -622,6 +739,7 @@ def ingest_bench(spark) -> dict | None:
     """
     import gc
     import shutil
+    import statistics
     import tempfile
 
     from pyspark.sql import functions as F
@@ -780,18 +898,43 @@ def ingest_bench(spark) -> dict | None:
             prev_cpu = post_cpu
             idle_cpu, best_io = min(cpu_samples), max(io_samples)
             for a in attempts:  # refs tighten as samples accumulate
-                a["clean"] = (
-                    a["bracket"] <= 1.5 * idle_cpu
-                    and a["io"] >= best_io / 2
-                    and a["batch_ratio"] <= 3.0
-                )
+                if a["bracket"] > 1.5 * idle_cpu:
+                    a["clean"], a["reason"] = False, "cpu_bracket"
+                elif a["io"] < best_io / 2:
+                    a["clean"], a["reason"] = False, "io_probe"
+                elif a["batch_ratio"] > 3.0:
+                    a["clean"], a["reason"] = False, "batch_ratio"
+                else:
+                    a["clean"], a["reason"] = True, None
+            # symmetric outlier admission (r12, r11 verdict item 5): the
+            # window probes above catch contention they can SEE, but the
+            # r11 committed run still admitted a 466 MB/s trial into an
+            # 854 MB/s median (54.5% raw spread) under clean-looking
+            # probes — contention that hit only the drain itself. With
+            # >= 3 otherwise-clean trials, a trial whose (bracket-
+            # normalized) rate falls outside [0.6x, 1.67x] of their
+            # median is discarded as a norm outlier — BOTH tails, so a
+            # too-fast fluke is excluded as readily as a too-slow one —
+            # and the retry loop refills the window. Every exclusion
+            # carries its reason in the discarded-trials audit.
+            base_clean = [a for a in attempts if a["clean"]]
+            if len(base_clean) >= 3:
+                brs = [a["bracket"] for a in base_clean]
+                ref0 = statistics.median(brs)
+                flat0 = max(brs) / min(brs) <= 1.15
+                for a in base_clean:
+                    a["norm_mbps"] = a["mbps"] if flat0 else a["mbps"] * a["bracket"] / ref0
+                med0 = statistics.median(a["norm_mbps"] for a in base_clean)
+                for a in base_clean:
+                    if not (0.6 * med0 <= a["norm_mbps"] <= med0 / 0.6):
+                        a["clean"], a["reason"] = False, "norm_outlier"
             n_clean = sum(a["clean"] for a in attempts)
             print(
                 f"# ingest attempt {attempt}: {stats['bytes']/1048576:.0f} MB in {dt:.2f}s "
                 f"= {mbps:.1f} MB/s (bracket {attempts[-1]['bracket']:.3f}s vs idle "
                 f"{idle_cpu:.3f}s, pre-drain io probe {io_now:.0f} vs best {best_io:.0f} MB/s, "
                 f"batch ratio {batch_ratio:.1f}"
-                f"{'' if attempts[-1]['clean'] else ' — CONTENDED, discarded'})",
+                f"{'' if attempts[-1]['clean'] else ' — DISCARDED: ' + str(attempts[-1]['reason'])})",
                 file=sys.stderr,
             )
             if n_clean >= trials:
@@ -799,9 +942,12 @@ def ingest_bench(spark) -> dict | None:
         if not attempts:
             print("# ingest bench: zero completed trials", file=sys.stderr)
             return None
-        import statistics
-
         clean = [a for a in attempts if a["clean"]]
+        # short_sample: the retry budget ran out before `trials` clean
+        # windows accumulated — the headline median stands on fewer
+        # trials than requested (r11 advice: this previously went
+        # unflagged whenever 2-4 clean trials existed)
+        short_sample = len(clean) < trials
         window_exhausted = len(clean) < 2
         if window_exhausted:
             # never got two clean windows in the attempt budget: report
@@ -829,6 +975,15 @@ def ingest_bench(spark) -> dict | None:
             file=sys.stderr,
         )
         discarded = [a for a in attempts if not a["clean"]] if not window_exhausted else []
+        for a in discarded:
+            # one audit line per exclusion, greppable: the committed
+            # median must never silently drop a reading
+            print(
+                f"# ingest discarded trial: {a['mbps']:.1f} MB/s "
+                f"(reason: {a['reason']}, bracket {a['bracket']:.3f}s, "
+                f"io probe {a['io']:.0f} MB/s, batch ratio {a['batch_ratio']:.1f})",
+                file=sys.stderr,
+            )
         return {
             "best": round(max(results), 1),
             "median": round(statistics.median(results), 1),
@@ -849,10 +1004,12 @@ def ingest_bench(spark) -> dict | None:
                     "bracket_s": round(a["bracket"], 3),
                     "io_probe_mbps": round(a["io"], 0),
                     "batch_ratio": round(a["batch_ratio"], 1),
+                    "reason": a["reason"],
                 }
                 for a in discarded
             ],
             "window_exhausted": window_exhausted,
+            "short_sample": short_sample,
         }
     except Exception as exc:  # never fail the bench line on the extra metric
         print(f"# ingest bench failed: {exc}", file=sys.stderr)

@@ -84,68 +84,69 @@ def load_all() -> dict[str, Query]:
     shared-oracle ANN) plus the always-on LLM heads; r10 promoted all
     37 r8-latest rows (the two r9-deferred Jaccard rows heading the
     queue), keeping the 7 newest-machinery rows for a second
-    consecutive certification. r11 (THIS round, per the round-10
-    VERDICT item 1) promotes ALL 37 rows whose newest green record is
-    r9 — the approx/sketch and avro/raw-message rows, the
-    events/streaming-twin family, the rollup/cube/grouping-sets/pivot
-    family, the array/map/string/null-func rows, q5/q6, and the
-    winnowing/fingerprint rows. The 13-slot kept head: the 6 always-on
-    LLM-ops rows plus the 7 bench-headline rows not already in the
-    window — this round re-records BENCH_BASELINE.json under the new
-    JIT-plateau warm-up discipline (verdict item 2), so every one of
-    the 12 bench.py headline queries is hash-certified in the SAME
-    round as the anchor it feeds. No registry row's semantics change
-    in r11 (registry frozen at 87, verdict item 7).
+    consecutive certification. r11 promoted all 37 rows whose newest
+    green record was r9, keeping the 6 always-on LLM-ops rows plus
+    the 7 bench-headline rows so every one of the 12 bench.py
+    headline queries was hash-certified in the same round as the
+    re-recorded anchor. r12 (THIS round, per the round-11 VERDICT
+    item 4) promotes ALL 37 rows whose newest green record is r10 —
+    the r10 head's promoted-37 plus its 7 newest-machinery watch rows
+    (BLAS ANN, MinHash/LSH, SimHash, ivf_assign), minus the 7
+    bench-headline rows re-kept here: the TPC-H tail (q2/q4/q7-q15/
+    q17-q19/q21/q22), the window/frame/histogram family, the
+    text-analysis rows (lang/quality/BPE/stratified-sample), and the
+    near-dup pair/survivor rows. The kept 13-slot head is unchanged
+    from r11 (6 LLM-ops + 7 bench-headline rows) — every bench row
+    stays freshly certified alongside the anchor it feeds. No
+    registry row's semantics change in r12 (registry frozen at 87).
     """
     from callysto_spark.queries import llm_ops, tpch2, tpch3, tpch4, events, arrays, messages, tpch  # noqa: F401
 
     promoted = [
-        # the 37 rows whose newest green is r9 (r9 window minus the 13
-        # kept in r10's head). q5 first: it read 1.20x raw in the r10
-        # bench (inside the same-code band, but watch-listed).
-        "q5_supplier_volume",
-        "q6_forecast_revenue",
-        "approx_distinct_parts",
-        "avro_roundtrip_stats",
-        "case_bucket_orders",
-        "cube_status_priority",
-        "distinct_counts_by_flag",
-        "doc_fingerprint_groups",
-        "doc_winnow_fingerprints",
-        "embedding_array_stats",
-        "events_changelog_materialize",
-        "events_dedup_latest",
-        "events_hourly_tumbling",
-        "events_interval_join_clicks",
-        "events_json_kv",
-        "events_sliding_1h_30m",
-        "events_type_stats",
-        "events_user_salted_counts",
-        "events_value_quantile_sketch",
-        "full_outer_nation_activity",
-        "grouping_sets_order_stats",
-        "left_join_customer_orders",
-        "null_handling_funcs",
-        "order_month_stats",
-        "pivot_linestatus",
-        "raw_message_decode_stats",
-        "rollup_revenue",
-        "semi_anti_customers",
-        "setop_customers_96_97",
-        "string_funcs_parts",
-        "string_normalize_parts",
-        "token_positions",
-        "token_top20",
-        "top3_orders_per_customer",
-        "user_event_type_sets",
-        "user_spend_deciles",
-        "user_type_count_map",
+        # the 37 rows whose newest green is r10 (the r10 window minus
+        # the 13 rows kept in r11's head)
+        "doc_ngram_jaccard_pairs",
+        "doc_near_dup_survivor_stats",
+        "q2_cheapest_supplier",
+        "q4_priority_with_discounted_lines",
+        "q7_bilateral_volume",
+        "q8_market_share",
+        "q9_profit_by_nation_year",
+        "q10_returned_items",
+        "q11_important_parts",
+        "q12_priority_by_bracket",
+        "q13_customer_order_distribution",
+        "q14_promo_share",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q18_large_orders",
+        "q19_bracket_revenue",
+        "q21_waiting_suppliers",
+        "q22_idle_rich_customers",
+        "scalar_subquery_vs_max",
+        "setop_all_variants",
+        "argmax_order_per_nation",
+        "customer_balance_distribution",
+        "orders_price_range_frame",
+        "price_quartiles_by_segment",
+        "shipping_delay_histogram",
+        "suppliers_many_parts",
+        "emb_label_near_pairs",
+        "doc_bpe_token_stats",
+        "doc_lang_scores",
+        "doc_quality_score",
+        "doc_stratified_sample",
+        "emb_ivf_assign_blas",
+        "emb_cosine_topk_blas",
+        "doc_minhash_lsh_pairs",
+        "doc_lsh_verified_near_dups",
+        "doc_simhash",
+        "emb_ivf_assign",
     ]
-    # The 7 bench-headline rows not covered by promoted/llm_kept: the
-    # round's anchor re-record (JIT-plateau warm-up) measures exactly
-    # the 12 bench=True queries; keeping these 7 puts all 12 in the
-    # r11 driver window so the new anchor and the hash-green
-    # certification of what it measures land in the same round.
+    # The 7 bench-headline rows not covered by promoted/llm_kept: all
+    # 12 bench=True queries stay in every driver window so each
+    # round's hash certification covers exactly what the bench anchor
+    # measures.
     watch = [
         "q1_pricing_summary",
         "q3_shipping_priority",
@@ -172,10 +173,10 @@ def load_all() -> dict[str, Query]:
             f"window is 37+7+6; got {len(promoted)} promoted + "
             f"{len(watch)} watch + {len(llm_kept)} llm"
         )
-    # r12 promotion queue: the 37 rows whose newest green record is
-    # r10 (the r10 window minus the 13 rows kept above — i.e. the r10
-    # head's promoted-37 plus its 7 newest-machinery watch rows, minus
-    # the 7 bench-headline rows re-kept here).
+    # r13 promotion queue: the 37 rows whose newest green record is
+    # r11 (the r11 window minus the 13 rows kept above — i.e. the r11
+    # promoted-37 list recorded in CORRECTNESS_r11.json, none of which
+    # overlap this round's kept head).
     head = promoted + watch + llm_kept
     missing = [n for n in head if n not in REGISTRY]
     if missing:

@@ -306,6 +306,19 @@ def test_committed_artifact_pair_corroborates_and_gates_norm_alone():
     )
     if not rounds:
         pytest.skip("no BENCH_r*.json artifacts present")
+    # BENCH_r11.json is the driver's record of a lost round: bench.py's
+    # final stdout line outgrew the driver's ~2 KB tail capture and the
+    # committed envelope has `parsed: null` (r11 verdict item 1). The
+    # record is unrecoverable history; bench.py's split_headline now
+    # hard-bounds the final line (test_bench_headline.py) so this can't
+    # recur. That ONE artifact is allowlisted and skipped; any other
+    # driver-unparseable artifact still fails here — the guard stays
+    # strict for r12+.
+    LOST_RECORDS = {"BENCH_r11.json"}
+    while rounds and rounds[-1].name in LOST_RECORDS:
+        rounds.pop()
+    if not rounds:
+        pytest.skip("only lost-record artifacts present")
     newest = rounds[-1]
     if not anchor.exists():
         pytest.skip("anchor artifact not present")
@@ -574,3 +587,56 @@ def test_bracketed_uniform_slowdown_total_corroborates_and_gates(tmp_path):
     po.write_text(json.dumps(old))
     pn.write_text(json.dumps(new))
     assert bench_compare.main([str(po), str(pn), "--gate"]) == 1
+
+
+def test_multiple_band_exceedances_on_one_pair_gate(tmp_path):
+    """r12 advice (medium): the WATCH band was calibrated on the
+    SINGLE-query noise mode — several small queries regressing ~1.3x
+    together move the total only a few percent and previously escaped
+    both the per-query and total bars entirely. >= WATCH_GATE_N (3)
+    band exceedances on one pair escalate to gated regressions."""
+    old = _bracketed_art({f"q{i}": 0.8 for i in range(8)}, 0.09, canary=0.30, mt=0.126)
+    newq = {f"q{i}": 0.8 for i in range(8)}
+    for n in ("q0", "q1", "q2"):
+        newq[n] = 1.04  # raw/norm 1.3x each; total 7.12/6.4 = 1.11 < 1.20 bar
+    new = _bracketed_art(newq, 0.09, canary=0.30, mt=0.126)
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    assert bench_compare.main([str(po), str(pn), "--gate"]) == 1
+    lines, worse, _, watch = bench_compare.compare(old, new, threshold=1.25)
+    assert sorted(worse) == ["q0", "q1", "q2"] and not watch
+    assert any("simultaneously" in ln for ln in lines)
+
+
+def test_two_band_exceedances_still_watch(tmp_path):
+    """The documented residual: up to WATCH_GATE_N - 1 queries in the
+    band with a flat total stay WATCH (the single-query noise mode
+    extends to rare pairs of flukes; three is beyond calibration)."""
+    old = _bracketed_art({f"q{i}": 0.8 for i in range(8)}, 0.09, canary=0.30, mt=0.126)
+    newq = {f"q{i}": 0.8 for i in range(8)}
+    for n in ("q0", "q1"):
+        newq[n] = 1.04
+    new = _bracketed_art(newq, 0.09, canary=0.30, mt=0.126)
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    assert bench_compare.main([str(po), str(pn), "--gate"]) == 0
+    lines, worse, _, watch = bench_compare.compare(old, new, threshold=1.25)
+    assert not worse and sorted(watch) == ["q0", "q1"]
+
+
+def test_bracket_median_is_true_median_on_even_counts():
+    """r12 advice (low): _ratios[len//2] is the UPPER median — on the
+    standard even-count bench it biased the host factor toward the
+    larger bracket ratio, shrinking every normalized ratio (lenient).
+    Two queries with bracket ratios 1.0 and 1.2 must normalize by
+    1.10x, not 1.20x."""
+    old = _bracketed_art({"q0": 0.8, "q1": 0.8}, 0.10, canary=0.30, mt=0.126)
+    new = _bracketed_art(
+        {"q0": 0.88, "q1": 0.8}, 0.10, canary=0.30, mt=0.126,
+        overrides={"q1": (0.12, 0.12)},  # ratios: q0 1.0, q1 1.2
+    )
+    lines, _, _, _ = bench_compare.compare(old, new, threshold=1.25)
+    hdr = next(ln for ln in lines if "bracket-ratio median" in ln)
+    assert "1.10x" in hdr, hdr

@@ -70,10 +70,15 @@ OR norm exceeds `hard` (2x the margin — 1.5 at the default gate,
 outside any observed same-code spread); OR norm exceeds the threshold
 AND the artifact total's normalized ratio exceeds `total_bar` (1.20
 at the default gate — a uniform slowdown raw-masked by host speedup).
-A band exceedance with a flat total is printed as WATCH, not gated.
-Documented escape: a single-query regression between threshold and
-`hard`, raw-masked by a simultaneous host speedup, with a flat total
-— bounded, and caught next round when the anchor rotates under it.
+A band exceedance with a flat total is printed as WATCH, not gated —
+unless WATCH_GATE_N (3) or more queries land in the band on the same
+pair, which is beyond the single-query noise mode the band was
+calibrated on (several small queries regressing together move the
+total only a few percent and previously escaped both bars): those
+escalate to gated regressions (r12). Documented escape, stated
+honestly: up to WATCH_GATE_N - 1 queries regressing inside
+(threshold, hard] with a flat total on one pair — bounded, and
+caught next round when the anchor rotates under them.
 
 Per-query bracket normalization (r11): artifacts now carry
 ``query_canary_mt_s`` — [before, after] mt samples tight around each
@@ -104,7 +109,20 @@ from __future__ import annotations
 
 import argparse
 import json
+import statistics
 import sys
+
+# Multi-query band gate (r12): the (threshold, hard] WATCH band exists
+# because SINGLE-query walls are noisy (same-code spread to 1.32x), but
+# several queries landing in the band on ONE pair is not the
+# single-query noise mode — three 1.39x readings can move a total only
+# ~1.07x and previously escaped both the per-query and total bars
+# entirely. Same-code calibration saw at most one band exceedance per
+# pair, so >= 3 simultaneous exceedances gate as a regression. The
+# honestly-stated residual escape is now: at most 2 queries in the
+# band, raw-masked or flat-total, on one pair — caught when the anchor
+# rotates under them.
+WATCH_GATE_N = 3
 
 
 def load(path: str) -> dict:
@@ -293,8 +311,11 @@ def compare(
         return (bn[0] + bn[1]) / (bo[0] + bo[1])
 
     _own = {n: q_bracket_own(n) for n in set(qc_old) & set(qc_new)}
-    _ratios = sorted(r for r in _own.values() if r is not None)
-    bracket_median = _ratios[len(_ratios) // 2] if _ratios else None
+    _ratios = [r for r in _own.values() if r is not None]
+    # true median (r12 advice): the upper-middle element biased every
+    # even-count pair (the standard 12-row bench) toward the larger
+    # bracket ratio — a systematically gate-lenient host factor
+    bracket_median = statistics.median(_ratios) if _ratios else None
 
     def q_bracket(name):
         own = _own.get(name)
@@ -432,6 +453,17 @@ def compare(
             f"{name:<30} {qo[name]:>7.3f} {qn[name]:>7.3f} "
             f"{raw:>5.2f}x {norm:>5.2f}x{mark}"
         )
+    if len(watch) >= WATCH_GATE_N:
+        # several queries in the band on ONE pair is not the
+        # single-query noise mode the band was calibrated on (see
+        # WATCH_GATE_N): escalate them all to gated regressions
+        lines.append(
+            f"{len(watch)} queries exceed the threshold in the noise band "
+            f"simultaneously (>= {WATCH_GATE_N}) — beyond the single-query "
+            "noise mode; escalating all band exceedances to gated regressions"
+        )
+        worse.extend(sorted(watch))
+        watch = []
     vo, vn = old.get("value"), new.get("value")
     if vo and vn:
         # display the SAME normalized total the total_bar gate reads
