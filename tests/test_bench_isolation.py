@@ -11,7 +11,8 @@ import subprocess
 import sys
 
 
-def test_bench_survives_single_query_failure():
+def test_bench_survives_single_query_failure(tmp_path):
+    detail = tmp_path / "BENCH_DETAIL.json"
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
@@ -19,6 +20,7 @@ def test_bench_survives_single_query_failure():
         SPARK_GRAFT_BENCH_RUNS="1",
         SPARK_GRAFT_INGEST_MSGS="0",
         SPARK_GRAFT_BENCH_FAIL="q3_shipping_priority",
+        SPARK_GRAFT_BENCH_DETAIL=str(detail),
         # keep this test about FAILURE isolation, not machine load: the
         # suite itself loads the box, so disarm the admission gate here
         SPARK_GRAFT_LOAD_MAX="1e9",
@@ -54,9 +56,18 @@ def test_bench_survives_single_query_failure():
     # ... sampled again after the timed sections: a large start/end gap
     # is mid-run host drift, the thing that contaminates ingest spread
     assert 0.01 < out["cpu_canary_end_s"] < 10, out["cpu_canary_end_s"]
+    # driver-capture bound (r12): the final stdout line must fit the
+    # ~2 KB tail window that lost BENCH_r11, and the diagnostics the
+    # slimming removed must land in the sidecar, full error text
+    # included
+    assert line == proc.stdout.splitlines()[-1], "headline must be the LAST stdout line"
+    assert len(line) < 1800, len(line)
+    side = json.loads(detail.read_text())
+    assert "warm_runs" in side and "query_session_won" in side
+    assert side["errors"]["q3_shipping_priority"].startswith("RuntimeError")
 
 
-def test_bench_flags_load_contaminated_run():
+def test_bench_flags_load_contaminated_run(tmp_path):
     """BENCH_r06.json was committed at loadavg 11.2 — a load artifact a
     reader could mistake for a regression. The admission gate must make
     that impossible: with an unsatisfiable load ceiling and a zero retry
@@ -69,6 +80,7 @@ def test_bench_flags_load_contaminated_run():
         SPARK_GRAFT_CPUS="8",
         SPARK_GRAFT_BENCH_RUNS="1",
         SPARK_GRAFT_INGEST_MSGS="0",
+        SPARK_GRAFT_BENCH_DETAIL=str(tmp_path / "BENCH_DETAIL.json"),
         SPARK_GRAFT_LOAD_MAX="-1",  # loadavg >= 0 > -1 always: forced contamination
         SPARK_GRAFT_LOAD_RETRIES="2",
         SPARK_GRAFT_LOAD_WAIT="0",
