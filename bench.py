@@ -275,6 +275,55 @@ def emit(out: dict) -> str:
     return line
 
 
+def classify_trials(attempts: list[dict], idle_cpu: float, best_io: float) -> int:
+    """Re-evaluate every completed ingest trial's admission against the
+    section's best-seen references (pure, driver-side, called once per
+    attempt as the references tighten). Mutates each attempt's
+    ``clean``/``reason`` in place and returns the clean count.
+
+    Two layers:
+    - window probes (contention the samples can SEE): cpu bracket
+      within 1.5x the best-seen idle sample, pre-drain io probe at
+      least half the section's best, per-micro-batch rate ratio <= 3
+      (a burst that hits ONE of the 4 batches is invisible to samples
+      outside the drain) — reasons ``cpu_bracket``/``io_probe``/
+      ``batch_ratio``;
+    - symmetric norm-outlier floor (r12, r11 verdict item 5 —
+      contention the probes CANNOT see: the r11 committed run admitted
+      a 466 MB/s trial into an 854 MB/s median under clean-looking
+      probes): with >= 3 otherwise-clean trials, a trial whose
+      bracket-normalized rate falls outside [0.6x, 1.67x] of their
+      median is discarded as ``norm_outlier`` — BOTH tails, so a
+      too-fast fluke is excluded as readily as a too-slow one. The
+      bracket normalization is skipped when the clean brackets are
+      flat (<= 1.15x max/min — inside the canary's own idle sample
+      noise; applying it there would inject jitter).
+    """
+    import statistics
+
+    for a in attempts:
+        if a["bracket"] > 1.5 * idle_cpu:
+            a["clean"], a["reason"] = False, "cpu_bracket"
+        elif a["io"] < best_io / 2:
+            a["clean"], a["reason"] = False, "io_probe"
+        elif a["batch_ratio"] > 3.0:
+            a["clean"], a["reason"] = False, "batch_ratio"
+        else:
+            a["clean"], a["reason"] = True, None
+    base_clean = [a for a in attempts if a["clean"]]
+    if len(base_clean) >= 3:
+        brs = [a["bracket"] for a in base_clean]
+        ref0 = statistics.median(brs)
+        flat0 = max(brs) / min(brs) <= 1.15
+        for a in base_clean:
+            a["norm_mbps"] = a["mbps"] if flat0 else a["mbps"] * a["bracket"] / ref0
+        med0 = statistics.median(a["norm_mbps"] for a in base_clean)
+        for a in base_clean:
+            if not (0.6 * med0 <= a["norm_mbps"] <= med0 / 0.6):
+                a["clean"], a["reason"] = False, "norm_outlier"
+    return sum(a["clean"] for a in attempts)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -897,38 +946,12 @@ def ingest_bench(spark) -> dict | None:
             )
             prev_cpu = post_cpu
             idle_cpu, best_io = min(cpu_samples), max(io_samples)
-            for a in attempts:  # refs tighten as samples accumulate
-                if a["bracket"] > 1.5 * idle_cpu:
-                    a["clean"], a["reason"] = False, "cpu_bracket"
-                elif a["io"] < best_io / 2:
-                    a["clean"], a["reason"] = False, "io_probe"
-                elif a["batch_ratio"] > 3.0:
-                    a["clean"], a["reason"] = False, "batch_ratio"
-                else:
-                    a["clean"], a["reason"] = True, None
-            # symmetric outlier admission (r12, r11 verdict item 5): the
-            # window probes above catch contention they can SEE, but the
-            # r11 committed run still admitted a 466 MB/s trial into an
-            # 854 MB/s median (54.5% raw spread) under clean-looking
-            # probes — contention that hit only the drain itself. With
-            # >= 3 otherwise-clean trials, a trial whose (bracket-
-            # normalized) rate falls outside [0.6x, 1.67x] of their
-            # median is discarded as a norm outlier — BOTH tails, so a
-            # too-fast fluke is excluded as readily as a too-slow one —
-            # and the retry loop refills the window. Every exclusion
-            # carries its reason in the discarded-trials audit.
-            base_clean = [a for a in attempts if a["clean"]]
-            if len(base_clean) >= 3:
-                brs = [a["bracket"] for a in base_clean]
-                ref0 = statistics.median(brs)
-                flat0 = max(brs) / min(brs) <= 1.15
-                for a in base_clean:
-                    a["norm_mbps"] = a["mbps"] if flat0 else a["mbps"] * a["bracket"] / ref0
-                med0 = statistics.median(a["norm_mbps"] for a in base_clean)
-                for a in base_clean:
-                    if not (0.6 * med0 <= a["norm_mbps"] <= med0 / 0.6):
-                        a["clean"], a["reason"] = False, "norm_outlier"
-            n_clean = sum(a["clean"] for a in attempts)
+            # refs tighten as samples accumulate, so every completed
+            # trial is re-classified each attempt (classify_trials:
+            # window probes + the r12 symmetric norm-outlier floor);
+            # discarded trials refill via the retry loop and carry
+            # their reason into the audit list
+            n_clean = classify_trials(attempts, idle_cpu, best_io)
             print(
                 f"# ingest attempt {attempt}: {stats['bytes']/1048576:.0f} MB in {dt:.2f}s "
                 f"= {mbps:.1f} MB/s (bracket {attempts[-1]['bracket']:.3f}s vs idle "
