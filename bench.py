@@ -208,19 +208,31 @@ def split_headline(out: dict) -> tuple[dict, dict]:
     ``headline`` is the final-stdout-line dict: the HEADLINE_KEYS
     subset, hard-bounded under HEADLINE_MAX_BYTES when serialized
     compactly. ``detail`` is the FULL record (a superset of headline)
-    destined for the BENCH_DETAIL.json sidecar — bench_compare.load
-    can read either.
+    destined for the detail sidecar — bench_compare.load can read
+    either. The sidecar path defaults to BENCH_DETAIL.json (gitignored
+    since r13: the driver's per-round run writes there, so a committed
+    record at that path would be clobbered — commit self-recorded
+    sidecars under a round-stamped name via SPARK_GRAFT_BENCH_DETAIL,
+    e.g. BENCH_DETAIL_self_r13.json).
 
     If the headline still exceeds the bound (e.g. a partial run with
     many long error strings), trim deterministically, most-expendable
     first, and record what was dropped in ``headline_trimmed`` so the
     artifact is honest about its own slimming:
     1. error strings shortened to their exception type;
-    2. per-query mt brackets dropped (bench_compare falls back to the
-       run-wide canary brackets — normalization survives, coarser);
-    3. the errors dict dropped entirely (``partial`` + ``n_failed``
-       still say the run is broken; per-query nulls in ``queries``
-       still gate-fail; full text lives in the detail sidecar).
+    2. the errors dict dropped entirely — bench_compare.compare()
+       never reads it (``partial`` + ``n_failed`` still say the run
+       is broken; per-query nulls in ``queries`` still gate-fail;
+       full text lives in the detail sidecar);
+    3. per-query mt brackets dropped LAST (they are gate-functional —
+       bench_compare's per-query bracket normalization reads them;
+       without them it falls back to the run-wide canary brackets —
+       normalization survives, coarser);
+    4. last resort: collapse to the minimal gate-essential subset
+       (metric/value/unit/queries/sf + honesty flags) so the returned
+       line is UNCONDITIONALLY under the bound — the r11 loss mode
+       (driver captures a mid-line fragment, ``parsed: null``) must
+       not be reachable no matter how a future field grows.
     """
     headline = {k: out[k] for k in HEADLINE_KEYS if k in out}
     if "errors" in headline:
@@ -236,12 +248,22 @@ def split_headline(out: dict) -> tuple[dict, dict]:
             k: v.split(":", 1)[0] for k, v in headline["errors"].items()
         }
         trimmed.append("error_text")
-    if size(headline) > HEADLINE_MAX_BYTES and "query_canary_mt_s" in headline:
-        del headline["query_canary_mt_s"]
-        trimmed.append("query_canary_mt_s")
     if size(headline) > HEADLINE_MAX_BYTES and "errors" in headline:
         del headline["errors"]
         trimmed.append("errors")
+    if size(headline) > HEADLINE_MAX_BYTES and "query_canary_mt_s" in headline:
+        del headline["query_canary_mt_s"]
+        trimmed.append("query_canary_mt_s")
+    if size(headline) > HEADLINE_MAX_BYTES:
+        # minimal gate-essential headline; everything else is in the
+        # detail sidecar. ``queries`` stays (the gate needs per-query
+        # walls); honesty flags stay so a broken run still says so.
+        minimal = (
+            "metric", "value", "unit", "queries", "sf",
+            "load_contaminated", "partial", "n_failed",
+        )
+        headline = {k: headline[k] for k in minimal if k in headline}
+        trimmed.append("non_gate_fields")
     if trimmed:
         headline["headline_trimmed"] = trimmed
     return headline, dict(out)
@@ -264,12 +286,14 @@ def emit(out: dict) -> str:
         print(json.dumps(detail), file=sys.stderr)
     line = json.dumps(headline, separators=(",", ":"))
     if len(line) > HEADLINE_MAX_BYTES:
-        # the trim ladder should make this unreachable; if a future
-        # field breaks that, say so loudly rather than ship a line the
-        # driver will truncate into an unparseable fragment again
+        # unreachable unless the queries dict alone outgrows the bound
+        # (≈100+ headline queries); the ladder's last resort already
+        # stripped every other field. Say so loudly — a line the driver
+        # truncates into an unparseable fragment is the r11 loss mode.
         print(
             f"# WARNING: headline {len(line)} bytes > {HEADLINE_MAX_BYTES} "
-            "— extend split_headline's trim ladder",
+            "even after the last-resort trim — the queries dict itself "
+            "outgrew the bound",
             file=sys.stderr,
         )
     return line

@@ -593,8 +593,10 @@ def test_multiple_band_exceedances_on_one_pair_gate(tmp_path):
     """r12 advice (medium): the WATCH band was calibrated on the
     SINGLE-query noise mode — several small queries regressing ~1.3x
     together move the total only a few percent and previously escaped
-    both the per-query and total bars entirely. >= WATCH_GATE_N (3)
-    band exceedances on one pair escalate to gated regressions."""
+    both the per-query and total bars entirely. Simultaneous band
+    exceedances (>= 2 bracketed, >= 3 legacy) escalate to gated
+    regressions, and the already-rendered WATCH marks are rewritten
+    so the report agrees with the gate outcome (r12 ADVICE 3)."""
     old = _bracketed_art({f"q{i}": 0.8 for i in range(8)}, 0.09, canary=0.30, mt=0.126)
     newq = {f"q{i}": 0.8 for i in range(8)}
     for n in ("q0", "q1", "q2"):
@@ -607,23 +609,51 @@ def test_multiple_band_exceedances_on_one_pair_gate(tmp_path):
     lines, worse, _, watch = bench_compare.compare(old, new, threshold=1.25)
     assert sorted(worse) == ["q0", "q1", "q2"] and not watch
     assert any("simultaneously" in ln for ln in lines)
+    # r12 ADVICE 3: the per-query rows must not contradict the gate —
+    # the WATCH marks on escalated rows are rewritten
+    escalated_rows = [ln for ln in lines if ln.startswith(("q0", "q1", "q2"))]
+    assert escalated_rows and all("escalated: gated" in ln for ln in escalated_rows)
+    assert not any("WATCH, not gated" in ln for ln in escalated_rows)
 
 
-def test_two_band_exceedances_still_watch(tmp_path):
-    """The documented residual: up to WATCH_GATE_N - 1 queries in the
-    band with a flat total stay WATCH (the single-query noise mode
-    extends to rare pairs of flukes; three is beyond calibration)."""
+def test_two_band_exceedances_on_bracketed_pair_gate(tmp_path):
+    """r13 (r12 verdict item 4): bracketed pairs are two-session
+    minimums whose same-code envelope is 0.78-1.28x per query — the
+    calibration saw at most ONE band exceedance per same-code pair, so
+    TWO simultaneous exceedances escalate to gated regressions. The
+    residual escape on bracketed pairs is now single-query only."""
     old = _bracketed_art({f"q{i}": 0.8 for i in range(8)}, 0.09, canary=0.30, mt=0.126)
     newq = {f"q{i}": 0.8 for i in range(8)}
     for n in ("q0", "q1"):
-        newq[n] = 1.04
+        newq[n] = 1.04  # raw/norm 1.3x each; total 1.075 < 1.20 bar
     new = _bracketed_art(newq, 0.09, canary=0.30, mt=0.126)
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    assert bench_compare.main([str(po), str(pn), "--gate"]) == 1
+    lines, worse, _, watch = bench_compare.compare(old, new, threshold=1.25)
+    assert sorted(worse) == ["q0", "q1"] and not watch
+    assert any("escalated: gated" in ln for ln in lines)
+
+
+def test_two_band_exceedances_on_legacy_unbracketed_pair_still_watch(tmp_path):
+    """Legacy (unbracketed, single-session) pairs keep the r12 bar of
+    3: their same-code per-query spread reaches 1.32x, so pairs of
+    flukes are inside calibration. Two raw-masked band exceedances
+    with a flat total stay WATCH."""
+    old = _art({f"q{i}": 0.8 for i in range(8)}, canary=0.30,
+               cpu_canary_mt_s=0.126, cpu_canary_mt_threads=32)
+    newq = {f"q{i}": 0.8 for i in range(8)}
+    for n in ("q0", "q1"):
+        newq[n] = 0.976  # host 0.9x: raw 1.22x -> norm 1.36x, in band
+    new = _art(newq, canary=0.27, cpu_canary_mt_s=0.1134, cpu_canary_mt_threads=32)
     po, pn = tmp_path / "old.json", tmp_path / "new.json"
     po.write_text(json.dumps(old))
     pn.write_text(json.dumps(new))
     assert bench_compare.main([str(po), str(pn), "--gate"]) == 0
     lines, worse, _, watch = bench_compare.compare(old, new, threshold=1.25)
     assert not worse and sorted(watch) == ["q0", "q1"]
+    assert any(ln.startswith("WATCH: q0, q1") for ln in lines)
 
 
 def test_bracket_median_is_true_median_on_even_counts():

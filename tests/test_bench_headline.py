@@ -147,12 +147,36 @@ def test_partial_run_trims_error_text_not_gate_fields():
         assert k in headline
 
 
+def test_overflow_drops_errors_before_gate_functional_brackets():
+    """r12 ADVICE: the ladder used to drop the gate-functional
+    per-query brackets before the purely-informational errors dict.
+    An overflow that the errors dict alone explains must now keep the
+    brackets (normalization fidelity) and drop errors (full text lives
+    in the detail sidecar; partial/n_failed still say it's broken)."""
+    rec = representative_record()
+    # modest bracket payload, huge error payload: dropping errors alone
+    # brings the line under the bound
+    rec["errors"] = {
+        f"q{i:02d}": "AnalysisException" + "Y" * 75 for i in range(25)
+    }
+    rec["partial"] = True
+    rec["n_failed"] = 25
+    headline, detail = bench.split_headline(rec)
+    assert len(line_of(headline)) < bench.HEADLINE_MAX_BYTES
+    assert "errors" not in headline
+    assert "errors" in headline["headline_trimmed"]
+    assert "query_canary_mt_s" in headline  # gate-functional, kept
+    assert detail["errors"]  # full text survives in the sidecar record
+    for k in ("partial", "n_failed", "queries", "value"):
+        assert k in headline
+
+
 def test_extreme_overflow_drops_brackets_last_and_records_it():
     """Adversarial shape: many long-named queries + long errors. The
-    trim ladder must (1) shorten error text, then (2) drop the
-    per-query brackets — and say so — before the line can overflow.
-    bench_compare falls back to run-wide canaries without brackets, so
-    the gate survives, coarser."""
+    trim ladder must (1) shorten error text, (2) drop the errors dict,
+    then (3) drop the per-query brackets — and say so — before the
+    line can overflow. bench_compare falls back to run-wide canaries
+    without brackets, so the gate survives, coarser."""
     rec = representative_record()
     names = [f"extremely_long_query_name_number_{i:02d}_padding" for i in range(20)]
     rec["queries"] = {n: 0.283 for n in names}
@@ -163,12 +187,32 @@ def test_extreme_overflow_drops_brackets_last_and_records_it():
     headline, _ = bench.split_headline(rec)
     assert len(line_of(headline)) < bench.HEADLINE_MAX_BYTES
     assert "query_canary_mt_s" not in headline
-    assert "query_canary_mt_s" in headline["headline_trimmed"]
+    # ladder order: errors (non-gate) go before brackets (gate-functional)
+    t = headline["headline_trimmed"]
+    assert t.index("errors") < t.index("query_canary_mt_s")
     # the run-wide canaries (the fallback normalization) must survive,
     # and the brokenness flags outlive any trimmed error text
     for k in ("cpu_canary_s", "cpu_canary_mt_s", "queries", "value",
               "partial", "n_failed"):
         assert k in headline
+
+
+def test_last_resort_minimal_headline_is_unconditionally_bounded():
+    """If every ladder step is exhausted and the line still overflows,
+    split_headline must collapse to the minimal gate-essential subset
+    rather than return an oversized line the driver would truncate
+    into an unparseable fragment (the r11 loss mode)."""
+    rec = representative_record()
+    # inflate a headline field the ladder never touched before the
+    # last resort: a pathological ingest_discarded shape can't (it's
+    # detail-only), so grow the canary fields via absurd float lists
+    rec["io_canary_write_mbps"] = [123.456789012345] * 400
+    headline, _ = bench.split_headline(rec)
+    line = line_of(headline)
+    assert len(line) < bench.HEADLINE_MAX_BYTES
+    assert "non_gate_fields" in headline["headline_trimmed"]
+    parsed = json.loads(line)
+    assert parsed["queries"] and parsed["value"] and parsed["metric"]
 
 
 def test_emit_writes_sidecar_and_returns_bounded_line(tmp_path, monkeypatch):
