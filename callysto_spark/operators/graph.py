@@ -37,6 +37,8 @@ import warnings
 
 from pyspark.sql import DataFrame, functions as F
 
+from callysto_spark.operators.util import release_local_checkpoint, track_transient
+
 
 def connected_components(
     edges: DataFrame,
@@ -96,17 +98,27 @@ def connected_components(
         if prev is not None:
             # new_labels' lineage was truncated, so releasing the previous
             # checkpoint cannot orphan any downstream recompute path.
-            prev.unpersist()
+            # RDD-level release (r13): Dataset.unpersist() is a no-op on
+            # localCheckpoint blocks — it deferred every round's blocks
+            # to GC + ContextCleaner, letting the whole round history
+            # coexist in the storage pool.
+            release_local_checkpoint(prev)
         prev = new_labels
         labels = new_labels.drop("chg")
         if changed == 0:
             break
     sym.unpersist()
-    # The final labels' checkpoint cache intentionally outlives this call:
-    # the caller's action consumes it, and a truncated-lineage checkpoint
-    # cannot recompute if released early — so it is NOT registered with
-    # release_transient_persists(). Cost: one small (vertex, label)
-    # cached dataset per invocation, reclaimed on session stop.
+    # The final labels' checkpoint cache must outlive this call (the
+    # caller's action consumes it, and a truncated-lineage checkpoint
+    # cannot recompute if released early), so it is registered for the
+    # REGISTRY-BOUNDARY sweep (r13 — previously it was reclaimed only
+    # on session stop, one leaked (vertex, label) cache per invocation
+    # in a long-lived session). The boundary contract already forbids
+    # re-running actions on a stale handle across a sweep (see
+    # release_transient_persists); for a released localCheckpoint a
+    # violation fails loudly (no lineage) rather than drifting.
+    if prev is not None:
+        track_transient(prev)
     if changed:
         warnings.warn(
             f"connected_components did not converge within {max_iterations} "
@@ -192,7 +204,7 @@ def _connected_components_star(
             same_count
             and nxt.join(prev, ["u", "v"], "left_anti").limit(1).count() == 0
         )
-        prev.unpersist()
+        release_local_checkpoint(prev)  # RDD-level; see label-path note
         prev = nxt
         if unchanged:
             converged = True
@@ -205,7 +217,12 @@ def _connected_components_star(
             stacklevel=3,
         )
     # Converged state is a star forest: (child, root) edges. Roots have
-    # no outgoing edge — they label themselves via the anti join.
+    # no outgoing edge — they label themselves via the anti join. Both
+    # result-backing checkpoints (vertex universe + final star edges)
+    # are reclaimed at the next registry-boundary sweep (r13), not on
+    # session stop — same contract as the label-propagation path above.
+    track_transient(all_vertices)
+    track_transient(prev)
     child_labels = prev.select(F.col("u").alias("vertex"), F.col("v").alias("component"))
     roots = all_vertices.join(
         prev.select(F.col("u").alias("vertex")).distinct(), "vertex", "left_anti"

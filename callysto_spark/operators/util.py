@@ -27,6 +27,29 @@ def track_transient(df: DataFrame) -> DataFrame:
     return df
 
 
+def release_local_checkpoint(df: DataFrame) -> bool:
+    """Eagerly free a ``localCheckpoint()``'s persisted blocks; returns
+    whether a checkpoint RDD was found and unpersisted.
+
+    ``Dataset.unpersist()`` is a CacheManager operation and does NOT
+    touch the RDD-level persist a localCheckpoint creates (verified on
+    Spark 4.1: ``getPersistentRDDs`` keeps the entry after
+    ``unpersist()``) — those blocks otherwise wait for driver-side GC +
+    ContextCleaner, so an iterative operator can transiently hold EVERY
+    round's blocks at once, which at 100 TB is the difference between
+    one round of state and the whole history spilling the storage pool.
+    A just-checkpointed Dataset's analyzed plan is a ``LogicalRDD``
+    wrapping the persisted internal RDD; unpersist that directly."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return False
+        plan.rdd().unpersist(False)
+        return True
+    except Exception:
+        return False  # session stopped / plan shape changed
+
+
 def transient_persist(df: DataFrame) -> DataFrame:
     """persist() + register for deferred release (see module note)."""
     return track_transient(df.persist())
@@ -54,7 +77,10 @@ def release_transient_persists() -> int:
     while _TRANSIENT:
         df = _TRANSIENT.pop()
         try:
-            df.unpersist()
+            # localCheckpoint blocks need the RDD-level release;
+            # Dataset-level persists go through the CacheManager
+            if not release_local_checkpoint(df):
+                df.unpersist()
             released += 1
         except Exception:
             pass  # session already stopped
