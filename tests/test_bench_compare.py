@@ -670,3 +670,33 @@ def test_bracket_median_is_true_median_on_even_counts():
     lines, _, _, _ = bench_compare.compare(old, new, threshold=1.25)
     hdr = next(ln for ln in lines if "bracket-ratio median" in ln)
     assert "1.10x" in hdr, hdr
+
+
+def test_committed_sf1_anchor_pair_gates_clean():
+    """r12 verdict item 3: the 100x-scale story needs a bench anchor
+    the driver's gate discipline can read at a scale beyond sf0.1.
+    The committed sf1 pair (BENCH_SF1_BASELINE.json + the round's
+    corroborating run) must load, carry both canaries and per-query
+    brackets at the standard thread count, cover exactly the 12 bench
+    headline rows, record sf 1.0, and gate clean in both directions."""
+    import pytest
+
+    root = Path(__file__).resolve().parents[1]
+    anchor = root / "BENCH_SF1_BASELINE.json"
+    corr = root / "BENCH_SF1_SELF_r13.json"
+    if not (anchor.exists() and corr.exists()):
+        pytest.skip("sf1 anchor pair not present")
+    old, new = bench_compare.load(str(anchor)), bench_compare.load(str(corr))
+    from callysto_spark.queries import load_all
+
+    bench_rows = sorted(n for n, q in load_all().items() if q.bench)
+    for art, name in ((old, "sf1 anchor"), (new, "sf1 corroboration")):
+        assert art.get("sf") == 1.0, f"{name} not an sf1 record"
+        assert sorted(art["queries"]) == bench_rows, f"{name} query set drifted"
+        assert art.get("cpu_canary_s") and art.get("cpu_canary_mt_s")
+        assert art.get("cpu_canary_mt_threads") == 32
+        assert art.get("query_canary_mt_s"), f"{name} lost per-query brackets"
+        assert not art.get("load_contaminated") and not art.get("partial")
+    for a, b in ((old, new), (new, old)):
+        _, worse, errors, _ = bench_compare.compare(a, b, threshold=1.25)
+        assert not errors and not worse
