@@ -616,24 +616,67 @@ def test_multiple_band_exceedances_on_one_pair_gate(tmp_path):
     assert not any("WATCH, not gated" in ln for ln in escalated_rows)
 
 
-def test_two_band_exceedances_on_bracketed_pair_gate(tmp_path):
-    """r13 (r12 verdict item 4): bracketed pairs are two-session
-    minimums whose same-code envelope is 0.78-1.28x per query — the
-    calibration saw at most ONE band exceedance per same-code pair, so
-    TWO simultaneous exceedances escalate to gated regressions. The
-    residual escape on bracketed pairs is now single-query only."""
-    old = _bracketed_art({f"q{i}": 0.8 for i in range(8)}, 0.09, canary=0.30, mt=0.126)
-    newq = {f"q{i}": 0.8 for i in range(8)}
-    for n in ("q0", "q1"):
-        newq[n] = 1.04  # raw/norm 1.3x each; total 1.075 < 1.20 bar
+def test_two_band_exceedances_with_total_corroboration_gate(tmp_path):
+    """r13 (r12 verdict item 4, scaled-bar option): on a bracketed
+    pair, TWO simultaneous band exceedances escalate when the total's
+    normalized ratio clears the count-scaled bar (1.20 - 0.05*2 =
+    1.10) — a dispersed regression big enough to move the total past
+    same-code drift must not hide in the band."""
+    baseq = {f"q{i}": 0.8 for i in range(6)} | {"qa": 1.6, "qb": 1.6}
+    old = _bracketed_art(baseq, 0.09, canary=0.30, mt=0.126)
+    newq = dict(baseq)
+    for n in ("qa", "qb"):
+        newq[n] = 2.16  # raw/norm 1.35x each; total 9.12/8.0 = 1.14 > 1.10
     new = _bracketed_art(newq, 0.09, canary=0.30, mt=0.126)
     po, pn = tmp_path / "old.json", tmp_path / "new.json"
     po.write_text(json.dumps(old))
     pn.write_text(json.dumps(new))
     assert bench_compare.main([str(po), str(pn), "--gate"]) == 1
     lines, worse, _, watch = bench_compare.compare(old, new, threshold=1.25)
-    assert sorted(worse) == ["q0", "q1"] and not watch
+    assert sorted(worse) == ["qa", "qb"] and not watch
     assert any("escalated: gated" in ln for ln in lines)
+
+
+def test_archived_same_code_selfpair_two_band_exceedances_stay_watch():
+    """The r13 calibration evidence, pinned: two clean same-code
+    windows (flat corroborated canaries, admitted loads, engine
+    identical — archived verbatim) read events_sessionize 1.35x and
+    supplier_daily_running 1.36x simultaneously while the TOTAL got
+    FASTER (0.91x). Count-alone escalation would gate a same-code
+    pair; the scaled total bar must leave both as WATCH."""
+    fx = Path(__file__).parent / "fixtures"
+    s1 = bench_compare.load(str(fx / "bench_r13_selfpair_a.json"))
+    s3 = bench_compare.load(str(fx / "bench_r13_selfpair_b.json"))
+    lines, worse, errors, watch = bench_compare.compare(s3, s1, threshold=1.25)
+    assert not errors and not worse
+    assert sorted(watch) == ["events_sessionize", "supplier_daily_running"]
+    assert any("same-code dispersion mode" in ln for ln in lines)
+
+
+def test_archived_same_code_selfpair_documents_the_jit_envelope():
+    """The OTHER direction of the archived pair shows the JIT lottery
+    exceeding the bracketed hard bar on same code: emb_cosine_topk
+    0.278s -> 0.493s (1.79x norm at flat brackets) between a fast-draw
+    and a slow-draw window, despite two-session minimums. This
+    direction DOES gate — recorded here as the standing caveat that
+    the anchor→new gate's per-query hard bar is only as good as the
+    anchor's draws (refresh anchors from mid-range windows, never from
+    the fastest window of a session — BENCH_BASELINE's emb_cosine_topk
+    is a mid/slow draw at 0.442s, which is why live rounds pass)."""
+    fx = Path(__file__).parent / "fixtures"
+    s1 = bench_compare.load(str(fx / "bench_r13_selfpair_a.json"))
+    s3 = bench_compare.load(str(fx / "bench_r13_selfpair_b.json"))
+    _, worse, errors, _ = bench_compare.compare(s1, s3, threshold=1.25)
+    assert not errors
+    assert "emb_cosine_topk" in worse  # 1.79x > hard_br on same code
+    # both windows individually gate clean against the committed anchor
+    root = Path(__file__).resolve().parents[1]
+    anchor = root / "BENCH_BASELINE.json"
+    if anchor.exists():
+        a = bench_compare.load(str(anchor))
+        for art in (s1, s3):
+            _, worse_a, errors_a, _ = bench_compare.compare(a, art, threshold=1.25)
+            assert not errors_a and not worse_a
 
 
 def test_two_band_exceedances_on_legacy_unbracketed_pair_still_watch(tmp_path):

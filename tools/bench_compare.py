@@ -71,18 +71,20 @@ outside any observed same-code spread); OR norm exceeds the threshold
 AND the artifact total's normalized ratio exceeds `total_bar` (1.20
 at the default gate — a uniform slowdown raw-masked by host speedup).
 A band exceedance with a flat total is printed as WATCH, not gated —
-unless multiple queries land in the band on the same pair, which is
-beyond the single-query noise mode the band was calibrated on
-(several small queries regressing together move the total only a few
-percent and previously escaped both bars): those escalate to gated
-regressions, at 2+ simultaneous exceedances on a bracketed pair
-(r13 — the two-session same-code envelope makes even one band hit
-marginal) or 3+ on a legacy unbracketed pair (r12). Escalated rows
-have their WATCH marks rewritten to "escalated: gated" so the report
-text agrees with the gate outcome. Documented escape, stated
-honestly: ONE query regressing inside (threshold, hard] with a flat
-total on one pair — bounded, and caught next round when the anchor
-rotates under it.
+unless multiple queries land in the band on the same pair AND the
+total corroborates: on a bracketed pair, 2+ simultaneous exceedances
+escalate to gated regressions when the total's normalized ratio
+clears a bar scaled DOWN by the exceedance count (1.20 - 0.05*n:
+1.10 at two, 1.05 at three — the r12 verdict's scaled-bar option,
+recalibrated r13 after an archived same-code pair produced 2-3 band
+exceedances with totals at 0.91-1.10x, falsifying count-alone
+escalation); legacy unbracketed pairs keep the r12 unconditional 3+
+rule. Escalated rows have their WATCH marks rewritten to
+"escalated: gated" so the report text agrees with the gate outcome.
+Documented escape, stated honestly: band exceedances whose combined
+impact keeps the total under the scaled bar (~10% of total wall at
+two exceedances) — bounded by the bar, and caught next round when
+the anchor rotates under them.
 
 Per-query bracket normalization (r11): artifacts now carry
 ``query_canary_mt_s`` — [before, after] mt samples tight around each
@@ -116,22 +118,35 @@ import json
 import statistics
 import sys
 
-# Multi-query band gate (r12, tightened r13): the (threshold, hard]
+# Multi-query band gate (r12, recalibrated r13): the (threshold, hard]
 # WATCH band exists because SINGLE-query walls are noisy (same-code
 # spread to 1.32x), but several queries landing in the band on ONE
-# pair is not the single-query noise mode — three 1.39x readings can
-# move a total only ~1.07x and previously escaped both the per-query
-# and total bars entirely. Same-code calibration saw at most ONE band
-# exceedance per pair, so simultaneous exceedances gate as a
-# regression: on a BRACKETED pair (two-session minimums — the
-# simulated same-code envelope is 0.78-1.28x per query, so even one
-# band hit is already marginal) 2+ exceedances escalate; on legacy
-# unbracketed pairs (single-session, same-code spread to 1.32x) the
-# bar stays at 3. The honestly-stated residual escape is now:
-# a SINGLE query in the band, flat-total, on one pair — caught when
-# the anchor rotates under it next round.
+# pair can be a real dispersed regression — three 1.39x readings move
+# a total only ~1.07x and previously escaped both the per-query and
+# total bars entirely. COUNTING ALONE is not a same-code
+# discriminator: the archived r13 same-code pair
+# (tests/fixtures/bench_r13_selfpair_*.json — two clean admitted
+# windows, flat corroborated canaries, engine identical) produced 2-3
+# simultaneous band exceedances in one direction and a 1.79x
+# single-query draw (emb_cosine_topk 0.278s -> 0.493s, two-session
+# minimums notwithstanding), while its TOTALS stayed within 0.91-1.10x
+# — totals are the same-code-stable quantity, per-query walls are not.
+# So on a bracketed pair, n >= WATCH_GATE_N_BRACKETED (2) band
+# exceedances escalate to gated regressions ONLY when the artifact
+# total corroborates at a bar scaled DOWN by the exceedance count
+# (total_bar - WATCH_TOTAL_SLOPE*n: 1.10 at n=2, 1.05 at n=3, 1.20
+# baseline — the r12 verdict's scaled-bar option), which catches the
+# dispersed-regression attack (3 x 1.39x on 0.3s queries moves a 5.3s
+# total ~1.07x > the 1.05 bar) while passing the archived same-code
+# pair (2 exceedances, total 0.91x). Legacy unbracketed pairs keep the
+# r12 unconditional >= 3 rule (their calibration saw at most one band
+# hit per pair). Honestly-stated residual: band exceedances whose
+# combined total impact stays under the scaled bar — bounded by the
+# bar itself (at most ~10% of total wall at n=2), and caught when the
+# anchor rotates under them.
 WATCH_GATE_N = 3
 WATCH_GATE_N_BRACKETED = 2
+WATCH_TOTAL_SLOPE = 0.05
 
 
 def load(path: str) -> dict:
@@ -469,17 +484,40 @@ def compare(
             f"{name:<30} {qo[name]:>7.3f} {qn[name]:>7.3f} "
             f"{raw:>5.2f}x {norm:>5.2f}x{mark}"
         )
-    # bracketed pairs (two-session minimums) escalate at 2 simultaneous
-    # band exceedances; legacy unbracketed pairs keep the r12 bar of 3
-    # (see WATCH_GATE_N / WATCH_GATE_N_BRACKETED)
-    gate_n = WATCH_GATE_N_BRACKETED if bracket_median is not None else WATCH_GATE_N
-    if len(watch) >= gate_n:
-        # several queries in the band on ONE pair is not the
-        # single-query noise mode the band was calibrated on:
-        # escalate them all to gated regressions
+    # bracketed pairs: >= 2 simultaneous band exceedances escalate when
+    # the total corroborates at the count-scaled bar (counting alone
+    # false-fails same-code pairs — see WATCH_TOTAL_SLOPE calibration);
+    # legacy unbracketed pairs keep the r12 unconditional >= 3 rule
+    if bracket_median is not None:
+        scaled_bar = total_bar - WATCH_TOTAL_SLOPE * len(watch)
+        escalate = (
+            len(watch) >= WATCH_GATE_N_BRACKETED
+            and total_norm is not None
+            and total_norm > scaled_bar
+        )
+        gate_n = WATCH_GATE_N_BRACKETED
+    else:
+        escalate = len(watch) >= WATCH_GATE_N
+        gate_n = WATCH_GATE_N
+    if len(watch) >= gate_n and not escalate and bracket_median is not None:
+        lines.append(
+            f"{len(watch)} band exceedances but total_norm "
+            f"{total_norm if total_norm is not None else float('nan'):.2f}x "
+            f"is under the scaled bar {total_bar - WATCH_TOTAL_SLOPE * len(watch):.2f}x "
+            "— same-code dispersion mode (archived r13 self-pair), not gated"
+        )
+    if escalate:
+        # a dispersed regression: several band exceedances AND the
+        # total corroborates (bracketed), or >= 3 on a legacy pair
         lines.append(
             f"{len(watch)} queries exceed the threshold in the noise band "
-            f"simultaneously (>= {gate_n}) — beyond the single-query "
+            f"simultaneously (>= {gate_n}"
+            + (
+                f") and total corroborates at the scaled bar"
+                if bracket_median is not None
+                else ")"
+            )
+            + " — beyond the single-query "
             "noise mode; escalating all band exceedances to gated regressions"
         )
         # rewrite the already-rendered WATCH marks so the per-query rows
