@@ -60,3 +60,35 @@ def test_registry_soak_storage_returns_to_baseline(spark, sf_dir):
         "storage did not return to baseline after the boundary sweep for: "
         + "; ".join(leaks)
     )
+
+
+def test_release_local_checkpoint_contract(spark):
+    """Pin the helper's discrimination: it frees a localCheckpoint's
+    RDD-level blocks (which Dataset.unpersist() provably does not —
+    the defect the soak test caught) and declines plain Dataset
+    persists (returning False so the sweep falls through to
+    unpersist())."""
+    from callysto_spark.operators.util import release_local_checkpoint
+
+    sc = spark.sparkContext
+
+    def n_rdds():
+        return sc._jsc.sc().getPersistentRDDs().size()
+
+    base = n_rdds()
+    ck = spark.range(100).localCheckpoint(eager=True)
+    assert n_rdds() == base + 1
+    # the defect: Dataset.unpersist() leaves the checkpoint blocks
+    ck.unpersist()
+    assert n_rdds() == base + 1
+    # the fix: RDD-level release through the LogicalRDD
+    assert release_local_checkpoint(ck) is True
+    assert n_rdds() == base
+    # a plain Dataset persist is NOT a LogicalRDD: helper declines,
+    # CacheManager release still works
+    cached = spark.range(100).persist()
+    cached.count()
+    assert release_local_checkpoint(cached) is False
+    assert not spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    cached.unpersist()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
