@@ -199,6 +199,7 @@ HEADLINE_KEYS = (
     "ingest_spread_pct", "ingest_raw_spread_pct",
     "load_contaminated", "ingest_noisy", "ingest_window_exhausted",
     "ingest_short_sample", "partial", "n_failed", "errors",
+    "watch_ledger",
 )
 
 
@@ -242,19 +243,33 @@ def split_headline(out: dict) -> tuple[dict, dict]:
     def size(d: dict) -> int:
         return len(json.dumps(d, separators=(",", ":")))
 
+    # The headline_trimmed marker is appended AFTER the ladder, so the
+    # ladder must leave room for it: without the reserve, a headline
+    # passing a step at 1,790 bytes exceeds the bound once the
+    # ~40-75-byte marker lands (r13 ADVICE finding 3), and the
+    # "UNCONDITIONALLY under the bound" claim below grows a hole.
+    # Reserve the worst-case marker (every step's tag) plus the comma.
+    _marker_reserve = 1 + len(
+        json.dumps(
+            {"headline_trimmed": ["error_text", "errors", "query_canary_mt_s", "non_gate_fields"]},
+            separators=(",", ":"),
+        )
+    )
+    budget = HEADLINE_MAX_BYTES - _marker_reserve
+
     trimmed: list[str] = []
-    if size(headline) > HEADLINE_MAX_BYTES and "errors" in headline:
+    if size(headline) > budget and "errors" in headline:
         headline["errors"] = {
             k: v.split(":", 1)[0] for k, v in headline["errors"].items()
         }
         trimmed.append("error_text")
-    if size(headline) > HEADLINE_MAX_BYTES and "errors" in headline:
+    if size(headline) > budget and "errors" in headline:
         del headline["errors"]
         trimmed.append("errors")
-    if size(headline) > HEADLINE_MAX_BYTES and "query_canary_mt_s" in headline:
+    if size(headline) > budget and "query_canary_mt_s" in headline:
         del headline["query_canary_mt_s"]
         trimmed.append("query_canary_mt_s")
-    if size(headline) > HEADLINE_MAX_BYTES:
+    if size(headline) > budget:
         # minimal gate-essential headline; everything else is in the
         # detail sidecar. ``queries`` stays (the gate needs per-query
         # walls); honesty flags stay so a broken run still says so.
@@ -712,6 +727,7 @@ def main() -> None:
             # the retry budget ran out with fewer clean trials than
             # requested (but >= 2): the median stands on a short sample
             out["ingest_short_sample"] = True
+    stamp_watch_ledger(out)
     print(emit(out))
     spark.stop()
     if contaminated:
@@ -719,6 +735,59 @@ def main() -> None:
         # stdout for the driver to record; the nonzero exit makes the
         # contamination impossible to miss in the round artifact's rc
         sys.exit(2)
+
+
+def stamp_watch_ledger(out: dict) -> None:
+    """Record which headline queries sit at/over the gate threshold
+    against the committed anchor into ``out["watch_ledger"]`` (r13
+    verdict item 6: cross-round slow-creep detection).
+
+    bench_compare's WATCH band deliberately does not gate a single
+    round (same-code per-query draws spread to 1.32x on this host),
+    but a query slower-than-anchor in the band in two CONSECUTIVE
+    committed artifacts is creep, not lottery — bench_compare.compare
+    escalates any query present both in the OLD artifact's ledger and
+    in the current pair's band. This function stamps each artifact's
+    own band membership (band + gated, both mean "slower than the
+    committed reference beyond threshold") so that chain is mechanical.
+
+    Skipped (with a stderr note, never an exception — the headline
+    line must survive) when: no anchor matches this run's sf, the
+    anchor is unreadable, or the run self-flags load_contaminated
+    (contaminated band readings would seed false creep flags)."""
+    if out.get("load_contaminated"):
+        print("# watch ledger: skipped (load_contaminated run)", file=sys.stderr)
+        return
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        anchor = None
+        for cand in ("BENCH_BASELINE.json", "BENCH_SF1_BASELINE.json"):
+            path = os.path.join(here, cand)
+            if os.path.exists(path):
+                with open(path) as f:
+                    art = json.load(f)
+                if art.get("sf") == out.get("sf"):
+                    anchor = art
+                    break
+        if anchor is None:
+            print(
+                f"# watch ledger: no committed anchor at sf={out.get('sf')}",
+                file=sys.stderr,
+            )
+            return
+        sys.path.insert(0, os.path.join(here, "tools"))
+        import bench_compare
+
+        _, worse, _, watch = bench_compare.compare(anchor, out, threshold=1.25)
+        out["watch_ledger"] = sorted(set(watch) | set(worse))
+        if out["watch_ledger"]:
+            print(
+                "# watch ledger (vs committed anchor): "
+                + ", ".join(out["watch_ledger"]),
+                file=sys.stderr,
+            )
+    except Exception as exc:
+        print(f"# watch ledger unavailable: {exc}", file=sys.stderr)
 
 
 def engine_bench(spark, sf_dir: str) -> None:

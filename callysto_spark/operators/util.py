@@ -77,10 +77,16 @@ def release_transient_persists() -> int:
     while _TRANSIENT:
         df = _TRANSIENT.pop()
         try:
-            # localCheckpoint blocks need the RDD-level release;
-            # Dataset-level persists go through the CacheManager
-            if not release_local_checkpoint(df):
-                df.unpersist()
+            # Run BOTH releases, never route by plan shape: a Dataset
+            # persist() whose analyzed plan happens to be a bare
+            # LogicalRDD (e.g. a tracked persist of a localCheckpoint
+            # result or a createDataFrame) needs the CacheManager
+            # unpersist AND would previously be skipped once the
+            # RDD-level release returned True, silently leaking the
+            # CacheManager entry (r13 ADVICE finding 2). Both calls
+            # are idempotent no-ops when inapplicable.
+            release_local_checkpoint(df)
+            df.unpersist()
             released += 1
         except Exception:
             pass  # session already stopped

@@ -91,61 +91,63 @@ def load_all() -> dict[str, Query]:
     re-recorded anchor. r12 promoted all 37 rows whose newest green
     record was r10 (TPC-H tail, window/frame/histogram family,
     text-analysis, near-dup pair/survivor, BLAS ANN, MinHash/LSH,
-    SimHash, ivf_assign). r13 (THIS round, per the round-12 VERDICT
-    item 1) promotes ALL 37 rows whose newest green record is r11 —
-    the r11 window (CORRECTNESS_r11.json) minus the 13-slot kept
-    head: the streaming/serde rows (avro_roundtrip, raw_message,
-    changelog_materialize), the events family (tumbling/sliding/
-    interval-join/sessionless stats/salted/quantile-sketch), the
-    grouping-sets/cube/rollup/pivot family, joins/set-ops, string/
-    null/array/map functions, fingerprint/winnowing, and q5/q6.
-    The kept 13-slot head is unchanged (6 LLM-ops + 7 bench-headline
-    rows) — every bench row stays freshly certified alongside the
-    anchor it feeds. No registry row's semantics change in r13
-    (registry frozen at 87).
+    SimHash, ivf_assign). r13 promoted all 37 rows whose newest green
+    record was r11 (streaming/serde, events windows, grouping-sets/
+    cube/rollup/pivot, joins/set-ops, string/null/array/map,
+    fingerprint/winnowing, q5/q6). r14 (THIS round, per the round-13
+    VERDICT item 1) promotes ALL 37 rows whose newest green record is
+    r12 — the r12 window (CORRECTNESS_r12.json) minus the 13-slot
+    kept head: the TPC-H tail (q2/q4/q7-q15/q17-q19/q21/q22), the
+    scalar-subquery/setop/argmax/window-frame/histogram family, the
+    text-analysis rows (lang/quality/BPE/stratified-sample), the
+    near-dup pair/survivor rows, BLAS ANN, MinHash/LSH, SimHash, and
+    ivf_assign. The kept 13-slot head is unchanged (6 LLM-ops +
+    7 bench-headline rows) — every bench row stays freshly certified
+    alongside the anchor it feeds. No registry row's semantics change
+    in r14 (registry frozen at 87).
     """
     from callysto_spark.queries import llm_ops, tpch2, tpch3, tpch4, events, arrays, messages, tpch  # noqa: F401
 
     promoted = [
-        # the 37 rows whose newest green is r11 (the r11 window minus
+        # the 37 rows whose newest green is r12 (the r12 window minus
         # the 13 rows kept in the head below)
-        "q5_supplier_volume",
-        "q6_forecast_revenue",
-        "approx_distinct_parts",
-        "avro_roundtrip_stats",
-        "case_bucket_orders",
-        "cube_status_priority",
-        "distinct_counts_by_flag",
-        "doc_fingerprint_groups",
-        "doc_winnow_fingerprints",
-        "embedding_array_stats",
-        "events_changelog_materialize",
-        "events_dedup_latest",
-        "events_hourly_tumbling",
-        "events_interval_join_clicks",
-        "events_json_kv",
-        "events_sliding_1h_30m",
-        "events_type_stats",
-        "events_user_salted_counts",
-        "events_value_quantile_sketch",
-        "full_outer_nation_activity",
-        "grouping_sets_order_stats",
-        "left_join_customer_orders",
-        "null_handling_funcs",
-        "order_month_stats",
-        "pivot_linestatus",
-        "raw_message_decode_stats",
-        "rollup_revenue",
-        "semi_anti_customers",
-        "setop_customers_96_97",
-        "string_funcs_parts",
-        "string_normalize_parts",
-        "token_positions",
-        "token_top20",
-        "top3_orders_per_customer",
-        "user_event_type_sets",
-        "user_spend_deciles",
-        "user_type_count_map",
+        "doc_ngram_jaccard_pairs",
+        "doc_near_dup_survivor_stats",
+        "q2_cheapest_supplier",
+        "q4_priority_with_discounted_lines",
+        "q7_bilateral_volume",
+        "q8_market_share",
+        "q9_profit_by_nation_year",
+        "q10_returned_items",
+        "q11_important_parts",
+        "q12_priority_by_bracket",
+        "q13_customer_order_distribution",
+        "q14_promo_share",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q18_large_orders",
+        "q19_bracket_revenue",
+        "q21_waiting_suppliers",
+        "q22_idle_rich_customers",
+        "scalar_subquery_vs_max",
+        "setop_all_variants",
+        "argmax_order_per_nation",
+        "customer_balance_distribution",
+        "orders_price_range_frame",
+        "price_quartiles_by_segment",
+        "shipping_delay_histogram",
+        "suppliers_many_parts",
+        "emb_label_near_pairs",
+        "doc_bpe_token_stats",
+        "doc_lang_scores",
+        "doc_quality_score",
+        "doc_stratified_sample",
+        "emb_ivf_assign_blas",
+        "emb_cosine_topk_blas",
+        "doc_minhash_lsh_pairs",
+        "doc_lsh_verified_near_dups",
+        "doc_simhash",
+        "emb_ivf_assign",
     ]
     # The 7 bench-headline rows not covered by promoted/llm_kept: all
     # 12 bench=True queries stay in every driver window so each
@@ -177,9 +179,9 @@ def load_all() -> dict[str, Query]:
             f"window is 37+7+6; got {len(promoted)} promoted + "
             f"{len(watch)} watch + {len(llm_kept)} llm"
         )
-    # r14 promotion queue: the 37 rows whose newest green record is
-    # r12 (the r12 window minus the 13 rows kept above — i.e. the r12
-    # promoted-37 list recorded in CORRECTNESS_r12.json, none of which
+    # r15 promotion queue: the 37 rows whose newest green record is
+    # r13 (the r13 window minus the 13 rows kept above — i.e. the r13
+    # promoted-37 list recorded in CORRECTNESS_r13.json, none of which
     # overlap this round's kept head).
     head = promoted + watch + llm_kept
     missing = [n for n in head if n not in REGISTRY]

@@ -743,3 +743,187 @@ def test_committed_sf1_anchor_pair_gates_clean():
     for a, b in ((old, new), (new, old)):
         _, worse, errors, _ = bench_compare.compare(a, b, threshold=1.25)
         assert not errors and not worse
+
+
+def test_scaled_bar_floored_against_same_code_total_envelope(tmp_path):
+    """r13 ADVICE finding 1: the unfloored count-scaled bar (1.20 -
+    0.05*n) walked INTO the documented same-code TOTAL envelope (1.13x
+    normalized across five runs, 1.18x on the committed anchor pair) —
+    at n=4 the bar read 1.00, so a same-code pair with several small
+    queries drawn slow and a near-flat total would false-gate. The bar
+    is now floored at 1.10 (threshold*0.4 over 1) with the exceedance
+    count capped at 3: four band exceedances whose combined total
+    impact is ~1.03x stay WATCH."""
+    oldq = {f"s{i}": 0.2 for i in range(8)} | {f"b{i}": 1.5 for i in range(4)}
+    newq = dict(oldq)
+    for n in ("s0", "s1", "s2", "s3"):
+        newq[n] = 0.26  # 1.3x each, in the band
+    old = _bracketed_art(oldq, 0.09, canary=0.30, mt=0.126)
+    new = _bracketed_art(newq, 0.09, canary=0.30, mt=0.126)
+    # totals 7.6 -> 7.84 = 1.03x: under the 1.10 floor, but OVER the
+    # pre-fix n=4 bar of 1.00 — this exact pair used to gate
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    assert bench_compare.main([str(po), str(pn), "--gate"]) == 0
+    lines, worse, _, watch = bench_compare.compare(old, new, threshold=1.25)
+    assert not worse and sorted(watch) == ["s0", "s1", "s2", "s3"]
+    bar_line = next(ln for ln in lines if "under the scaled bar" in ln)
+    assert "1.10x" in bar_line, bar_line
+
+
+def test_scaled_bar_never_lets_faster_total_corroborate(tmp_path):
+    """Pre-fix, n>=5 band exceedances pushed the bar below 1.00 so a
+    FASTER total 'corroborated' a regression. With the cap+floor, five
+    band exceedances against a 0.95x total stay WATCH."""
+    oldq = {f"s{i}": 0.2 for i in range(5)} | {f"b{i}": 1.5 for i in range(5)}
+    newq = {f"s{i}": 0.26 for i in range(5)} | {f"b{i}": 1.35 for i in range(5)}
+    old = _bracketed_art(oldq, 0.09, canary=0.30, mt=0.126)
+    new = _bracketed_art(newq, 0.09, canary=0.30, mt=0.126)
+    # totals 8.5 -> 8.05 = 0.947x; pre-fix bar at n=5 was 0.95
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    assert bench_compare.main([str(po), str(pn), "--gate"]) == 0
+    _, worse, _, watch = bench_compare.compare(old, new, threshold=1.25)
+    assert not worse and len(watch) == 5
+
+
+def test_escalated_rows_no_longer_claim_total_flat(tmp_path):
+    """r13 ADVICE finding 4: escalation on bracketed pairs fires
+    precisely BECAUSE the total corroborated, so the rewritten row mark
+    must not retain the 'total flat' text."""
+    baseq = {f"q{i}": 0.8 for i in range(6)} | {"qa": 1.6, "qb": 1.6}
+    newq = dict(baseq)
+    for n in ("qa", "qb"):
+        newq[n] = 2.16  # 1.35x each; total 1.14x > 1.10 scaled bar
+    old = _bracketed_art(baseq, 0.09, canary=0.30, mt=0.126)
+    new = _bracketed_art(newq, 0.09, canary=0.30, mt=0.126)
+    lines, worse, _, _ = bench_compare.compare(old, new, threshold=1.25)
+    assert sorted(worse) == ["qa", "qb"]
+    rows = [ln for ln in lines if ln.startswith(("qa", "qb"))]
+    assert rows and all("total corroborates — escalated: gated" in ln for ln in rows)
+    assert not any("total flat" in ln for ln in rows)
+
+
+def test_slow_creep_ledger_escalates_repeat_watch(tmp_path):
+    """r13 verdict item 6: a query in the WATCH band in two consecutive
+    committed artifacts gates even with a flat total. The OLD
+    artifact's `watch_ledger` (stamped by bench.py against the
+    committed anchor) names the prior round's band members; a query in
+    that ledger AND in this pair's band escalates."""
+    oldq = {f"q{i}": 0.8 for i in range(8)}
+    newq = dict(oldq)
+    newq["q0"] = 1.04  # 1.3x, in band; total 6.64/6.4 = 1.04x, flat
+    old = _bracketed_art(oldq, 0.09, canary=0.30, mt=0.126)
+    new = _bracketed_art(newq, 0.09, canary=0.30, mt=0.126)
+
+    # control: no ledger (pre-r14 artifact) -> plain WATCH, gate passes
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    assert bench_compare.main([str(po), str(pn), "--gate"]) == 0
+    _, worse, _, watch = bench_compare.compare(old, new, threshold=1.25)
+    assert not worse and watch == ["q0"]
+
+    # control: ledger names a DIFFERENT query -> still WATCH
+    old_other = dict(old, watch_ledger=["q5"])
+    _, worse, _, watch = bench_compare.compare(old_other, new, threshold=1.25)
+    assert not worse and watch == ["q0"]
+
+    # the creep case: q0 was in the prior artifact's band too -> gated
+    old_led = dict(old, watch_ledger=["q0"])
+    po.write_text(json.dumps(old_led))
+    assert bench_compare.main([str(po), str(pn), "--gate"]) == 1
+    lines, worse, _, watch = bench_compare.compare(old_led, new, threshold=1.25)
+    assert worse == ["q0"] and not watch
+    assert any(ln.startswith("slow-creep: q0") for ln in lines)
+    row = next(ln for ln in lines if ln.startswith("q0"))
+    assert "repeated across rounds — escalated: gated" in row
+    assert "WATCH, not gated" not in row
+
+
+def test_mint_anchor_refuses_archived_fast_draw_window():
+    """r13 verdict item 3, the exact failure mode: the archived
+    same-code fast window drew emb_cosine_topk at 0.278s where the
+    committed anchor reads 0.442s — an anchor minted from it would read
+    future same-code runs at up to 1.79x and gate-fail them. The mint
+    must refuse it as a single-window candidate."""
+    fx = Path(__file__).parent / "fixtures"
+    root = Path(__file__).resolve().parents[1]
+    fast = bench_compare.load(str(fx / "bench_r13_selfpair_a.json"))
+    anchor = bench_compare.load(str(root / "BENCH_BASELINE.json"))
+    minted, msgs = bench_compare.mint_anchor([fast], current=anchor)
+    assert minted is None
+    joined = " ".join(msgs)
+    assert "emb_cosine_topk" in joined and "fast lottery draw" in joined
+    assert "refusing to bless" in joined
+
+
+def test_mint_anchor_blesses_median_of_three_windows(tmp_path):
+    """>= 3 windows mint by per-query MEDIAN — one fast lottery draw
+    cannot become the anchor value — and the measured per-query
+    envelope is recorded in the artifact (the next refresh's same-code
+    evidence, mechanical instead of prose)."""
+    def win(q0):
+        return _bracketed_art({"q0": q0, "q1": 0.50}, 0.09, canary=0.30, mt=0.126)
+
+    w1, w2, w3 = win(0.28), win(0.44), win(0.49)  # the archived draw shape
+    minted, msgs = bench_compare.mint_anchor([w1, w2, w3])
+    assert minted is not None
+    assert minted["queries"]["q0"] == 0.44  # median, not the 0.28 fast draw
+    assert minted["anchor_minted"]["windows"] == 3
+    assert minted["anchor_minted"]["envelope"]["q0"] == [0.28, 0.49]
+    assert minted["value"] == round(0.44 + 0.50, 3)
+    assert minted["cpu_canary_mt_threads"] == 32
+    assert minted["query_canary_mt_s"]["q0"] == [0.09, 0.09]
+    # CLI round-trip
+    paths = []
+    for i, w in enumerate((w1, w2, w3)):
+        p = tmp_path / f"w{i}.json"
+        p.write_text(json.dumps(w))
+        paths.append(str(p))
+    out = tmp_path / "anchor.json"
+    rc = bench_compare.main(
+        ["--mint-anchor", "--windows", *paths, "--out", str(out),
+         "--provenance", "unit test"]
+    )
+    assert rc == 0
+    assert json.loads(out.read_text())["queries"]["q0"] == 0.44
+
+
+def test_mint_anchor_single_window_inside_envelope_blessed(tmp_path):
+    """A single candidate whose every per-query value sits inside the
+    archived same-code envelope (1.32x) of the current anchor is
+    blessable — the verdict's OR branch."""
+    current = _bracketed_art({"q0": 0.44, "q1": 0.50}, 0.09, canary=0.30, mt=0.126)
+    cand = _bracketed_art({"q0": 0.47, "q1": 0.46}, 0.09, canary=0.30, mt=0.126)
+    minted, msgs = bench_compare.mint_anchor([cand], current=current)
+    assert minted is not None
+    assert minted["queries"] == {"q0": 0.47, "q1": 0.46}
+    assert "single-window" in minted["anchor_minted"]["policy"]
+    # and without a current anchor, a lone window is not blessable
+    minted2, msgs2 = bench_compare.mint_anchor([cand])
+    assert minted2 is None and any("--current" in m for m in msgs2)
+    # CLI refusal path exits 1
+    pc, pa = tmp_path / "cand.json", tmp_path / "out.json"
+    pc.write_text(json.dumps(cand))
+    rc = bench_compare.main(
+        ["--mint-anchor", "--windows", str(pc), "--out", str(pa)]
+    )
+    assert rc == 1 and not pa.exists()
+
+
+def test_mint_anchor_refuses_unclean_windows():
+    """Self-flagged or partial windows are not anchor material, and
+    windows that disagree on the query set cannot be medianed."""
+    good = _bracketed_art({"q0": 0.44}, 0.09, canary=0.30, mt=0.126)
+    flagged = dict(good, load_contaminated=True)
+    minted, msgs = bench_compare.mint_anchor([good, flagged, good])
+    assert minted is None and any("self-flags" in m for m in msgs)
+    failed = dict(good, queries={"q0": None})
+    minted, msgs = bench_compare.mint_anchor([good, failed, good])
+    assert minted is None and any("failed queries" in m for m in msgs)
+    other = _bracketed_art({"qX": 0.44}, 0.09, canary=0.30, mt=0.126)
+    minted, msgs = bench_compare.mint_anchor([good, other, good])
+    assert minted is None and any("disagree on the query set" in m for m in msgs)

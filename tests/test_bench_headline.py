@@ -252,3 +252,31 @@ def test_driver_tail_capture_simulation():
     tail = stdout[-2048:]
     last = tail.strip().rsplit("\n", 1)[-1]
     assert json.loads(last)["metric"] == "headline_queries_total"
+
+
+def test_trim_marker_cannot_push_headline_over_bound():
+    """r13 ADVICE finding 3: the headline_trimmed marker is appended
+    AFTER the size ladder, so a headline that passed a ladder step just
+    under HEADLINE_MAX_BYTES could exceed it once the ~40-75-byte
+    marker landed. The ladder now trims against a budget that reserves
+    the worst-case marker — sweep padded error payloads across the
+    boundary and assert the final line NEVER exceeds the bound."""
+    saw_trim = False
+    for n_errs in range(1, 20):
+        for pad in range(0, 120, 11):
+            rec = representative_record()
+            rec["errors"] = {
+                f"q_failed_{i:02d}": ("SomeException: " + "x" * pad)
+                for i in range(n_errs)
+            }
+            rec["partial"] = True
+            rec["n_failed"] = n_errs
+            headline, _ = bench.split_headline(rec)
+            line = line_of(headline)
+            assert len(line) <= bench.HEADLINE_MAX_BYTES, (
+                f"{len(line)} bytes at n_errs={n_errs} pad={pad}: "
+                f"trimmed={headline.get('headline_trimmed')}"
+            )
+            if "headline_trimmed" in headline:
+                saw_trim = True
+    assert saw_trim, "sweep never exercised the trim ladder"

@@ -63,9 +63,13 @@ def ddb_sf1(sf1_dir):
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf1_dir}/{t}.parquet')"
-        )
+        # scaled tables are directories of per-copy part files (r14
+        # sharded layout — see tools/gen_sf1.generate); DuckDB needs the
+        # glob where Spark reads the directory natively
+        path = f"{sf1_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     yield con
     con.close()
 

@@ -140,13 +140,36 @@ import sys
 # total ~1.07x > the 1.05 bar) while passing the archived same-code
 # pair (2 exceedances, total 0.91x). Legacy unbracketed pairs keep the
 # r12 unconditional >= 3 rule (their calibration saw at most one band
-# hit per pair). Honestly-stated residual: band exceedances whose
-# combined total impact stays under the scaled bar — bounded by the
-# bar itself (at most ~10% of total wall at n=2), and caught when the
-# anchor rotates under them.
+# hit per pair).
+#
+# FLOOR (r13 ADVICE finding 1): the raw linear scale-down walks the
+# bar INTO the documented same-code TOTAL envelope — normalized
+# same-code totals spread up to 1.13x across five runs (1.18x on the
+# committed anchor/BENCH_r09 pair), yet the unfloored bar read 1.05 at
+# n=3 and crossed 1.00 at n>=4, where a FASTER total would
+# "corroborate" a regression. So the exceedance count is capped at 3
+# and the bar floored at threshold*0.4 over 1 (1.10 at the default
+# gate) — never below the scale a real dispersed regression actually
+# moves a total (3 x 1.39x on 0.3s queries moves a 5.3s total ~1.07x;
+# that specific shape now escapes the total bar BY DESIGN, because a
+# 1.05 bar cannot tell it from same-code noise). The remaining
+# detectors for the under-floor shape are the cross-round
+# `watch_ledger` escalation below (a query camping in the band two
+# committed artifacts in a row gates regardless of total) and anchor
+# rotation.
 WATCH_GATE_N = 3
 WATCH_GATE_N_BRACKETED = 2
 WATCH_TOTAL_SLOPE = 0.05
+WATCH_TOTAL_FLOOR_FRAC = 0.4  # scaled-bar floor: 1 + (threshold-1)*this
+WATCH_N_CAP = 3  # exceedance count stops lowering the bar past this
+# Archived same-code PER-QUERY normalized spread (five single-evening
+# runs, min-of-5 each, flat loadavg): the envelope --mint-anchor holds
+# a single-window anchor candidate to. A candidate whose per-query
+# values sit OUTSIDE it against the current anchor is a lottery draw
+# (the archived fast window read emb_cosine_topk 0.278s vs the
+# anchor's 0.442s = 0.63x — that anchor would read same-code runs at
+# up to 1.79x and gate-fail them), not a blessable reference.
+SAME_CODE_QUERY_ENVELOPE = 1.32
 
 
 def load(path: str) -> dict:
@@ -489,7 +512,14 @@ def compare(
     # false-fails same-code pairs — see WATCH_TOTAL_SLOPE calibration);
     # legacy unbracketed pairs keep the r12 unconditional >= 3 rule
     if bracket_median is not None:
-        scaled_bar = total_bar - WATCH_TOTAL_SLOPE * len(watch)
+        # floored scale-down (see WATCH_TOTAL_FLOOR_FRAC rationale):
+        # 1.10 at n=2 and n>=3 at the default gate — the bar never
+        # enters the 1.13-1.18x same-code total envelope's sub-1.10
+        # region where a same-code pair would false-gate
+        scaled_bar = max(
+            total_bar - WATCH_TOTAL_SLOPE * min(len(watch), WATCH_N_CAP),
+            1.0 + (threshold - 1.0) * WATCH_TOTAL_FLOOR_FRAC,
+        )
         escalate = (
             len(watch) >= WATCH_GATE_N_BRACKETED
             and total_norm is not None
@@ -497,13 +527,14 @@ def compare(
         )
         gate_n = WATCH_GATE_N_BRACKETED
     else:
+        scaled_bar = None
         escalate = len(watch) >= WATCH_GATE_N
         gate_n = WATCH_GATE_N
     if len(watch) >= gate_n and not escalate and bracket_median is not None:
         lines.append(
             f"{len(watch)} band exceedances but total_norm "
             f"{total_norm if total_norm is not None else float('nan'):.2f}x "
-            f"is under the scaled bar {total_bar - WATCH_TOTAL_SLOPE * len(watch):.2f}x "
+            f"is under the scaled bar {scaled_bar:.2f}x "
             "— same-code dispersion mode (archived r13 self-pair), not gated"
         )
     if escalate:
@@ -521,14 +552,49 @@ def compare(
             "noise mode; escalating all band exceedances to gated regressions"
         )
         # rewrite the already-rendered WATCH marks so the per-query rows
-        # agree with the gate outcome (r12 ADVICE finding 3)
+        # agree with the gate outcome (r12 ADVICE finding 3). The WHOLE
+        # parenthetical is replaced (r13 ADVICE finding 4): escalation
+        # on bracketed pairs fires precisely because the total was NOT
+        # flat, so the retained "total flat" text contradicted the
+        # outcome it annotated.
         for _n, _i in watch_line_idx.items():
             if _n in watch:
                 lines[_i] = lines[_i].replace(
-                    "— WATCH, not gated)", "— escalated: gated)"
+                    "(norm in same-code noise band; total flat — WATCH,"
+                    " not gated)",
+                    "(band exceedance, total corroborates — escalated:"
+                    " gated)",
                 )
         worse.extend(sorted(watch))
         watch = []
+    # Cross-round slow-creep ledger (r13 verdict item 6): the band's
+    # per-round escape is bounded, but the SAME query sitting in the
+    # band in two consecutive committed artifacts is creep, not the
+    # JIT lottery — bench.py stamps each artifact's own band list
+    # (measured against the committed anchor) into `watch_ledger`, and
+    # a query both in the old artifact's ledger AND in this pair's band
+    # gates even with a flat total. Old artifacts without the field
+    # (pre-r14) simply disable the check.
+    prior_ledger = set(old.get("watch_ledger") or [])
+    repeat = sorted(n for n in watch if n in prior_ledger)
+    if repeat:
+        lines.append(
+            "slow-creep: "
+            + ", ".join(repeat)
+            + " in the WATCH band in two consecutive artifacts (old "
+            "watch_ledger + this pair) — escalating despite flat total"
+        )
+        for _n in repeat:
+            _i = watch_line_idx.get(_n)
+            if _i is not None:
+                lines[_i] = lines[_i].replace(
+                    "(norm in same-code noise band; total flat — WATCH,"
+                    " not gated)",
+                    "(band exceedance, repeated across rounds —"
+                    " escalated: gated)",
+                )
+        worse.extend(repeat)
+        watch = [n for n in watch if n not in repeat]
     vo, vn = old.get("value"), new.get("value")
     if vo and vn:
         # display the SAME normalized total the total_bar gate reads
@@ -566,7 +632,225 @@ def compare(
     return lines, worse, errors, watch
 
 
+MINT_MIN_WINDOWS = 3
+
+
+def _bracket_mean(art: dict, start_key: str, end_key: str):
+    s, e = art.get(start_key), art.get(end_key)
+    return (s + e) / 2.0 if s and e else s
+
+
+def mint_anchor(
+    windows: list[dict], current: dict | None = None
+) -> tuple[dict | None, list[str]]:
+    """Bless (or refuse) a new gate anchor (r13 verdict item 3).
+
+    The failure mode this mechanizes out of existence: refreshing the
+    anchor from a session whose JIT lottery came up fast. The archived
+    same-code pair (tests/fixtures/bench_r13_selfpair_a.json) drew
+    emb_cosine_topk at 0.278s where the standing anchor reads 0.442s —
+    an anchor minted from that window would read FUTURE same-code runs
+    at up to 1.79x normalized and gate-fail them. Until r14 the only
+    guard was prose ("never refresh an anchor from a session's fastest
+    window"); this function is the mechanism.
+
+    Two blessable shapes, mirroring the verdict's rule ("medians of
+    >= 3 windows OR within the archived same-code envelope of the
+    current anchor"):
+
+    - ``len(windows) >= MINT_MIN_WINDOWS``: the minted anchor's
+      per-query values are the MEDIANS across the windows (a median of
+      3+ lottery draws cannot be the fastest draw), canaries medianed
+      likewise; the per-query min/max spread across windows is recorded
+      in the artifact (``anchor_minted.envelope``) so the next refresh
+      can read the measured same-code envelope instead of citing prose.
+    - fewer windows + a ``current`` anchor: EVERY candidate window's
+      per-query value must sit inside the archived same-code per-query
+      envelope (``SAME_CODE_QUERY_ENVELOPE``, 1.32x) of the current
+      anchor after host normalization by the canary-bracket ratio —
+      outside it in EITHER direction the draw is lottery (fast side)
+      or an unexplained slowdown (slow side), and the mint refuses.
+
+    Returns ``(minted_artifact, messages)``; ``minted_artifact`` is
+    ``None`` on refusal, with the reasons in ``messages``.
+    """
+    msgs: list[str] = []
+    if not windows:
+        return None, ["no candidate windows given"]
+    qsets = [frozenset(w.get("queries") or {}) for w in windows]
+    if len(set(qsets)) != 1 or not qsets[0]:
+        return None, ["candidate windows disagree on the query set (or it is empty)"]
+    for i, w in enumerate(windows):
+        flags = [
+            k
+            for k in ("load_contaminated", "partial", "ingest_window_exhausted")
+            if w.get(k)
+        ]
+        if flags:
+            return None, [f"window {i} self-flags {flags} — not anchor material"]
+        nulls = sorted(n for n, v in w["queries"].items() if not v)
+        if nulls:
+            return None, [f"window {i} has failed queries: {', '.join(nulls)}"]
+        if w.get("sf") != windows[0].get("sf"):
+            return None, [f"window {i} sf={w.get('sf')} differs from window 0"]
+
+    names = sorted(qsets[0])
+
+    def _median_field(key):
+        vals = [w[key] for w in windows if w.get(key) is not None]
+        return round(statistics.median(vals), 4) if vals else None
+
+    if len(windows) < MINT_MIN_WINDOWS:
+        if current is None:
+            return None, [
+                f"only {len(windows)} window(s): blessing needs >= "
+                f"{MINT_MIN_WINDOWS} windows (median mint) or --current "
+                "to check the same-code envelope against"
+            ]
+        cur_q = current.get("queries") or {}
+        missing = [n for n in names if not cur_q.get(n)]
+        if missing:
+            return None, [
+                "current anchor lacks queries the candidate carries: "
+                + ", ".join(missing)
+            ]
+        env = SAME_CODE_QUERY_ENVELOPE
+        for i, w in enumerate(windows):
+            # host factor current -> candidate, bracketed-mean canaries
+            # (same preference order as compare(): mt tracks 32-thread
+            # query walls; st is the fallback)
+            c_mt_old = _bracket_mean(current, "cpu_canary_mt_s", "cpu_canary_mt_end_s")
+            c_mt_new = _bracket_mean(w, "cpu_canary_mt_s", "cpu_canary_mt_end_s")
+            c_st_old = _bracket_mean(current, "cpu_canary_s", "cpu_canary_end_s")
+            c_st_new = _bracket_mean(w, "cpu_canary_s", "cpu_canary_end_s")
+            if c_mt_old and c_mt_new and (
+                current.get("cpu_canary_mt_threads") == w.get("cpu_canary_mt_threads")
+            ):
+                host = c_mt_new / c_mt_old
+            elif c_st_old and c_st_new:
+                host = c_st_new / c_st_old
+            else:
+                return None, [
+                    f"window {i} / current anchor lack comparable canaries — "
+                    "cannot host-normalize the envelope check"
+                ]
+            out_of_env = []
+            for n in names:
+                ratio = (w["queries"][n] / cur_q[n]) / host
+                if not (1.0 / env) <= ratio <= env:
+                    side = "fast lottery draw" if ratio < 1 else "unexplained slowdown"
+                    out_of_env.append(f"{n} {ratio:.2f}x ({side})")
+            if out_of_env:
+                return None, [
+                    f"window {i} outside the archived same-code envelope "
+                    f"(1/{env:g}x..{env:g}x vs current anchor, host-normalized "
+                    f"{host:.2f}x): " + "; ".join(out_of_env),
+                    f"refusing to bless — mint from >= {MINT_MIN_WINDOWS} "
+                    "windows instead (medians survive lottery draws)",
+                ]
+        msgs.append(
+            f"{len(windows)} window(s) inside the same-code envelope of the "
+            "current anchor — blessed"
+        )
+
+    minted: dict = {
+        "metric": windows[0].get("metric", "headline_queries_total"),
+        "unit": windows[0].get("unit", "sec"),
+        "sf": windows[0].get("sf"),
+        "queries": {
+            n: round(statistics.median([w["queries"][n] for w in windows]), 3)
+            for n in names
+        },
+    }
+    minted["value"] = round(sum(minted["queries"].values()), 3)
+    for key in (
+        "cpu_canary_s",
+        "cpu_canary_end_s",
+        "cpu_canary_mt_s",
+        "cpu_canary_mt_end_s",
+        "io_canary_write_mbps",
+        "io_canary_read_mbps",
+        "ingest_mbps",
+    ):
+        v = _median_field(key)
+        if v is not None:
+            minted[key] = v
+    threads = {w.get("cpu_canary_mt_threads") for w in windows}
+    if len(threads) == 1 and None not in threads:
+        minted["cpu_canary_mt_threads"] = threads.pop()
+    # per-query brackets: elementwise medians, only when every window
+    # carries a complete bracket for the query
+    qcs = [w.get("query_canary_mt_s") or {} for w in windows]
+    brackets = {}
+    for n in names:
+        bs = [qc.get(n) for qc in qcs]
+        if all(b and len(b) == 2 and all(b) for b in bs):
+            brackets[n] = [
+                round(statistics.median([b[0] for b in bs]), 4),
+                round(statistics.median([b[1] for b in bs]), 4),
+            ]
+    if len(brackets) == len(names):
+        minted["query_canary_mt_s"] = brackets
+    minted["anchor_minted"] = {
+        "windows": len(windows),
+        "policy": (
+            f"median-of-{len(windows)}"
+            if len(windows) >= MINT_MIN_WINDOWS
+            else f"single-window, inside {SAME_CODE_QUERY_ENVELOPE:g}x same-code "
+            "envelope of prior anchor"
+        ),
+        # the measured per-query envelope across the minting windows:
+        # the next refresh's same-code evidence, recorded in the
+        # artifact instead of prose
+        "envelope": {
+            n: [
+                round(min(w["queries"][n] for w in windows), 3),
+                round(max(w["queries"][n] for w in windows), 3),
+            ]
+            for n in names
+        },
+    }
+    msgs.append(
+        f"minted anchor: {len(names)} queries, total {minted['value']}s, "
+        f"policy {minted['anchor_minted']['policy']}"
+    )
+    return minted, msgs
+
+
+def mint_main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(
+        description="Bless a new gate anchor from candidate bench windows "
+        "(refuses fast lottery draws — see mint_anchor)"
+    )
+    p.add_argument("--windows", nargs="+", required=True, help="candidate artifact paths")
+    p.add_argument(
+        "--current",
+        default=None,
+        help="current anchor (required when fewer than "
+        f"{MINT_MIN_WINDOWS} windows are given)",
+    )
+    p.add_argument("--out", required=True, help="path to write the minted anchor")
+    p.add_argument("--provenance", default="", help="free-text provenance note")
+    args = p.parse_args(argv)
+    windows = [load(w) for w in args.windows]
+    current = load(args.current) if args.current else None
+    minted, msgs = mint_anchor(windows, current)
+    for m in msgs:
+        print(m)
+    if minted is None:
+        print("MINT: REFUSED")
+        return 1
+    if args.provenance:
+        minted["_provenance"] = args.provenance
+    with open(args.out, "w") as f:
+        json.dump(minted, f, indent=1, sort_keys=True)
+    print(f"MINT: blessed -> {args.out}")
+    return 0
+
+
 def main(argv: list[str]) -> int:
+    if "--mint-anchor" in argv:
+        return mint_main([a for a in argv if a != "--mint-anchor"])
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("old")
     p.add_argument("new")

@@ -101,7 +101,17 @@ def make_copy(name: str, tab: pa.Table, c: int) -> pa.Table:
 def generate(out: str) -> None:
     """Build the sf1 corpus at ``out``. Importable so the env-gated sf1
     parity suite (tests/test_sf1_parity.py) can regenerate a missing
-    corpus instead of depending on a manual one-off run."""
+    corpus instead of depending on a manual one-off run.
+
+    Scaled tables are written as DIRECTORIES of one parquet file per
+    copy (``{table}.parquet/part-Nc.parquet``, 10 files) rather than a
+    single concatenated file (r13 verdict item 4): the single-file
+    layout made sf1 lineitem one 122 MB scan unit, so sf1 ingest trials
+    lacked parallel-file admission discipline and self-flagged 30-40%
+    spreads — and a single file is also the wrong 100 TB shape (one
+    scan task regardless of cluster width). Spark reads the directory
+    natively; DuckDB oracles glob ``dir/*.parquet`` (the sf1 parity
+    suite handles both layouts)."""
     os.makedirs(out, exist_ok=True)
     for name in COPY_AS_IS:
         tab = pq.read_table(f"{SRC}/{name}.parquet")
@@ -109,10 +119,14 @@ def generate(out: str) -> None:
         print(f"{name}: {tab.num_rows} rows (copied)")
     for name in KEY_COLS:
         tab = pq.read_table(f"{SRC}/{name}.parquet")
-        parts = [make_copy(name, tab, c) for c in range(COPIES)]
-        big = pa.concat_tables(parts)
-        pq.write_table(big, f"{out}/{name}.parquet")
-        print(f"{name}: {tab.num_rows} -> {big.num_rows} rows")
+        d = f"{out}/{name}.parquet"
+        os.makedirs(d, exist_ok=True)
+        total = 0
+        for c in range(COPIES):
+            part = make_copy(name, tab, c)
+            pq.write_table(part, f"{d}/part-{c:02d}.parquet")
+            total += part.num_rows
+        print(f"{name}: {tab.num_rows} -> {total} rows in {COPIES} files")
 
 
 def main() -> None:
