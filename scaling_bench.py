@@ -190,24 +190,33 @@ def _completed_stages(spark) -> list[dict]:
         return []
 
 
-def _shuffle_stats(stages: list[dict], min_stage: int, n_execs: int) -> tuple[float, float]:
-    """(total shuffle-write MB per execution, PEAK per-task shuffle MB)
-    over stages newer than min_stage. The peak is the larger of any
-    task's shuffle-read or shuffle-write bytes (quantiles=1.0 → max) —
-    the per-partition figure that blows up under key skew while stage
-    totals stay flat, so it is measured, not inferred."""
+def _shuffle_stats(stages: list[dict], min_stage: int, n_execs: int) -> tuple[float, float, float]:
+    """(total shuffle-write MB per execution, PEAK per-task shuffle MB,
+    executor CPU seconds per execution) over stages newer than
+    min_stage. The peak is the larger of any task's shuffle-read or
+    shuffle-write bytes (quantiles=1.0 → max) — the per-partition
+    figure that blows up under key skew while stage totals stay flat,
+    so it is measured, not inferred. CPU time (r14): the WORK metric
+    that wall-clock is not — on this shared VM a 14s point integrates
+    every external burst its 3 runs cross while a 4s point dodges them
+    via min-of-n, so a wall tail > 1 on frozen shuffle bytes needs the
+    cpu column to say whether the WORK grew (real superlinearity) or
+    only the waiting did (contention)."""
     write_total = 0.0
     peak_task = 0.0
+    cpu_ns = 0.0
     for st in stages:
         if st.get("stageId", -1) < min_stage:
             continue
         write_total += st.get("shuffleWriteBytes", 0) or 0
+        cpu_ns += st.get("executorCpuTime", 0) or 0
         tmd = st.get("taskMetricsDistributions") or {}
         for metrics, key in (("shuffleReadMetrics", "readBytes"), ("shuffleWriteMetrics", "writeBytes")):
             q = (tmd.get(metrics) or {}).get(key) or [0]
             peak_task = max(peak_task, q[-1])
     mb = 1024 * 1024
-    return write_total / max(n_execs, 1) / mb, peak_task / mb
+    n = max(n_execs, 1)
+    return write_total / n / mb, peak_task / mb, cpu_ns / n / 1e9
 
 
 def _settle(spark, pause: float = 0.75) -> None:
@@ -223,7 +232,7 @@ def _settle(spark, pause: float = 0.75) -> None:
     time.sleep(pause)
 
 
-def time_pipeline(spark, build, n_runs: int) -> tuple[float, int, float, float, float]:
+def time_pipeline(spark, build, n_runs: int) -> tuple[float, int, float, float, float, float]:
     from callysto_spark.operators.util import release_transient_persists
 
     def run():
@@ -250,11 +259,13 @@ def time_pipeline(spark, build, n_runs: int) -> tuple[float, int, float, float, 
     # shuffle stats span the warm run + count + n_runs timed executions
     # over the SAME data — totals are normalized per execution, the peak
     # is scale-invariant across repeats
-    shuffle_mb, peak_task_mb = _shuffle_stats(_completed_stages(spark), watermark, n_runs + 2)
+    shuffle_mb, peak_task_mb, cpu_s = _shuffle_stats(
+        _completed_stages(spark), watermark, n_runs + 2
+    )
     # shared-host honesty: the box's clock swings 2-3x between windows;
     # the per-point loadavg rides into the JSON and the SCALING.md table
     # so an off-trend point self-identifies as contention, not growth
-    return best, rows, shuffle_mb, peak_task_mb, round(os.getloadavg()[0], 1)
+    return best, rows, shuffle_mb, peak_task_mb, round(os.getloadavg()[0], 1), cpu_s
 
 
 IVF_MARKER = "## IVF index-size probe"
@@ -388,7 +399,7 @@ def stop_shingle_probe(spark, base_docs: int, scale: int, n_runs: int) -> dict:
         }
         for name, build in jobs.items():
             try:
-                best, rows, shuffle_mb, peak_task_mb, load1 = time_pipeline(spark, build, n_runs)
+                best, rows, shuffle_mb, peak_task_mb, load1, _cpu_s = time_pipeline(spark, build, n_runs)
             except Exception as exc:
                 print(f"# {name} FAILED: {exc}", file=sys.stderr)
                 out["points"][name] = {"error": str(exc)[:300]}
@@ -489,7 +500,7 @@ def e2e_pipeline_probe(spark, base_docs: int, scale: int, n_runs: int) -> dict:
                 F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
             )
 
-        best, rows, shuffle_mb, peak_task_mb, load1 = time_pipeline(spark, build, n_runs)
+        best, rows, shuffle_mb, peak_task_mb, load1, _cpu_s = time_pipeline(spark, build, n_runs)
         out.update(
             {
                 "t_sec": round(best, 3),
@@ -797,16 +808,16 @@ def main() -> None:
                 # scale must not discard every other measurement (the
                 # r3 bench lost a whole round's signal this way)
                 try:
-                    best, rows, shuffle_mb, peak_task_mb, load1 = time_pipeline(spark, build, n_runs)
+                    best, rows, shuffle_mb, peak_task_mb, load1, cpu_s = time_pipeline(spark, build, n_runs)
                 except Exception as exc:
                     print(f"# {name} @ {s}x FAILED: {exc}", file=sys.stderr)
                     errors.append({"pipeline": name, "scale": s, "error": str(exc)[:300]})
                     continue
-                results.setdefault(name, {})[s] = (best, rows, shuffle_mb, peak_task_mb, load1)
+                results.setdefault(name, {})[s] = (best, rows, shuffle_mb, peak_task_mb, load1, cpu_s)
                 print(
                     f"# {name} @ {s}x: {best:.3f}s ({rows} rows, "
                     f"{shuffle_mb:.1f} MB shuffled/run, peak task {peak_task_mb:.2f} MB, "
-                    f"loadavg {load1})",
+                    f"cpu {cpu_s:.1f}s/run, loadavg {load1})",
                     file=sys.stderr,
                 )
     finally:
@@ -819,6 +830,7 @@ def main() -> None:
             "shuffle_mb": {str(s): round(by_scale[s][2], 1) for s in have},
             "peak_task_shuffle_mb": {str(s): round(by_scale[s][3], 2) for s in have},
             "loadavg_1m": {str(s): by_scale[s][4] for s in have},
+            "cpu_s": {str(s): round(by_scale[s][5], 2) for s in have},
         }
 
     if len(scales) < 2:
@@ -856,7 +868,20 @@ def main() -> None:
             "exponent": round(exp, 3),
             "tail_exponent": round(tail, 3),
         }
-        print(f"# {name}: exponent fit={exp:.3f} tail={tail:.3f}", file=sys.stderr)
+        # cpu tail (r14): same segment, executor CPU work instead of
+        # wall — the contention-immune attribution column. A wall tail
+        # > 1 with cpu tail <= ~1 is waiting, not work (window load /
+        # scheduling); both > 1 would be real growth.
+        if by_scale[s1][5] > 0 and by_scale[s2][5] > 0:
+            cpu_tail = math.log(by_scale[s2][5] / by_scale[s1][5]) / math.log(s2 / s1)
+            report[name]["cpu_tail_exponent"] = round(cpu_tail, 3)
+            print(
+                f"# {name}: exponent fit={exp:.3f} tail={tail:.3f} "
+                f"cpu_tail={cpu_tail:.3f}",
+                file=sys.stderr,
+            )
+        else:
+            print(f"# {name}: exponent fit={exp:.3f} tail={tail:.3f}", file=sys.stderr)
         if tail > EXPONENT_MAX:
             failed.append(name)
     print(json.dumps({"metric": "scaleup_exponents", "scales": scales,

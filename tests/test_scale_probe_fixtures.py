@@ -62,3 +62,43 @@ def test_every_pipeline_gates_clean_in_both_windows():
         assert not rec.get("errors"), fx
         for name, d in rec["pipelines"].items():
             assert d["tail_exponent"] <= 1.25, (fx, name, d["tail_exponent"])
+
+
+# ---------------------------------------------------------------------------
+# r14 (r13 verdict item 7): two further windows, the second carrying the
+# NEW cpu_s column — executor CPU per execution from the same REST stage
+# metrics as the shuffle columns. The capped tail read 1.124 and 1.041
+# wall in these windows (five consecutive windows now straddle 1.0 on
+# byte-identical shuffle/peak/row columns), and the cpu column settles
+# the attribution mechanically: the 30x->100x CPU-work exponent is
+# 0.983 — the WORK is sub-linear; the residual wall tail is waiting
+# (a 15s point integrates every external burst its 3 runs cross while
+# a 4s point dodges them via min-of-n). Caveat, stated: cpu_s averages
+# over warm+count+timed executions, so scale-independent JIT CPU
+# slightly inflates the smaller point — a few percent at these scales,
+# not enough to flip the reading.
+
+
+def test_r14_windows_plan_quantities_byte_identical_to_committed_curve():
+    for fx in ("scale_probe_r14_win1.json", "scale_probe_r14_win2.json"):
+        d = _load(fx)["pipelines"]["doc_ngram_jaccard_capped"]
+        assert d["shuffle_mb"] == CAPPED_SHUFFLE_MB, fx
+        assert d["peak_task_shuffle_mb"] == CAPPED_PEAK_MB, fx
+        assert d["rows"] == CAPPED_ROWS, fx
+
+
+def test_r14_cpu_column_attributes_capped_tail_to_waiting_not_work():
+    d = _load("scale_probe_r14_win2.json")["pipelines"]["doc_ngram_jaccard_capped"]
+    assert d["tail_exponent"] <= 1.25  # the standing wall gate
+    # the attribution: CPU work between the two largest scales is
+    # sub-linear even where the wall tail sits above 1.0
+    assert d["cpu_tail_exponent"] <= 1.0, d["cpu_tail_exponent"]
+    assert d["cpu_s"]["100"] / d["cpu_s"]["10"] < 10.0  # sub-linear over the decade
+
+
+def test_r14_every_pipeline_gates_clean_in_both_windows():
+    for fx in ("scale_probe_r14_win1.json", "scale_probe_r14_win2.json"):
+        rec = _load(fx)
+        assert not rec.get("errors"), fx
+        for name, d in rec["pipelines"].items():
+            assert d["tail_exponent"] <= 1.25, (fx, name, d["tail_exponent"])

@@ -122,7 +122,7 @@ def time_variant(spark, build, n_runs: int):
         spark.catalog.clearCache()
     release_transient_persists()
     stages = sb._completed_stages(spark)
-    shuffle_mb, peak_task_mb = sb._shuffle_stats(stages, watermark, n_runs + 2)
+    shuffle_mb, peak_task_mb, _cpu_s = sb._shuffle_stats(stages, watermark, n_runs + 2)
     spill_mem_mb, spill_disk_mb = _spill_stats(stages, watermark, n_runs + 2)
     return {
         "t": round(best, 3),
