@@ -172,23 +172,13 @@ def test_load_all_idempotent_and_windowed():
     assert first == second, "load_all must be order-stable across calls"
     assert len(first) == len(set(first)) == 87
     head = first[:50]
-    # rows deferred by the r13 rotation: every one is r12-green (the
+    # rows deferred by the r14 rotation: every one is r13-green (the
     # newest possible certification), making room for the 37 rows whose
-    # newest green was r11
+    # newest green was r12
     deferred = {
-        "doc_quality_score",
-        "doc_lang_scores",
-        "doc_bpe_token_stats",
-        "doc_ngram_jaccard_pairs",
-        "doc_near_dup_survivor_stats",
-        "doc_minhash_lsh_pairs",
-        "doc_stratified_sample",
-        "doc_lsh_verified_near_dups",
-        "doc_simhash",
-        "emb_label_near_pairs",
-        "emb_ivf_assign",
-        "emb_ivf_assign_blas",
-        "emb_cosine_topk_blas",
+        "doc_fingerprint_groups",
+        "doc_winnow_fingerprints",
+        "embedding_array_stats",
     }
     missing = [
         n
@@ -198,7 +188,7 @@ def test_load_all_idempotent_and_windowed():
     assert not missing, f"north-star queries fell out of the sampled window: {missing}"
     # the freshness justification for the deferral, checked against the
     # actual newest driver artifact when present
-    art = Path(__file__).resolve().parents[1] / "CORRECTNESS_r12.json"
+    art = Path(__file__).resolve().parents[1] / "CORRECTNESS_r13.json"
     if art.exists():
         rec = json.loads(art.read_text())
         rec = rec.get("parsed", rec)
