@@ -936,3 +936,31 @@ def test_mint_anchor_refuses_unclean_windows():
     other = _bracketed_art({"qX": 0.44}, 0.09, canary=0.30, mt=0.126)
     minted, msgs = bench_compare.mint_anchor([good, other, good])
     assert minted is None and any("disagree on the query set" in m for m in msgs)
+
+
+def test_archived_r14_selfpair_gates_clean_and_ledger_does_not_false_fire():
+    """The r14 same-code calibration pair (two clean admitted sf0.1
+    windows on final r14 code, totals 4.909s/4.596s, flat corroborated
+    canaries): both directions gate clean, and emb_cosine_topk — the
+    standing JIT-lottery row — lands in the pairwise WATCH band in one
+    direction (0.387s -> 0.482s, ~1.3x norm) while BOTH windows'
+    anchor-relative watch_ledgers are empty. That is the exact
+    discrimination the slow-creep ledger is built on: pairwise band
+    membership alone (lottery) does not escalate; only band membership
+    on top of a prior-round anchor-relative flag (creep) does."""
+    fx = Path(__file__).parent / "fixtures"
+    a = bench_compare.load(str(fx / "bench_r14_selfpair_a.json"))
+    b = bench_compare.load(str(fx / "bench_r14_selfpair_b.json"))
+    assert a.get("watch_ledger") == [] and b.get("watch_ledger") == []
+    for old, new in ((a, b), (b, a)):
+        _, worse, errors, _ = bench_compare.compare(old, new, threshold=1.25)
+        assert not errors and not worse
+    # the lottery row sits in the band a->b but must stay WATCH (empty
+    # prior ledger => no escalation)
+    _, worse, _, watch = bench_compare.compare(a, b, threshold=1.25)
+    assert "emb_cosine_topk" in watch and not worse
+    # counterfactual: had the prior artifact's ledger flagged it, the
+    # same pair WOULD gate — the creep path is live on real artifacts
+    a_flagged = dict(a, watch_ledger=["emb_cosine_topk"])
+    _, worse, _, watch = bench_compare.compare(a_flagged, b, threshold=1.25)
+    assert worse == ["emb_cosine_topk"] and not watch
