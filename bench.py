@@ -272,10 +272,15 @@ def split_headline(out: dict) -> tuple[dict, dict]:
     if size(headline) > budget:
         # minimal gate-essential headline; everything else is in the
         # detail sidecar. ``queries`` stays (the gate needs per-query
-        # walls); honesty flags stay so a broken run still says so.
+        # walls); honesty flags stay so a broken run still says so;
+        # ``watch_ledger`` stays (r14 ADVICE: dropping it silently
+        # disables the next round's cross-round slow-creep check —
+        # compare() treats a missing ledger as pre-r14 — and it is a
+        # short bounded list of query names, same scale as ``queries``).
         minimal = (
             "metric", "value", "unit", "queries", "sf",
             "load_contaminated", "partial", "n_failed",
+            "watch_ledger",
         )
         headline = {k: headline[k] for k in minimal if k in headline}
         trimmed.append("non_gate_fields")

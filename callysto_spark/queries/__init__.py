@@ -94,73 +94,68 @@ def load_all() -> dict[str, Query]:
     SimHash, ivf_assign). r13 promoted all 37 rows whose newest green
     record was r11 (streaming/serde, events windows, grouping-sets/
     cube/rollup/pivot, joins/set-ops, string/null/array/map,
-    fingerprint/winnowing, q5/q6). r14 (THIS round, per the round-13
-    VERDICT item 1) promotes ALL 37 rows whose newest green record is
-    r12 — the r12 window (CORRECTNESS_r12.json) minus the 13-slot
-    kept head: the TPC-H tail (q2/q4/q7-q15/q17-q19/q21/q22), the
-    scalar-subquery/setop/argmax/window-frame/histogram family, the
-    text-analysis rows (lang/quality/BPE/stratified-sample), the
-    near-dup pair/survivor rows, BLAS ANN, MinHash/LSH, SimHash, and
-    ivf_assign. The kept 13-slot head is unchanged (6 LLM-ops +
-    7 bench-headline rows) — every bench row stays freshly certified
-    alongside the anchor it feeds. No registry row's semantics change
-    in r14 (registry frozen at 87).
+    fingerprint/winnowing, q5/q6). r14 promoted all 37 rows whose
+    newest green record was r12 (TPC-H tail, scalar-subquery/setop/
+    argmax/window-frame/histogram family, text-analysis, near-dup
+    pair/survivor, BLAS ANN, MinHash/LSH, SimHash, ivf_assign) —
+    but its hand-maintained 7-row watch list silently dropped
+    q5_supplier_volume (a bench=True row that the r14 promoted list
+    did not cover), the r14 ADVICE high finding. r15 (THIS round)
+    promotes ALL 37 rows whose newest green record is r13 — the r13
+    window (CORRECTNESS_r13.json) minus the 13-slot kept head:
+    streaming/serde, events windows, grouping-sets/cube/rollup/
+    pivot, joins/set-ops, string/null/array/map funcs, fingerprint/
+    winnowing, and q5/q6 — and the watch list is now DERIVED
+    (bench=True rows minus those already in promoted/llm_kept), so
+    the bench-coverage invariant is mechanical: every one of the 12
+    bench.py headline rows is inside the driver's first-50 sample
+    every round, enforced by a ValueError guard below and pinned by
+    ``tests/test_oracle.py::test_all_bench_rows_in_sampled_window``.
+    No registry row's semantics change in r15 (registry frozen at
+    87).
     """
     from callysto_spark.queries import llm_ops, tpch2, tpch3, tpch4, events, arrays, messages, tpch  # noqa: F401
 
     promoted = [
-        # the 37 rows whose newest green is r12 (the r12 window minus
+        # the 37 rows whose newest green is r13 (the r13 window minus
         # the 13 rows kept in the head below)
-        "doc_ngram_jaccard_pairs",
-        "doc_near_dup_survivor_stats",
-        "q2_cheapest_supplier",
-        "q4_priority_with_discounted_lines",
-        "q7_bilateral_volume",
-        "q8_market_share",
-        "q9_profit_by_nation_year",
-        "q10_returned_items",
-        "q11_important_parts",
-        "q12_priority_by_bracket",
-        "q13_customer_order_distribution",
-        "q14_promo_share",
-        "q15_top_supplier",
-        "q17_small_quantity_revenue",
-        "q18_large_orders",
-        "q19_bracket_revenue",
-        "q21_waiting_suppliers",
-        "q22_idle_rich_customers",
-        "scalar_subquery_vs_max",
-        "setop_all_variants",
-        "argmax_order_per_nation",
-        "customer_balance_distribution",
-        "orders_price_range_frame",
-        "price_quartiles_by_segment",
-        "shipping_delay_histogram",
-        "suppliers_many_parts",
-        "emb_label_near_pairs",
-        "doc_bpe_token_stats",
-        "doc_lang_scores",
-        "doc_quality_score",
-        "doc_stratified_sample",
-        "emb_ivf_assign_blas",
-        "emb_cosine_topk_blas",
-        "doc_minhash_lsh_pairs",
-        "doc_lsh_verified_near_dups",
-        "doc_simhash",
-        "emb_ivf_assign",
-    ]
-    # The 7 bench-headline rows not covered by promoted/llm_kept: all
-    # 12 bench=True queries stay in every driver window so each
-    # round's hash certification covers exactly what the bench anchor
-    # measures.
-    watch = [
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "part_type_topk",
-        "supplier_daily_running",
-        "events_asof_purchase_click",
-        "events_sessionize",
-        "emb_cosine_topk",
+        "q5_supplier_volume",
+        "q6_forecast_revenue",
+        "approx_distinct_parts",
+        "avro_roundtrip_stats",
+        "case_bucket_orders",
+        "cube_status_priority",
+        "distinct_counts_by_flag",
+        "doc_fingerprint_groups",
+        "doc_winnow_fingerprints",
+        "embedding_array_stats",
+        "events_changelog_materialize",
+        "events_dedup_latest",
+        "events_hourly_tumbling",
+        "events_interval_join_clicks",
+        "events_json_kv",
+        "events_sliding_1h_30m",
+        "events_type_stats",
+        "events_user_salted_counts",
+        "events_value_quantile_sketch",
+        "full_outer_nation_activity",
+        "grouping_sets_order_stats",
+        "left_join_customer_orders",
+        "null_handling_funcs",
+        "order_month_stats",
+        "pivot_linestatus",
+        "raw_message_decode_stats",
+        "rollup_revenue",
+        "semi_anti_customers",
+        "setop_customers_96_97",
+        "string_funcs_parts",
+        "string_normalize_parts",
+        "token_positions",
+        "token_top20",
+        "top3_orders_per_customer",
+        "user_event_type_sets",
+        "user_spend_deciles",
+        "user_type_count_map",
     ]
     # North-star LLM-ops rows kept in the always-sampled head.
     llm_kept = [
@@ -171,24 +166,43 @@ def load_all() -> dict[str, Query]:
         "doc_pipeline_clean_corpus",
         "emb_ivf_topk",
     ]
+    # Bench-headline rows not already covered by promoted/llm_kept —
+    # DERIVED, not hand-maintained (the r14 ADVICE high finding: a
+    # prose-maintained 7-row list silently dropped q5_supplier_volume
+    # when the rotation stopped covering it). All 12 bench=True rows
+    # must sit in every driver window so each round's hash
+    # certification covers exactly what the bench anchor measures.
+    covered = set(promoted) | set(llm_kept)
+    watch = [n for n, q in REGISTRY.items() if q.bench and n not in covered]
     # ValueError, not assert: these guard the driver-sample window and
     # must survive python -O (a stripped assert would silently ship a
     # mis-sized window and drop queries out of the first-50 sample)
-    if len(promoted) != 37 or len(watch) != 7 or len(llm_kept) != 6:
+    if len(promoted) != 37 or len(llm_kept) != 6:
         raise ValueError(
-            f"window is 37+7+6; got {len(promoted)} promoted + "
-            f"{len(watch)} watch + {len(llm_kept)} llm"
+            f"window is 37 promoted + 6 llm + derived watch; got "
+            f"{len(promoted)} promoted + {len(llm_kept)} llm"
         )
-    # r15 promotion queue: the 37 rows whose newest green record is
-    # r13 (the r13 window minus the 13 rows kept above — i.e. the r13
-    # promoted-37 list recorded in CORRECTNESS_r13.json, none of which
+    # r16 promotion queue: the 37 rows whose newest green record is
+    # r14 (the r14 window minus the 13 rows kept above — i.e. the r14
+    # promoted-37 list recorded in CORRECTNESS_r14.json, none of which
     # overlap this round's kept head).
     head = promoted + watch + llm_kept
     missing = [n for n in head if n not in REGISTRY]
     if missing:
         raise ValueError(f"promoted queries not in registry: {missing}")
-    if len(set(head)) != 50:
-        raise ValueError(f"head window must be 50 distinct names; got {len(set(head))}")
+    if len(set(head)) != len(head):
+        raise ValueError("head window contains duplicate names")
+    if len(head) != 50:
+        raise ValueError(
+            f"head window must be exactly 50 names (the driver's sample "
+            f"size); got {len(head)} — adjust the promoted list so "
+            f"promoted+derived_watch+llm_kept lands on 50"
+        )
+    # The mechanical bench-coverage invariant (r14 ADVICE item 1).
+    head_set = set(head)
+    bench_out = [n for n, q in REGISTRY.items() if q.bench and n not in head_set]
+    if bench_out:
+        raise ValueError(f"bench=True rows outside the first-50 window: {bench_out}")
     names = list(REGISTRY)
     order = head + [n for n in names if n not in head]
     reordered = {n: REGISTRY[n] for n in order}

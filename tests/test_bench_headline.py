@@ -94,6 +94,7 @@ def representative_record() -> dict:
             {"mbps": 466.2, "bracket_s": 0.09, "io_probe_mbps": 899,
              "batch_ratio": 1.2, "reason": "norm_outlier"},
         ],
+        "watch_ledger": ["q1_pricing_summary", "emb_ivf_topk"],
     }
 
 
@@ -213,6 +214,11 @@ def test_last_resort_minimal_headline_is_unconditionally_bounded():
     assert "non_gate_fields" in headline["headline_trimmed"]
     parsed = json.loads(line)
     assert parsed["queries"] and parsed["value"] and parsed["metric"]
+    # the cross-round slow-creep ledger survives the last resort (r14
+    # ADVICE: a trimmed-to-minimal artifact without watch_ledger reads
+    # as pre-r14 to compare(), silently breaking the creep chain for
+    # the following round)
+    assert parsed["watch_ledger"] == ["q1_pricing_summary", "emb_ivf_topk"]
 
 
 def test_emit_writes_sidecar_and_returns_bounded_line(tmp_path, monkeypatch):

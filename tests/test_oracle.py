@@ -172,13 +172,23 @@ def test_load_all_idempotent_and_windowed():
     assert first == second, "load_all must be order-stable across calls"
     assert len(first) == len(set(first)) == 87
     head = first[:50]
-    # rows deferred by the r14 rotation: every one is r13-green (the
+    # rows deferred by the r15 rotation: every one is r14-green (the
     # newest possible certification), making room for the 37 rows whose
-    # newest green was r12
+    # newest green was r13
     deferred = {
-        "doc_fingerprint_groups",
-        "doc_winnow_fingerprints",
-        "embedding_array_stats",
+        "doc_ngram_jaccard_pairs",
+        "doc_near_dup_survivor_stats",
+        "emb_label_near_pairs",
+        "doc_bpe_token_stats",
+        "doc_lang_scores",
+        "doc_quality_score",
+        "doc_stratified_sample",
+        "emb_ivf_assign_blas",
+        "emb_cosine_topk_blas",
+        "doc_minhash_lsh_pairs",
+        "doc_lsh_verified_near_dups",
+        "doc_simhash",
+        "emb_ivf_assign",
     }
     missing = [
         n
@@ -188,7 +198,7 @@ def test_load_all_idempotent_and_windowed():
     assert not missing, f"north-star queries fell out of the sampled window: {missing}"
     # the freshness justification for the deferral, checked against the
     # actual newest driver artifact when present
-    art = Path(__file__).resolve().parents[1] / "CORRECTNESS_r13.json"
+    art = Path(__file__).resolve().parents[1] / "CORRECTNESS_r14.json"
     if art.exists():
         rec = json.loads(art.read_text())
         rec = rec.get("parsed", rec)
@@ -198,6 +208,28 @@ def test_load_all_idempotent_and_windowed():
         assert not not_fresh, (
             f"deferred rows must be green in the newest driver artifact: {not_fresh}"
         )
+
+
+def test_all_bench_rows_in_sampled_window():
+    """Every bench=True registry row must sit inside the driver's
+    first-50 correctness sample, whatever the round's rotation — the
+    bench anchor's headline queries must be hash-certified in the SAME
+    round as the anchor they feed (r14 ADVICE high finding: the
+    hand-maintained r14 watch list silently dropped q5_supplier_volume
+    out of the window; the watch list is now derived from the bench
+    flags and load_all() raises if any bench row escapes, but this test
+    is the independent pin — it would fail even if the ValueError guard
+    in load_all() were edited away)."""
+    from callysto_spark.queries import load_all
+
+    reg = load_all()
+    names = list(reg)
+    head = set(names[:50])
+    out = [n for n, q in reg.items() if q.bench and n not in head]
+    assert not out, f"bench=True rows outside the driver's first-50 sample: {out}"
+    # the bench headline set itself is 12 rows — a shrink or growth is
+    # a deliberate act that must update BASELINE bookkeeping, not drift
+    assert sum(1 for q in reg.values() if q.bench) == 12
 
 
 def test_raw_message_oracle_agrees_on_null_ts_and_negative_user_id(spark, tmp_path):
