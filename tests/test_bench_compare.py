@@ -964,3 +964,42 @@ def test_archived_r14_selfpair_gates_clean_and_ledger_does_not_false_fire():
     a_flagged = dict(a, watch_ledger=["emb_cosine_topk"])
     _, worse, _, watch = bench_compare.compare(a_flagged, b, threshold=1.25)
     assert worse == ["emb_cosine_topk"] and not watch
+
+
+def test_committed_r15_ledger_pins_next_round_creep_decision():
+    """The committed r15 sf0.1 self artifact stamped a NON-empty
+    ledger for the first time: q5_supplier_volume read 0.480s vs the
+    anchor's 0.337s (1.36x norm — inside the 1.79x same-code JIT
+    envelope; sibling windows that round read 0.369s/0.473s). This
+    test pins the exact decision the r16 pair must make against that
+    live artifact: a window where q5 recovers passes un-escalated
+    (lottery dissolves), a window where q5 sits in the band again
+    gates as slow-creep. The sf1 artifact's ledger is pinned empty."""
+    root = Path(__file__).resolve().parents[1]
+    art_path = root / "BENCH_DETAIL_self_r15.json"
+    if not art_path.exists():
+        pytest.skip("r15 self artifact not present in this checkout")
+    r15 = bench_compare.load(str(art_path))
+    assert r15.get("watch_ledger") == ["q5_supplier_volume"]
+    sf1 = root / "BENCH_SF1_SELF_r15_DETAIL.json"
+    if sf1.exists():
+        assert bench_compare.load(str(sf1)).get("watch_ledger") == []
+
+    def future_window(q5_s: float) -> dict:
+        art = {k: v for k, v in r15.items() if k != "watch_ledger"}
+        art["queries"] = dict(r15["queries"], q5_supplier_volume=q5_s)
+        art["value"] = round(sum(art["queries"].values()), 3)
+        return art
+
+    # q5 recovers toward the anchor level -> no escalation, no worse
+    _, worse, errors, watch = bench_compare.compare(
+        r15, future_window(0.360), threshold=1.25
+    )
+    assert not errors and not worse
+    # q5 in the band again on a flat total -> the ledger escalates it
+    lines, worse, errors, watch = bench_compare.compare(
+        r15, future_window(0.640), threshold=1.25
+    )
+    assert not errors
+    assert "q5_supplier_volume" in worse and "q5_supplier_volume" not in watch
+    assert any(ln.startswith("slow-creep: q5_supplier_volume") for ln in lines)
