@@ -19,11 +19,16 @@ caught was fixed by pinning ONE semantics on both sides:
 - csv-of-set renderings: no non-null inputs → NULL, not ''.
 
 The fuzz mask is deterministic (per-column offset, every 10th row), so
-failures reproduce exactly.
+failures reproduce exactly. Override the density with
+``SPARK_GRAFT_NULL_FUZZ_DENSITY`` (NULL every Nth row; ``1`` = every
+nullable column entirely NULL) — the r15 deep sweep ran all targets at
+densities 5/3/2/1 and every one held parity, so the committed default
+stays 10 and the knob exists to re-run that sweep cheaply.
 """
 
 from __future__ import annotations
 
+import os
 import zlib
 
 import pytest
@@ -35,6 +40,9 @@ TARGETS = sorted(
     n for n in REGISTRY
     if n.startswith(("events_", "user_", "raw_message", "avro_", "doc_"))
 )
+
+
+DENSITY = int(os.environ.get("SPARK_GRAFT_NULL_FUZZ_DENSITY", "10"))
 
 
 def _fuzz_table(src: str, dst: str, keep: tuple[str, ...] = ()) -> None:
@@ -50,11 +58,14 @@ def _fuzz_table(src: str, dst: str, keep: tuple[str, ...] = ()) -> None:
         if name in keep:
             cols[name] = col.combine_chunks()
             continue
+        if DENSITY == 1:
+            cols[name] = pa.nulls(n, col.type)
+            continue
         # crc32, not hash(): str hash is salted per interpreter run, which
         # would silently change the NULL pattern between runs and break
         # the "failures reproduce exactly" guarantee
-        off = zlib.crc32(name.encode()) % 10
-        mask = pa.array([(i + off) % 10 == 0 for i in range(n)])
+        off = zlib.crc32(name.encode()) % DENSITY
+        mask = pa.array([(i + off) % DENSITY == 0 for i in range(n)])
         cols[name] = pc.if_else(mask, pa.nulls(n, col.type), col.combine_chunks())
     pq.write_table(pa.table(cols), dst)
 
