@@ -356,15 +356,25 @@ def setop_customers_96_97(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "semi_anti_customers",
     oracle="""
-SELECT 'has_urgent' AS tag, c_custkey FROM customer
-WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT 'has_urgent' AS tag, c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c.c_custkey AND o_orderpriority = '1-URGENT')
 UNION ALL
-SELECT 'no_orders' AS tag, c_custkey FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+SELECT 'no_orders' AS tag, c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
 """,
 )
 def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi (EXISTS) and left-anti (NOT EXISTS) joins."""
+    """Left-semi (EXISTS) and left-anti (NOT EXISTS) joins.
+
+    The oracle is pinned to EXISTS / NOT EXISTS — NOT the superficially
+    equivalent IN / NOT IN: Spark's left_anti join has NOT-EXISTS
+    semantics (a NULL join key matches nothing, each left row decided
+    independently), while SQL ``NOT IN`` returns UNKNOWN for EVERY row
+    the moment the subquery contains a single NULL, collapsing the
+    no_orders branch to 0 rows. Identical on NULL-free keys, divergent
+    under NULL fuzz — caught by the r15 deep NULL-density sweep
+    (density 1/2: Spark 150 rows vs NOT-IN oracle 0)."""
     t = load(spark, sf_dir, "customer", "orders")
     urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     semi = (

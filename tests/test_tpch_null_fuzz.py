@@ -22,11 +22,21 @@ Divergences this sweep caught, each pinned on both sides:
   decorrelated per-order counts — excluded up front on both engines,
   which is provably the EXISTS semantics.
 
-Mask is crc32-deterministic; failures reproduce exactly.
+Mask is crc32-deterministic; failures reproduce exactly. Override the
+density with ``SPARK_GRAFT_NULL_FUZZ_DENSITY`` (NULL every Nth non-key
+row; ``1`` = every non-key column entirely NULL). The r15 deep sweep
+at densities 10/4/2/1 caught one latent oracle-semantics mismatch the
+committed 5% mask never exposed: semi_anti_customers' oracle said
+``NOT IN``, which collapses to 0 rows once the subquery contains a
+single NULL, while Spark's left_anti join has NOT-EXISTS semantics —
+pinned to NOT EXISTS on the oracle side (the declared intent). All
+targets green at every density after the pin; default stays 20 (5%)
+and the knob replays the sweep.
 """
 
 from __future__ import annotations
 
+import os
 import shutil
 import zlib
 
@@ -48,6 +58,9 @@ _KEYS = {
 }
 
 
+DENSITY = int(os.environ.get("SPARK_GRAFT_NULL_FUZZ_DENSITY", "20"))
+
+
 def _fuzz_table(src: str, dst: str, keep: tuple[str, ...]) -> None:
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -61,8 +74,11 @@ def _fuzz_table(src: str, dst: str, keep: tuple[str, ...]) -> None:
         if name in keep:
             cols[name] = col.combine_chunks()
             continue
-        off = zlib.crc32(name.encode()) % 20
-        mask = pa.array([(i + off) % 20 == 0 for i in range(n)])  # 5%
+        if DENSITY == 1:
+            cols[name] = pa.nulls(n, col.type)
+            continue
+        off = zlib.crc32(name.encode()) % DENSITY
+        mask = pa.array([(i + off) % DENSITY == 0 for i in range(n)])
         cols[name] = pc.if_else(mask, pa.nulls(n, col.type), col.combine_chunks())
     pq.write_table(pa.table(cols), dst)
 
