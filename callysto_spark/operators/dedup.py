@@ -10,6 +10,16 @@ dedup surface — its users would hand-roll this in an agent closure
 (reference `callysto/src/types/agent.rs:120-143`); here it is
 first-class, benchmarked, and skew-probed (SCALING.md "Stop-shingle
 probes").
+
+Input contract: ``id_col`` is UNIQUE per row. Exact dedup is the
+operator that ESTABLISHES that invariant for a raw corpus (its survivor
+selection is total-ordered, so exact-duplicate ids collapse
+deterministically — the composed clean-corpus pipeline runs it first
+and is therefore duplicate-input-safe end-to-end); the similarity
+primitives downstream (n-gram Jaccard, MinHash-LSH, SimHash) ASSUME it:
+feeding them rows that share an id multiplies candidate pairs and
+shifts df/bucket-frequency caps in engine-specific ways (measured by
+the r15 duplicate-row sweep — see tests/test_dup_fuzz.py).
 """
 
 from __future__ import annotations

@@ -6,6 +6,13 @@ quantizer cell, an LSH bucket, or any partition column). Dot products
 run as JVM higher-order functions (zip_with + aggregate): sequential
 fold ⇒ bit-deterministic, and fully codegen'd — no Python, no Arrow
 crossing.
+
+Input contract: the item id column is UNIQUE per row. Brute-force
+cosine top-k is duplicate-input-safe (duplicated rows score and
+tie-break identically on both engines), but the IVF index is not: its
+k-means training sample and cell tie-breaks shift with row
+multiplicity in engine-specific ways (r15 duplicate-row sweep) — dedup
+ids upstream (operators.dedup.exact) before building an index.
 """
 
 from __future__ import annotations
