@@ -166,6 +166,19 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     Because the whole pipeline is narrow (no shuffle, no window), it is
     also STREAMING-LEGAL: the same operator runs unchanged on a
     readStream DataFrame (see tests/test_streaming.py).
+
+    r15 plan note: a downstream ``explode(gs)`` makes
+    InferFiltersFromGenerate add ``size(gs) > 0``, which pushdown
+    inlines below this project — the plan then SHOWS the shingle
+    expression twice (nodes (7)/(8) of
+    plans/r15/doc_ngram_jaccard_capped_before.txt). Measured (r15,
+    interleaved same-session A/B on the registry capped-Jaccard query):
+    the duplication is NOT paid at runtime — the HOF expression makes
+    both operators run interpreted with runtime subexpression
+    elimination, and a third Generate barrier here (which would pin the
+    single evaluation in-plan) measured within noise to slightly SLOWER
+    (it materializes the full shingle array at the new operator
+    boundary). Left in the measured-fastest original form.
     """
     return staged_tokens(df, id_col, text_col).select(
         "doc", word_shingles(F.col("__toks"), n).alias("gs")
@@ -363,8 +376,14 @@ def verify_candidate_pairs(
         .unionByName(cand.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
+    # shuffle_hash hint (r15): without it this semi join plans as
+    # SortMergeJoin and SORTS the corpus side by id (the same pathology
+    # the capped-Jaccard df-prefilter hit — see ngram_jaccard_pairs);
+    # the build side is the bounded touched-doc id set.
     narrowed = df.join(
-        touched.withColumnRenamed("doc", id_col), id_col, "left_semi"
+        touched.withColumnRenamed("doc", id_col).hint("shuffle_hash"),
+        id_col,
+        "left_semi",
     )
     arr = transient_persist(shingle_arrays(narrowed, id_col, text_col, n))
     a = arr.select(F.col("doc").alias("doc_a"), F.col("gs").alias("gs_a"))

@@ -138,13 +138,32 @@ def _score_broadcast(c: DataFrame, q: DataFrame, round_ndigits: int | None, on: 
     already valid_norm-filtered — cleanliness stays at the call sites,
     which differ (the stored path's q is built clean driver-side).
     Single-sourced so the rounding/tie-break/NULL contract cannot drift
-    between serve paths (r7 review deferral, closed r8)."""
+    between serve paths (r7 review deferral, closed r8).
+
+    The scored similarity is materialized through a Generate barrier
+    (util.barrier_select, r15 optimization): the ``isNotNull`` guard
+    otherwise pushes into the JOIN CONDITION with the whole rounded
+    dot-product fold inlined — the 64-element fold evaluated up to 4×
+    in the join condition and 4× again in the projection per candidate
+    pair (plans/r15/emb_ivf_topk_before.txt nodes (10)/(11))."""
+    from callysto_spark.operators.util import barrier_select
+
     joined = c.crossJoin(F.broadcast(q)) if on is None else c.join(F.broadcast(q), on)
+    # the barrier materializes the RAW quotient; rnd() is applied to the
+    # materialized attribute ABOVE it — rnd's range-guard CASE references
+    # its argument 4×, which on the raw expression would mean 4 dot folds
+    # even inside a single projection
     return (
-        joined.filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine_sim",
-            _maybe_round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_ndigits),
+        barrier_select(
+            joined.filter(F.col("neighbor_id") != F.col("query_id")),
+            "query_id",
+            "neighbor_id",
+            __raw_sim=dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            _maybe_round(F.col("__raw_sim"), round_ndigits).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim").isNotNull())
         .select("query_id", "neighbor_id", "cosine_sim")
@@ -275,6 +294,16 @@ def cosine_topk(
             score, "query_id long, neighbor_id long, cosine_sim double"
         )
     else:
+        # NO barrier on the hoisted norms (r15 measured decision): the
+        # plan shows valid_norm's conjuncts inlining the fold below the
+        # project, but higher-order folds are CodegenFallback — the
+        # surrounding Project/Filter run interpreted WITH runtime
+        # subexpression elimination, so the visible duplication is
+        # mostly not paid, while a Generate barrier here measurably
+        # SLOWED the composed query (+17% interleaved A/B: the barrier
+        # splits the stream-side pipeline feeding the join). The
+        # per-pair scoring barrier lives in _score_broadcast, where it
+        # measured as a win.
         q = (
             corpus.filter(F.col(id_col).isin(list(query_ids)))
             .select(
@@ -428,8 +457,17 @@ def ivf_assign(
     if not validate:
         # caller guarantees a downstream filter excludes dirty vectors
         # (ivf_topk's valid_norm on the scoring side) — skip the
-        # validity stage and its Generate barrier entirely
-        return narrow.select(F.col(id_col), F.col(vec_col), best.getField("cid").alias("cell"))
+        # validity FILTER, but still materialize the cell through the
+        # explode(array(...)) barrier (r15): consumed as an equi-join
+        # key, the inferred isnotnull(cell) otherwise pushes below this
+        # project with the whole k×dim argmin fold inlined — the
+        # assignment computed twice per corpus row
+        # (plans/r15/emb_ivf_topk_before.txt nodes (2)/(4))
+        return narrow.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(F.array(best.getField("cid"))).alias("cell"),
+        )
     # explode(array(...)) Generate barrier: the best struct is consumed
     # TWICE (dist by the filter, cid by the projection) and CollapseProject
     # would otherwise inline the k-fold array_min into both — doubling
@@ -547,7 +585,10 @@ def ivf_topk(
     assigned = ivf_assign(corpus, id_col, vec_col, centroids, validate=False)
     # multi-probe: explode each query into its nprobe nearest cells —
     # query side stays tiny (|queries|·nprobe rows) and broadcasts.
-    # Cosine scoring ⇒ the valid_norm contract on both sides.
+    # Cosine scoring ⇒ the valid_norm contract on both sides. No
+    # barrier on the hoisted norms — see cosine_topk's expr branch for
+    # the measured rationale (the cell assignment DOES ride a barrier,
+    # inside ivf_assign, where it measured −20% interleaved).
     q = (
         corpus.filter(F.col(id_col).isin(list(query_ids)))
         .filter(size_ok(F.col(vec_col), len(centroids[0][1])))
@@ -773,6 +814,8 @@ def cosine_pairs_blocked(
     form: same IEEE operations on the same values, so the ≥ threshold
     boundary and the oracle hash are unaffected.
     """
+    from callysto_spark.operators.util import barrier_select
+
     base = (
         corpus.filter(size_ok(F.col(vec_col), dim))
         .select(
@@ -782,7 +825,9 @@ def cosine_pairs_blocked(
             norm(F.col(vec_col)).alias("__nrm"),
         )
         # cleanliness on the hoisted norm: free, and one NaN/zero vector
-        # can neither crash the block join nor rank NaN pairs
+        # can neither crash the block join nor rank NaN pairs (no
+        # barrier here — see cosine_topk's expr branch for the measured
+        # rationale; the per-pair scoring below does ride one)
         .filter(valid_norm(F.col("__nrm")))
     )
     a = base.select(
@@ -792,9 +837,13 @@ def cosine_pairs_blocked(
         F.col("__id").alias("id_b"), F.col("__v").alias("vb"), "blk", F.col("__nrm").alias("nb")
     )
     return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        barrier_select(
+            a.join(b, "blk").filter(F.col("id_a") < F.col("id_b")),
+            "blk",
+            "id_a",
+            "id_b",
+            cosine_sim=dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("blk", "id_a", "id_b", "cosine_sim")
     )

@@ -128,7 +128,12 @@ def kmv_distinct(
         raise ValueError(
             f"kmv_distinct requires the bounded-range md5_60 hash; got {hash_engine!r}"
         )
-    dh = df.select(*group, string_hash(key, hash_engine).alias("__h")).distinct()
+    from callysto_spark.operators.util import barrier_select
+
+    # __h rides the barrier_select Generate barrier (r15): _bounded_topk's
+    # isNotNull guard otherwise pushes below this project and re-evaluates
+    # the md5+conv hash per row in the filter as well as the projection
+    dh = barrier_select(df, *group, __h=string_hash(key, hash_engine)).distinct()
     topk = _bounded_topk(dh, group, "__h", k)
     kth = F.max("__h")
     est = F.when(F.count(F.lit(1)) < k, F.count(F.lit(1))).otherwise(
@@ -184,7 +189,10 @@ def bottom_k_sample(
     placement in rankings, and a NULL key breaks the row-uniqueness
     contract anyway). Adds column ``__h`` (the sample ranks by it);
     caller drops it."""
-    withh = df.withColumn("__h", string_hash(key, hash_engine))
+    from callysto_spark.operators.util import barrier_select
+
+    # same barrier rationale as kmv_distinct: one hash eval per row
+    withh = barrier_select(df, *df.columns, __h=string_hash(key, hash_engine))
     return _bounded_topk(withh, group, "__h", k, tiebreak=[key.asc()])
 
 

@@ -93,6 +93,42 @@ def release_transient_persists() -> int:
     return released
 
 
+def barrier_select(df: DataFrame, *keep, **named) -> DataFrame:
+    """``df.select(*keep, **named aliased exprs)`` with every named
+    expression materialized through an ``explode(array(struct(...)))``
+    Generate barrier.
+
+    Catalyst pushes a downstream Filter below the Project that defines
+    an aliased expression by SUBSTITUTING the definition into the
+    predicate (PushDownPredicates), and constraint inference multiplies
+    the copies — one per conjunct, plus one per inferred join-key
+    isnotnull. On a projected 64-element ``norm()`` fold guarded by
+    ``valid_norm`` that re-evaluates the whole fold 4 extra times per
+    row, and an IVF cell assignment consumed as a join key re-runs the
+    k×dim argmin once per row in the inferred isnotnull filter
+    (measured in plans/r15/emb_ivf_topk_before.txt: Filter(2) carries
+    4× SQRT(aggregate(...)) + 1× array_min(...) that Project(4) then
+    computes again). Generate is a pushdown barrier — predicates
+    referencing its output cannot move below it — so each named
+    expression is evaluated exactly once per row and every downstream
+    test sees a cheap attribute. The 1-element explode itself is a
+    codegen'd no-op loop; ``size(array(...)) > 0`` inferred for the
+    barrier constant-folds away.
+
+    Results are bit-identical to the plain select: same expressions,
+    same rows, same nullability (``array(struct(...))`` never contains
+    a NULL struct, so the exploded attribute keeps each field's own
+    nullability).
+    """
+    from pyspark.sql import functions as F
+
+    s = F.explode(F.array(F.struct(*[c.alias(k) for k, c in named.items()])))
+    step = df.select(*keep, s.alias("__mat"))
+    return step.select(
+        *keep, *[F.col("__mat").getField(k).alias(k) for k in named]
+    )
+
+
 def ensure_parallelism(df: DataFrame, min_files: int | None = None) -> DataFrame:
     """Repartition when the input is a small file scan.
 

@@ -448,7 +448,10 @@ def doc_near_dup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = comps.filter(F.col("vertex") != F.col("component")).select(
         F.col("vertex").alias("doc_id")
     )
-    survivors = d.join(dropped, "doc_id", "left_anti")
+    # shuffle_hash hint (r15): the anti join otherwise plans as
+    # SortMergeJoin and sorts the whole corpus by doc_id; the build
+    # side (dropped non-survivors) is the bounded near-dup set
+    survivors = d.join(dropped.hint("shuffle_hash"), "doc_id", "left_anti")
     return survivors.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
@@ -980,16 +983,36 @@ def doc_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter → fingerprint dedup → per-language corpus stats. One narrow
     scoring pass, one dedup shuffle, one agg — the end-to-end shape of a
     100 TB cleaning job, built from the individually-verified operators."""
+    from callysto_spark.operators.util import barrier_select
+
     d = load(spark, sf_dir, "documents")["documents"]
-    n_tokens = TX.token_count(F.col("text"))
-    scored = d.select(
+    # The two FILTERED expressions ride the barrier_select Generate
+    # barrier (r15): the quality/length filter otherwise pushes below
+    # the scoring project with the defining expressions inlined per
+    # conjunct — the token-count regex scan ran 3× in the filter + 1×
+    # in the projection per row
+    # (plans/r15/doc_pipeline_clean_corpus_before.txt nodes (2)/(3)).
+    # The sha256 fingerprint deliberately stays OUT of the barrier and
+    # is projected after the filter: survivors-only, not every row.
+    scored = barrier_select(
+        d.select("doc_id", "lang", "text"),
         "doc_id",
         "lang",
-        n_tokens.alias("n_tokens"),
-        TX.quality_score(F.col("text")).alias("quality"),
-        TX.fingerprint(F.col("text")).alias("fingerprint"),
+        "text",
+        n_tokens=TX.token_count(F.col("text")),
+        quality=TX.quality_score(F.col("text")),
     )
-    filtered = scored.filter((F.col("quality") >= 0.7) & (F.col("n_tokens") >= 20))
+    filtered = (
+        scored.filter((F.col("quality") >= 0.7) & (F.col("n_tokens") >= 20))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            # quality dropped: consumed only by the filter; carrying it
+            # through the dedup shuffle would be dead bytes (guide §2.3)
+            TX.fingerprint(F.col("text")).alias("fingerprint"),
+        )
+    )
     deduped = dedup_exact(filtered, ["fingerprint"], [F.col("doc_id")])
     return deduped.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
