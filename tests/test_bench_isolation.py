@@ -29,7 +29,9 @@ def test_bench_survives_single_query_failure(tmp_path):
         [sys.executable, "bench.py"],
         capture_output=True,
         text=True,
-        timeout=420,
+        # a clean run takes ~5 min on a quiet host; leave headroom for a
+        # loaded one (the r15 full-suite run hit 420s and flaked)
+        timeout=900,
         env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
@@ -89,7 +91,7 @@ def test_bench_flags_load_contaminated_run(tmp_path):
         [sys.executable, "bench.py"],
         capture_output=True,
         text=True,
-        timeout=420,
+        timeout=900,  # see test_bench_survives_single_query_failure
         env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
