@@ -66,34 +66,30 @@ def connected_components(
         return _connected_components_star(edges, src, dst, max_iterations)
     if algorithm != "label":
         raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
+    # r15 optimization (guide §2.4 "share one exchange" / §2.3 "aggregate
+    # before you shuffle"): the persisted edge list is keyed AND sorted
+    # by the per-round join key `b` once at setup, so every iteration's
+    # sym.b == labels.v sort-merge join reuses the cached partitioning
+    # and ordering instead of re-shuffling + re-sorting the edge list
+    # (the big side at scale) each round. The explicit repartition
+    # replaces distinct()'s implicit (a,b) exchange rather than adding
+    # one — hashpartitioning(b) co-locates equal (a,b) rows, so the
+    # dedup HashAggregate rides the same exchange.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .repartition("b")
         .distinct()
+        .sortWithinPartitions("b")
         .persist()
     )
     labels = sym.select(F.col("a").alias("v")).distinct().withColumn("label", F.col("v"))
     prev: DataFrame | None = None  # previous round's checkpointed labels
     changed = 0
     for _ in range(max_iterations):
-        # Each vertex adopts min(own label, neighbors' labels). The change
-        # flag is computed inline (labels only ever decrease), so the
-        # convergence probe is a cheap scan of the just-materialized cache
-        # instead of a second old-vs-new self-join.
-        neighbor_min = (
-            sym.join(labels, sym["b"] == labels["v"])
-            .groupBy(F.col("a").alias("nv"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels["v"] == F.col("nv"), "left")
-            .select(
-                "v",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
-                (F.col("nlabel").isNotNull() & (F.col("nlabel") < F.col("label"))).alias("chg"),
-            )
-            .localCheckpoint(eager=True)  # materialize + truncate lineage
-        )
+        new_labels = _propagate_round(sym, labels).localCheckpoint(
+            eager=True
+        )  # materialize + truncate lineage
         changed = new_labels.where("chg").limit(1).count()
         if prev is not None:
             # new_labels' lineage was truncated, so releasing the previous
@@ -129,6 +125,40 @@ def connected_components(
             stacklevel=2,
         )
     return labels.select(F.col("v").alias("vertex"), F.col("label").alias("component"))
+
+
+def _propagate_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation round: every vertex adopts min(own
+    label, neighbors' labels). Returns (v, label, chg) pre-checkpoint.
+
+    Computed as ONE aggregation over (neighbor candidates ∪ own row)
+    instead of the classic groupBy-then-left-join-back merge (r15: that
+    shape cost a second shuffle of the labels table plus a whole
+    SortMergeJoin per round — labels return from localCheckpoint with
+    UnknownPartitioning, so every labels reference re-shuffles). The own
+    row is tagged so the same aggregate recovers the previous label, and
+    the change flag (labels only ever decrease) falls out as
+    new < previous — the convergence probe stays a cheap scan of the
+    just-materialized cache. With ``sym`` persisted hash-partitioned and
+    sorted by ``b`` (see connected_components), the round's plan is one
+    join with no exchange or sort on the edge-list side plus the single
+    groupBy exchange that IS the propagation step."""
+    cand = sym.join(labels, sym["b"] == labels["v"]).select(
+        F.col("a").alias("v"), "label", F.lit(False).alias("own")
+    )
+    return (
+        cand.unionByName(labels.withColumn("own", F.lit(True)))
+        .groupBy("v")
+        .agg(
+            F.min("label").alias("new_label"),
+            F.min(F.when(F.col("own"), F.col("label"))).alias("prev_label"),
+        )
+        .select(
+            "v",
+            F.col("new_label").alias("label"),
+            (F.col("new_label") < F.col("prev_label")).alias("chg"),
+        )
+    )
 
 
 def _large_star(e: DataFrame) -> DataFrame:

@@ -932,7 +932,14 @@ def emb_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("n_expr"),
         F.col("cosine_sim").alias("s_expr"),
     )
-    j = blas.join(expr, ["query_id", "rank"], "full_outer")
+    # shuffle_hash hint (r15): both parity sides are bounded by k·|Q|
+    # (≤50 rows here, ≤k·|Q| at any scale), but full_outer cannot
+    # broadcast and otherwise plans as SortMergeJoin, sorting both tiny
+    # sides. SHJ drops the two sorts (guide §3.1). The IVF parity row
+    # (emb_ivf_assign_blas) deliberately KEEPS SortMergeJoin: its parity
+    # sides are corpus-sized (one row per vector), where SMJ's graceful
+    # spill is the safe choice for an unbounded build side.
+    j = blas.join(expr.hint("shuffle_hash"), ["query_id", "rank"], "full_outer")
     bad = (~F.col("neighbor_id").eqNullSafe(F.col("n_expr"))) | (
         F.abs(F.col("cosine_sim") - F.col("s_expr")) > 1e-6
     )

@@ -121,6 +121,65 @@ def test_connected_components_bounded_lineage_and_convergence_warning(spark):
     ), "non-convergent exit must raise a RuntimeWarning"
 
 
+def test_propagate_round_single_join_reuses_edge_cache(spark):
+    """r15 optimization pin (operators/graph.py _propagate_round): one
+    propagation round is ONE join + ONE groupBy exchange, and the
+    persisted edge list (hash-partitioned and sorted by b at setup) is
+    consumed with no per-round Exchange or Sort on its side — only the
+    checkpointed labels side (UnknownPartitioning after localCheckpoint)
+    re-shuffles. Broadcast is disabled for the plan pin so the scale
+    shape (SortMergeJoin) is what is asserted; the in-cache setup
+    exchange/sort are excluded (one-time, not per-round)."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from callysto_spark.operators.graph import _propagate_round
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], ["a", "b"])
+    sym = (
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition("b")
+        .distinct()
+        .sortWithinPartitions("b")
+        .persist()
+    )
+    try:
+        sym.count()  # materialize the cache (its internal sort/exchange are setup, not per-round)
+        labels = (
+            sym.select(F.col("a").alias("v"))
+            .distinct()
+            .withColumn("label", F.col("v"))
+            .localCheckpoint(eager=True)  # steady-state labels: UnknownPartitioning
+        )
+        # semantics on the chain 0-1-2: min(own, neighbor labels) + chg flag
+        got = {r["v"]: (r["label"], r["chg"]) for r in _propagate_round(sym, labels).collect()}
+        assert got == {0: (0, False), 1: (0, True), 2: (1, True)}
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                _propagate_round(sym, labels).explain("formatted")
+            text = buf.getvalue()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        nums = {
+            int(m.group(1)): m.group(2) for m in re.finditer(r"^\((\d+)\) (\w+)", text, re.M)
+        }
+        # exclude the cached-plan block: InMemoryRelation .. its AdaptiveSparkPlan
+        start = next(n for n, op in nums.items() if op == "InMemoryRelation")
+        end = next(n for n in sorted(nums) if n > start and nums[n] == "AdaptiveSparkPlan")
+        outside = [op for n, op in sorted(nums.items()) if not start <= n <= end]
+        joins = [op for op in outside if op.endswith("Join")]
+        assert joins == ["SortMergeJoin"], f"expected one SMJ per round, got {joins}"
+        assert outside.count("Exchange") == 2, f"per-round exchanges: {outside}"
+        assert outside.count("Sort") == 1, f"edge-list side must not re-sort: {outside}"
+    finally:
+        sym.unpersist()
+
+
 def test_connected_components_star_hand_graph(spark):
     """Star contraction must produce the identical (vertex → min-id)
     labeling as label propagation on the same hand graph."""
