@@ -58,8 +58,14 @@ def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "customer", "supplier")
     cn = t["customer"].groupBy(F.col("c_nationkey").alias("nk")).agg(F.count("*").alias("n_cust"))
     sn = t["supplier"].groupBy(F.col("s_nationkey").alias("nk")).agg(F.count("*").alias("n_supp"))
+    # shuffle_hash hint (r15): both sides are per-nation aggregates —
+    # bounded by the fixed 25-row nation dimension at ANY scale — but
+    # full_outer cannot broadcast and otherwise plans as SortMergeJoin,
+    # sorting both tiny sides. SHJ drops the two sorts (guide §3.1);
+    # the aggregates' output partitioning already feeds the join, so
+    # exchange count is unchanged.
     return (
-        cn.join(sn, cn.nk == sn.nk, "full_outer")
+        cn.join(sn.hint("shuffle_hash"), cn.nk == sn.nk, "full_outer")
         .select(
             F.coalesce(cn.nk, sn.nk).alias("nationkey"),
             F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
