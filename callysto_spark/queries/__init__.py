@@ -112,54 +112,68 @@ def load_all() -> dict[str, Query]:
     every round, enforced by a ValueError guard below and pinned by
     ``tests/test_oracle.py::test_all_bench_rows_in_sampled_window``.
     No registry row's semantics change in r15 (registry frozen at
-    87).
+    87). r16 (THIS round) promotes ALL 37 rows whose newest green
+    record is r14 (the r14 promoted list = PERF_r15's rotation
+    complement): TPC-H tail, scalar-subquery/setop/argmax/window-
+    frame/histogram family, text-analysis, near-dup pair/survivor,
+    BLAS ANN, MinHash/LSH, SimHash, ivf_assign — exactly covering
+    the 9 queries the r15 optimization restructured that fell
+    outside the r15 driver window (the r15 VERDICT item 2). That
+    queue has ZERO bench rows, so the derived watch grows to 8
+    (q5_supplier_volume rejoins it) and doc_dedup_exact (non-bench,
+    r15-green) sits out of the kept head for one round to land the
+    window on exactly 50; it re-enters the r17 queue well inside
+    the 2-round freshness invariant.
     """
     from callysto_spark.queries import llm_ops, tpch2, tpch3, tpch4, events, arrays, messages, tpch  # noqa: F401
 
     promoted = [
-        # the 37 rows whose newest green is r13 (the r13 window minus
-        # the 13 rows kept in the head below)
-        "q5_supplier_volume",
-        "q6_forecast_revenue",
-        "approx_distinct_parts",
-        "avro_roundtrip_stats",
-        "case_bucket_orders",
-        "cube_status_priority",
-        "distinct_counts_by_flag",
-        "doc_fingerprint_groups",
-        "doc_winnow_fingerprints",
-        "embedding_array_stats",
-        "events_changelog_materialize",
-        "events_dedup_latest",
-        "events_hourly_tumbling",
-        "events_interval_join_clicks",
-        "events_json_kv",
-        "events_sliding_1h_30m",
-        "events_type_stats",
-        "events_user_salted_counts",
-        "events_value_quantile_sketch",
-        "full_outer_nation_activity",
-        "grouping_sets_order_stats",
-        "left_join_customer_orders",
-        "null_handling_funcs",
-        "order_month_stats",
-        "pivot_linestatus",
-        "raw_message_decode_stats",
-        "rollup_revenue",
-        "semi_anti_customers",
-        "setop_customers_96_97",
-        "string_funcs_parts",
-        "string_normalize_parts",
-        "token_positions",
-        "token_top20",
-        "top3_orders_per_customer",
-        "user_event_type_sets",
-        "user_spend_deciles",
-        "user_type_count_map",
+        # the 37 rows whose newest green is r14 (the r14 promoted
+        # window; zero overlap with this round's kept head) — heads
+        # the 9 rows the r15 optimization restructured without driver
+        # coverage (LSH/MinHash, survivor stats, jaccard_pairs,
+        # stratified_sample, BLAS parity, ivf_assign, label_near_pairs)
+        "doc_lsh_verified_near_dups",
+        "doc_minhash_lsh_pairs",
+        "doc_near_dup_survivor_stats",
+        "doc_ngram_jaccard_pairs",
+        "doc_stratified_sample",
+        "emb_cosine_topk_blas",
+        "emb_ivf_assign",
+        "emb_ivf_assign_blas",
+        "emb_label_near_pairs",
+        "argmax_order_per_nation",
+        "customer_balance_distribution",
+        "doc_bpe_token_stats",
+        "doc_lang_scores",
+        "doc_quality_score",
+        "doc_simhash",
+        "orders_price_range_frame",
+        "price_quartiles_by_segment",
+        "q10_returned_items",
+        "q11_important_parts",
+        "q12_priority_by_bracket",
+        "q13_customer_order_distribution",
+        "q14_promo_share",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q18_large_orders",
+        "q19_bracket_revenue",
+        "q21_waiting_suppliers",
+        "q22_idle_rich_customers",
+        "q2_cheapest_supplier",
+        "q4_priority_with_discounted_lines",
+        "q7_bilateral_volume",
+        "q8_market_share",
+        "q9_profit_by_nation_year",
+        "scalar_subquery_vs_max",
+        "setop_all_variants",
+        "shipping_delay_histogram",
+        "suppliers_many_parts",
     ]
-    # North-star LLM-ops rows kept in the always-sampled head.
+    # North-star LLM-ops rows kept in the always-sampled head
+    # (doc_dedup_exact sits out this round — see the docstring).
     llm_kept = [
-        "doc_dedup_exact",
         "doc_ngram_jaccard_capped",
         "doc_near_dup_components",
         "doc_token_stats",
@@ -174,16 +188,11 @@ def load_all() -> dict[str, Query]:
     # certification covers exactly what the bench anchor measures.
     covered = set(promoted) | set(llm_kept)
     watch = [n for n, q in REGISTRY.items() if q.bench and n not in covered]
-    # r16 promotion queue: the 37 rows whose newest green record is
-    # r14 (the r14 window minus this round's kept head — i.e. the r14
-    # promoted-37 list recorded in CORRECTNESS_r14.json, none of which
-    # overlap this round's kept head). NOTE the r16 arithmetic: that
-    # queue contains ZERO bench rows, so the derived watch grows to 8
-    # (q5_supplier_volume rejoins it) and one llm_kept row must sit
-    # out for the round to land the head on 50 — defer a non-bench
-    # llm row that is r15-green (e.g. doc_dedup_exact), which stays
-    # inside the 2-round freshness invariant (certified r15,
-    # re-promoted r17).
+    # r17 promotion queue: the 37 rows whose newest green record is
+    # r15 — the r15 promoted window (CORRECTNESS_r15.json) plus
+    # doc_dedup_exact (deferred from this round's head, newest green
+    # r15); the r17 window then drops back to the 6-row llm_kept head
+    # once the bench-row arithmetic allows.
     head = promoted + watch + llm_kept
     # ValueError, not assert: these guard the driver-sample window and
     # must survive python -O (a stripped assert would silently ship a

@@ -172,23 +172,15 @@ def test_load_all_idempotent_and_windowed():
     assert first == second, "load_all must be order-stable across calls"
     assert len(first) == len(set(first)) == 87
     head = first[:50]
-    # rows deferred by the r15 rotation: every one is r14-green (the
+    # rows deferred by the r16 rotation: every one is r15-green (the
     # newest possible certification), making room for the 37 rows whose
-    # newest green was r13
+    # newest green was r14 — exactly covering the 9 queries the r15
+    # optimization restructured outside the r15 driver window
     deferred = {
-        "doc_ngram_jaccard_pairs",
-        "doc_near_dup_survivor_stats",
-        "emb_label_near_pairs",
-        "doc_bpe_token_stats",
-        "doc_lang_scores",
-        "doc_quality_score",
-        "doc_stratified_sample",
-        "emb_ivf_assign_blas",
-        "emb_cosine_topk_blas",
-        "doc_minhash_lsh_pairs",
-        "doc_lsh_verified_near_dups",
-        "doc_simhash",
-        "emb_ivf_assign",
+        "doc_winnow_fingerprints",
+        "doc_fingerprint_groups",
+        "doc_dedup_exact",
+        "embedding_array_stats",
     }
     missing = [
         n
@@ -198,7 +190,7 @@ def test_load_all_idempotent_and_windowed():
     assert not missing, f"north-star queries fell out of the sampled window: {missing}"
     # the freshness justification for the deferral, checked against the
     # actual newest driver artifact when present
-    art = Path(__file__).resolve().parents[1] / "CORRECTNESS_r14.json"
+    art = Path(__file__).resolve().parents[1] / "CORRECTNESS_r15.json"
     if art.exists():
         rec = json.loads(art.read_text())
         rec = rec.get("parsed", rec)
