@@ -299,9 +299,14 @@ def test_committed_artifact_pair_corroborates_and_gates_norm_alone():
     anchor = root / "BENCH_BASELINE.json"
     # numeric round sort: lexicographic max picks BENCH_r99 over
     # BENCH_r100 at three digits, silently testing a stale artifact;
-    # an empty glob must skip (fresh clone), not ValueError
+    # an empty glob must skip (fresh clone), not ValueError. Only
+    # CANONICAL round records (BENCH_r<N>.json) qualify: the driver's
+    # low-core scaling sidecars (e.g. BENCH_r15_c8.json, cpus=8) record
+    # a different mt-canary thread count and are not comparable to the
+    # 32-thread anchor — r15's drop of the first such sidecar made this
+    # test pick it as "newest" and fail on the thread-count guard.
     rounds = sorted(
-        root.glob("BENCH_r*.json"),
+        (p for p in root.glob("BENCH_r*.json") if re.fullmatch(r"BENCH_r\d+\.json", p.name)),
         key=lambda p: int(re.search(r"r(\d+)", p.stem).group(1)),
     )
     if not rounds:

@@ -11,6 +11,11 @@ import subprocess
 import sys
 
 
+
+import pytest
+
+pytestmark = pytest.mark.slow  # gated: see pytest.ini / conftest (r16 verify-budget fix)
+
 def test_bench_survives_single_query_failure(tmp_path):
     detail = tmp_path / "BENCH_DETAIL.json"
     env = dict(

@@ -27,6 +27,9 @@ import pytest
 
 from callysto_spark.queries import load_all
 
+
+pytestmark = pytest.mark.slow  # gated: see pytest.ini / conftest (r16 verify-budget fix)
+
 REGISTRY = load_all()
 TARGETS = sorted(n for n in REGISTRY if n.startswith("emb"))
 

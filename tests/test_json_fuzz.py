@@ -25,6 +25,9 @@ import pytest
 
 from callysto_spark.queries import load_all
 
+
+pytestmark = pytest.mark.slow  # gated: see pytest.ini / conftest (r16 verify-budget fix)
+
 REGISTRY = load_all()
 TARGETS = ["events_json_kv", "events_type_stats"]
 

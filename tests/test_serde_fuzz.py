@@ -51,6 +51,9 @@ FUZZ_SCHEMA = {
 ALLOWED = (ValueError,)  # the ONLY exception a malformed payload may raise
 
 
+
+pytestmark = pytest.mark.slow  # gated: see pytest.ini / conftest (r16 verify-budget fix)
+
 def _record(i: int) -> dict:
     import datetime as dt
 

@@ -28,6 +28,11 @@ from callysto_spark.operators.util import release_transient_persists
 from callysto_spark.queries import load_all
 
 
+
+import pytest
+
+pytestmark = pytest.mark.slow  # gated: see pytest.ini / conftest (r16 verify-budget fix)
+
 def _storage_counts(spark) -> tuple[int, bool]:
     """(persistent-RDD count, Dataset cache-manager empty?) — JVM truth."""
     n_rdds = spark.sparkContext._jsc.sc().getPersistentRDDs().size()

@@ -44,6 +44,9 @@ import pytest
 
 from callysto_spark.queries import load_all
 
+
+pytestmark = pytest.mark.slow  # gated: see pytest.ini / conftest (r16 verify-budget fix)
+
 REGISTRY = load_all()
 _SKIP_PREFIXES = ("doc_", "emb", "events_", "user_", "raw_message", "avro_")
 TARGETS = sorted(n for n in REGISTRY if not n.startswith(_SKIP_PREFIXES))
