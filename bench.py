@@ -724,6 +724,7 @@ def main() -> None:
         out["ingest_spread_pct"] = ingest["spread_pct"]
         out["ingest_raw_spread_pct"] = ingest["raw_spread_pct"]
         out["ingest_discarded_trials"] = ingest["discarded_trials"]
+        out["ingest_drain"] = ingest.get("drain", "legacy")
         if ingest["spread_pct"] > 25 or ingest["window_exhausted"]:
             out["ingest_noisy"] = True
         if ingest["window_exhausted"]:
@@ -936,6 +937,15 @@ def ingest_bench(spark) -> dict | None:
         # code — measured 220 vs 580+ MB/s on the first timed drain.
         spark.read.parquet(f"{base}/stage").agg(F.sum(F.length("value"))).collect()
         n_threads = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        # r16 (verdict item 7): the default drain is now a noop-sink
+        # write with the byte count read from an Observation riding the
+        # SAME job — no separate per-batch driver collect(), and the
+        # noop sink consumes FULL rows (guide §1.4) where the old agg
+        # let Catalyst prune everything but `value`. The legacy
+        # agg+collect drain stays selectable for methodology
+        # comparability with r1-r15 (SPARK_GRAFT_INGEST_DRAIN=legacy;
+        # one window under each drain recorded in OPTIMIZATION_r16.md).
+        drain_mode = os.environ.get("SPARK_GRAFT_INGEST_DRAIN", "observe")
         # contended-trial discipline (r11): normalization cannot rescue
         # a trial that a neighbor's burst hit — run 3 measured a trial
         # at 47.3 MB/s bracketed by mt samples of 0.776s vs the 0.085s
@@ -981,7 +991,19 @@ def ingest_bench(spark) -> dict | None:
                 t_in = time.perf_counter()
                 if stats["t0"] is None:
                     stats["t0"] = t_in
-                nbytes = b.agg(F.sum(F.length("value"))).collect()[0][0] or 0
+                if drain_mode == "observe":
+                    from pyspark.sql import Observation
+
+                    obs = Observation()
+                    (
+                        b.observe(obs, F.sum(F.length("value")).alias("nb"))
+                        .write.format("noop")
+                        .mode("overwrite")
+                        .save()
+                    )
+                    nbytes = obs.get["nb"] or 0
+                else:
+                    nbytes = b.agg(F.sum(F.length("value"))).collect()[0][0] or 0
                 stats["bytes"] += nbytes
                 stats["t1"] = time.perf_counter()
                 # per-batch rate: a burst that hits ONE of the 4 batches
@@ -1131,6 +1153,7 @@ def ingest_bench(spark) -> dict | None:
             ],
             "window_exhausted": window_exhausted,
             "short_sample": short_sample,
+            "drain": drain_mode,
         }
     except Exception as exc:  # never fail the bench line on the extra metric
         print(f"# ingest bench failed: {exc}", file=sys.stderr)
