@@ -433,3 +433,73 @@ def test_simhash_candidates_semantics_match_python_reference(spark):
         assert got == want, f"bands={bands} cap={cap} mh={max_hamming}: {got ^ want}"
 
     run()
+
+
+def test_arrow_shingle_kernel_matches_jvm_on_pathological_text(spark):
+    """The Arrow mapInArrow shingle kernel (r16, guide §4.2) must be
+    bit-identical to the JVM higher-order-function pipeline — the
+    tokenizer-contract twin check that lets ``SHINGLE_IMPL`` swap freely.
+    Exercises every divergence class the text fuzz ever caught (Java
+    SpecialCasing vs utf8proc: final sigma, Turkish İ; \\x0B whitespace;
+    trailing-empty split semantics; truncated shingles; blank text) plus
+    titlecase digraphs, ligatures and a deterministic random soup."""
+    import random
+
+    import callysto_spark.operators.dedup as D
+
+    rng = random.Random(0xC0FFEE)
+    alphabet = (
+        "ab σΣςİIıẞßǄǅǆ̇\t\n\x0b\x0c\r  你🚀ﬁⅢ​.*(" + "e"
+    )
+    soup = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
+        for _ in range(160)
+    ]
+    fixed = [
+        "", "   \t\n  ", "one two three four five six",
+        "İstanbul ΣΑΣ ΤΕΛΟΣ Σ. straße GROSSẞ",
+        "a\tb\x0bc\x0cd\re\nf", "x" * 2000, ("tok " * 50).strip(),
+        "  leading and trailing  ", "end\tσ", "ǅungla ǄUNGLA ǆungla",
+    ]
+    rows = [(i, t) for i, t in enumerate(fixed + soup)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 4):
+        old = D.SHINGLE_IMPL
+        try:
+            D.SHINGLE_IMPL = "jvm"
+            jvm = {
+                (r["doc"], frozenset(r["gs"]), len(r["gs"]))
+                for r in D.shingle_arrays(df, "doc_id", "text", n).collect()
+            }
+            D.SHINGLE_IMPL = "arrow"
+            arrow = {
+                (r["doc"], frozenset(r["gs"]), len(r["gs"]))
+                for r in D.shingle_arrays(df, "doc_id", "text", n).collect()
+            }
+        finally:
+            D.SHINGLE_IMPL = old
+        assert jvm == arrow, (
+            f"n={n}: arrow kernel diverges from JVM kernel: "
+            f"{list(jvm ^ arrow)[:4]}"
+        )
+
+
+def test_arrow_shingle_kernel_null_and_type_contract(spark):
+    """NULL text rows are absent (stage_text contract) and the doc
+    column keeps the id column's type through the Arrow kernel."""
+    import callysto_spark.operators.dedup as D
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    old = D.SHINGLE_IMPL
+    try:
+        D.SHINGLE_IMPL = "arrow"
+        out = D.shingle_arrays(df, "doc_id", "text", 4)
+        assert dict(out.dtypes) == {"doc": "bigint", "gs": "array<string>"}
+        rows = {r["doc"]: r["gs"] for r in out.collect()}
+    finally:
+        D.SHINGLE_IMPL = old
+    assert set(rows) == {1, 3}, "NULL text must drop the doc, '' must keep it"
+    assert rows[3] == [""], "blank text yields the single empty shingle"
+    assert sorted(rows[1]) == ["a b c d", "b c d e"]
