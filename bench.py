@@ -824,6 +824,32 @@ def engine_bench(spark, sf_dir: str) -> None:
             print(f"# engine {name}[{eng}]: {best:.3f}s (min of 3)", file=sys.stderr)
 
 
+def batch_drain_bytes(b, drain_mode: str) -> int:
+    """Consume one ingest micro-batch, returning its payload byte count.
+
+    ``observe`` (default since r16, verdict item 7): a noop-sink write
+    with the byte count read from an Observation riding the SAME job —
+    no separate per-batch driver ``collect()``, and the noop sink
+    consumes FULL rows (guide §1.4). ``legacy``: the r1-r15
+    agg+collect drain, kept for methodology comparability. Both must
+    count identical bytes (pinned by tests/test_ingest_drain.py).
+    """
+    from pyspark.sql import functions as F
+
+    if drain_mode == "observe":
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        (
+            b.observe(obs, F.sum(F.length("value")).alias("nb"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return obs.get["nb"] or 0
+    return b.agg(F.sum(F.length("value"))).collect()[0][0] or 0
+
+
 def ingest_bench(spark) -> dict | None:
     """Streaming-agent ingest throughput, methodology-matched to the
     reference's only published number (BASELINE.md: 278.47 MB/s,
@@ -991,19 +1017,7 @@ def ingest_bench(spark) -> dict | None:
                 t_in = time.perf_counter()
                 if stats["t0"] is None:
                     stats["t0"] = t_in
-                if drain_mode == "observe":
-                    from pyspark.sql import Observation
-
-                    obs = Observation()
-                    (
-                        b.observe(obs, F.sum(F.length("value")).alias("nb"))
-                        .write.format("noop")
-                        .mode("overwrite")
-                        .save()
-                    )
-                    nbytes = obs.get["nb"] or 0
-                else:
-                    nbytes = b.agg(F.sum(F.length("value"))).collect()[0][0] or 0
+                nbytes = batch_drain_bytes(b, drain_mode)
                 stats["bytes"] += nbytes
                 stats["t1"] = time.perf_counter()
                 # per-batch rate: a burst that hits ONE of the 4 batches
